@@ -1,0 +1,74 @@
+"""parakeet-tpu: TPU-native speech recognition framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+Frikallo/parakeet.cpp (FastConformer encoder, CTC/RNNT/TDT decoders,
+streaming, Sortformer diarization). Models are parameter pytrees + pure
+apply functions; decode loops are jitted `lax.while_loop` state machines;
+streaming state is fixed-shape so every latency mode compiles once.
+
+Public surface mirrors the reference (include/parakeet/parakeet.hpp):
+Transcriber, TDTTranscriber, StreamingTranscriber, NemotronTranscriber,
+DiarizedTranscriber, Sortformer, Tokenizer, config presets.
+"""
+
+from parakeet_tpu.config import (
+    AudioConfig,
+    EncoderConfig,
+    StreamingEncoderConfig,
+    CTCConfig,
+    PredictionConfig,
+    JointConfig,
+    RNNTConfig,
+    TDTConfig,
+    TDTCTCConfig,
+    EOUConfig,
+    NemotronConfig,
+    TransformerConfig,
+    SortformerConfig,
+    make_110m_config,
+    make_tdt_600m_config,
+    make_rnnt_600m_config,
+    make_eou_120m_config,
+    make_nemotron_600m_config,
+    make_sortformer_117m_config,
+)
+from parakeet_tpu.text.tokenizer import Tokenizer
+from parakeet_tpu.decode.timestamp import (
+    FRAME_DURATION_S,
+    TimestampedToken,
+    WordTimestamp,
+    TimestampMode,
+    frame_to_seconds,
+    group_timestamps,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AudioConfig",
+    "EncoderConfig",
+    "StreamingEncoderConfig",
+    "CTCConfig",
+    "PredictionConfig",
+    "JointConfig",
+    "RNNTConfig",
+    "TDTConfig",
+    "TDTCTCConfig",
+    "EOUConfig",
+    "NemotronConfig",
+    "TransformerConfig",
+    "SortformerConfig",
+    "make_110m_config",
+    "make_tdt_600m_config",
+    "make_rnnt_600m_config",
+    "make_eou_120m_config",
+    "make_nemotron_600m_config",
+    "make_sortformer_117m_config",
+    "Tokenizer",
+    "FRAME_DURATION_S",
+    "TimestampedToken",
+    "WordTimestamp",
+    "TimestampMode",
+    "frame_to_seconds",
+    "group_timestamps",
+]

@@ -1,0 +1,131 @@
+"""SentencePiece-style vocab tokenizer.
+
+Behavioral parity with the reference Tokenizer (src/vocab.cpp:10-117):
+  * load: one piece per line, optional ``\\tscore`` suffix (SentencePiece
+    .vocab format); id = line index. Blank lines without a tab are skipped.
+  * decode: concat pieces, ``▁`` (U+2581) → space, strip ONE leading space,
+    out-of-range id → ``[id]``.
+  * encode: prepend ``▁``, spaces → ``▁``, greedy longest-match over the
+    piece table, unknown bytes skipped.
+
+Pure host-side Python; no JAX.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+SP_MARKER = "▁"  # ▁ SentencePiece word-boundary marker
+
+
+class Tokenizer:
+    def __init__(self, vocab_path: str | Path | None = None):
+        self._pieces: list[str] = []
+        self._piece_to_id: dict[str, int] | None = None
+        self._max_piece_len = 0
+        if vocab_path is not None:
+            self.load(vocab_path)
+
+    # ── Loading ──────────────────────────────────────────────────────────
+
+    def load(self, vocab_path: str | Path) -> None:
+        path = Path(vocab_path)
+        if not path.is_file():
+            raise FileNotFoundError(f"Cannot open vocab file: {path}")
+        pieces: list[str] = []
+        # SentencePiece vocabs may contain raw-byte pieces; decode leniently.
+        with open(path, encoding="utf-8", errors="surrogateescape") as f:
+            for line in f.read().splitlines():
+                tab = line.find("\t")
+                if tab != -1:
+                    pieces.append(line[:tab])
+                elif line:
+                    pieces.append(line)
+        self._pieces = pieces
+        self._piece_to_id = None
+        self._max_piece_len = 0
+
+    def load_pieces(self, pieces: list[str]) -> None:
+        """Load directly from an in-memory piece list (tests, conversion)."""
+        self._pieces = list(pieces)
+        self._piece_to_id = None
+        self._max_piece_len = 0
+
+    @property
+    def loaded(self) -> bool:
+        return bool(self._pieces)
+
+    @property
+    def pieces(self) -> list[str]:
+        return self._pieces
+
+    def vocab_size(self) -> int:
+        return len(self._pieces)
+
+    # ── Decode ───────────────────────────────────────────────────────────
+
+    def decode(self, token_ids) -> str:
+        parts: list[str] = []
+        n = len(self._pieces)
+        for tid in token_ids:
+            tid = int(tid)
+            if tid < 0 or tid >= n:
+                parts.append(f"[{tid}]")
+            else:
+                parts.append(self._pieces[tid])
+        out = "".join(parts).replace(SP_MARKER, " ")
+        if out.startswith(" "):
+            out = out[1:]
+        return out
+
+    def id_to_piece(self, tid: int) -> str:
+        return self._pieces[tid]
+
+    # ── Encode ───────────────────────────────────────────────────────────
+
+    def _build_encode_table(self) -> None:
+        if self._piece_to_id is not None:
+            return
+        table: dict[str, int] = {}
+        max_len = 0
+        for i, piece in enumerate(self._pieces):
+            # First occurrence wins (matches unordered_map insert-once... the
+            # reference overwrites on duplicates; keep last to match operator[]).
+            table[piece] = i
+            if len(piece) > max_len:
+                max_len = len(piece)
+        self._piece_to_id = table
+        self._max_piece_len = max_len
+
+    def encode(self, text: str) -> list[int]:
+        if not self._pieces or not text:
+            return []
+        self._build_encode_table()
+        assert self._piece_to_id is not None
+
+        # Prepend ▁ and replace spaces with ▁ (vocab.cpp:81-90).
+        chars = [SP_MARKER]
+        for c in text:
+            chars.append(SP_MARKER if c == " " else c)
+        inp = "".join(chars)
+
+        result: list[int] = []
+        pos = 0
+        n = len(inp)
+        while pos < n:
+            best_id = -1
+            best_len = 0
+            for length in range(min(self._max_piece_len, n - pos), 0, -1):
+                tid = self._piece_to_id.get(inp[pos : pos + length])
+                if tid is not None:
+                    best_id, best_len = tid, length
+                    break
+            if best_id >= 0:
+                result.append(best_id)
+                pos += best_len
+            else:
+                pos += 1  # skip unknown character
+        return result
+
+
+__all__ = ["Tokenizer", "SP_MARKER"]
