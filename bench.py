@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Metric: RTFx per chip for the tdt-ctc-110m ENCODER on batched synthetic 10 s
+clips — the reference's own methodology (src/bench.cpp:165-196: features
+randn(1, sec*100, mel), warm-up compile excluded, real-time clock,
+RTF = time/audio_sec), extended to a batch (TPU throughput lever).
+
+vs_baseline compares against the reference's best published number:
+110m encoder, 10 s audio, Apple M3 GPU = 27 ms → RTFx 370 (README.md:464).
+
+Run: python bench.py [--batch N] [--dtype bfloat16] [--secs 10] [--layers N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0, help="0 = auto-sweep")
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--secs", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--full", action="store_true", help="include CTC head + greedy decode")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from parakeet_tpu import config as C
+    from parakeet_tpu import params as P
+    from parakeet_tpu.models.ctc import ctc_log_probs
+    from parakeet_tpu.models.encoder import fastconformer_encode
+    from parakeet_tpu.params import Params
+
+    cfg = C.make_110m_config()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    spec = P.tdt_ctc_spec(cfg) if args.full else P.encoder_spec(cfg.encoder, "encoder_")
+    params = P.init_params(spec, seed=0)
+    if args.dtype != "float32":
+        params = P.cast_params(params, dtype)
+
+    mel_frames = args.secs * 100  # 100 frames/s pre-subsampling (bench.cpp)
+
+    def fwd(p, feats):
+        enc = fastconformer_encode(Params(p).sub("encoder_"), cfg.encoder, feats)
+        if args.full:
+            return ctc_log_probs(Params(p).sub("ctc_decoder_"), enc)
+        return enc
+
+    fwd_jit = jax.jit(fwd)
+
+    def measure(batch: int) -> float:
+        feats = jnp.asarray(
+            np.random.RandomState(0).randn(batch, mel_frames, cfg.encoder.mel_bins),
+            dtype=dtype,
+        )
+        # warm-up: compile excluded from timing (bench.cpp:188-190)
+        fwd_jit(params, feats).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fwd_jit(params, feats)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        audio_seconds = batch * args.secs * args.iters
+        return audio_seconds / dt  # RTFx per chip
+
+    if args.batch > 0:
+        batches = [args.batch]
+    else:
+        batches = [8, 16, 32, 64]
+
+    best_rtfx, best_b = 0.0, 0
+    for b in batches:
+        try:
+            r = measure(b)
+        except Exception as e:  # OOM etc.
+            print(f"# batch {b} failed: {e}", file=sys.stderr)
+            continue
+        print(f"# batch {b}: RTFx {r:.0f}", file=sys.stderr)
+        if r > best_rtfx:
+            best_rtfx, best_b = r, b
+
+    baseline = 370.0  # reference 110m GPU, 10 s: RTF 0.003 → 370x (README.md:464)
+    print(
+        json.dumps(
+            {
+                "metric": f"RTFx per chip (tdt-ctc-110m encoder, batch={best_b}, {args.secs}s clips, {args.dtype})",
+                "value": round(best_rtfx, 1),
+                "unit": "x realtime",
+                "vs_baseline": round(best_rtfx / baseline, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,223 @@
+"""NeMo-compatible mel-spectrogram frontend, in JAX.
+
+Numerics mirror the reference pipeline (src/audio.cpp:100-158):
+  preemphasis(0.97) → STFT(n_fft 512, hop 160, win 400, symmetric Hann,
+  center=True, reflect pad) → |X|² → Slaney mel filterbank (area-normalized,
+  f64 construction) → log(x + 2⁻²⁴) → per-feature normalization (per-mel-bin
+  mean / unbiased N−1 std over time, eps 1e-5) → (1, T, n_mels).
+
+The streaming variant (src/audio.cpp:171-259) carries preemphasis state and
+a sample overlap buffer across chunks, uses center=False framing by
+win_length, and does NOT normalize (full-sequence stats unavailable).
+
+`AudioConfig.dither` is declared but never applied — parity with the
+reference, whose output is deterministic (test_all.cpp:739-753).
+
+Design: the mel filterbank and window are host-built f64 constants; the
+per-utterance transform is a single jitted function (one fused XLA program:
+pad→frame→rfft→matmul→log→normalize). Batched use goes through `vmap`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parakeet_tpu.config import AudioConfig
+
+# NeMo's log guard: 2^-24 (audio.cpp:134-135).
+LOG_GUARD = 5.96046448e-8
+
+# Slaney mel scale constants (audio.cpp:18-21): linear below 1 kHz, log above.
+_MEL_BREAK_FREQ = 1000.0
+_MEL_BREAK_MEL = 15.0  # 1000 / (200/3)
+_MEL_LINEAR_SCALE = 200.0 / 3.0
+_MEL_LOG_STEP = math.log(6.4) / 27.0
+
+
+def _hz_to_mel_slaney(freq: float) -> float:
+    if freq < _MEL_BREAK_FREQ:
+        return freq / _MEL_LINEAR_SCALE
+    return _MEL_BREAK_MEL + math.log(freq / _MEL_BREAK_FREQ) / _MEL_LOG_STEP
+
+
+def _mel_to_hz_slaney(mel: float) -> float:
+    if mel < _MEL_BREAK_MEL:
+        return mel * _MEL_LINEAR_SCALE
+    return _MEL_BREAK_FREQ * math.exp((mel - _MEL_BREAK_MEL) * _MEL_LOG_STEP)
+
+
+@functools.lru_cache(maxsize=16)
+def mel_filterbank(
+    n_freqs: int, n_mels: int, sample_rate: float, f_min: float, f_max: float
+) -> np.ndarray:
+    """Slaney-scale, Slaney-normalized mel filterbank, (n_freqs, n_mels) f32.
+
+    Constructed in float64 exactly as audio.cpp:40-94 (librosa/NeMo
+    compatible): n_mels+2 evenly spaced mel points, triangular filters,
+    area normalization 2/(right-left).
+    """
+    mel_min = _hz_to_mel_slaney(f_min)
+    mel_max = _hz_to_mel_slaney(f_max)
+    mel_pts = mel_min + np.arange(n_mels + 2, dtype=np.float64) * (
+        (mel_max - mel_min) / (n_mels + 1)
+    )
+    hz_pts = np.array([_mel_to_hz_slaney(m) for m in mel_pts], dtype=np.float64)
+    fft_freqs = np.arange(n_freqs, dtype=np.float64) * (sample_rate / (2.0 * (n_freqs - 1)))
+
+    fb = np.zeros((n_freqs, n_mels), dtype=np.float64)
+    for m in range(n_mels):
+        left, center, right = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        enorm = 2.0 / (right - left)
+        f = fft_freqs
+        up = (f - left) / (center - left) if center > left else np.zeros_like(f)
+        down = (right - f) / (right - center) if right > center else np.zeros_like(f)
+        tri = np.where((f >= left) & (f <= center), up, 0.0) + np.where(
+            (f > center) & (f <= right), down, 0.0
+        )
+        fb[:, m] = tri * enorm
+    return fb.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _hann_symmetric(win_length: int) -> np.ndarray:
+    """Symmetric (periodic=False) Hann window, f64→f32 (matches torch)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * math.pi * n / (win_length - 1)))).astype(np.float32)
+
+
+def _fb_for(cfg: AudioConfig) -> np.ndarray:
+    f_max = cfg.f_max if cfg.f_max > 0 else cfg.sample_rate / 2.0
+    return mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, float(cfg.sample_rate), cfg.f_min, f_max)
+
+
+def _frame(x: jnp.ndarray, frame_length: int, hop: int, n_frames: int) -> jnp.ndarray:
+    """(N,) → (n_frames, frame_length) via strided gather."""
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_length)[None, :]
+    return x[idx]
+
+
+def _stft_power(
+    x: jnp.ndarray, cfg: AudioConfig, *, center: bool, n_frames: int
+) -> jnp.ndarray:
+    """Power spectrum (n_frames, n_fft//2+1).
+
+    center=True: torch-compatible — reflect-pad n_fft//2, window zero-padded
+    centered to n_fft, frames of n_fft at hop stride (NeMo's torch.stft).
+    center=False (streaming): frames of win_length at hop stride, windowed
+    then zero-padded to n_fft — matches the reference streaming buffer
+    arithmetic (audio.cpp:222-235); pad placement only shifts phase, power
+    is unaffected.
+    """
+    window = jnp.asarray(_hann_symmetric(cfg.win_length))
+    if center:
+        pad = cfg.n_fft // 2
+        x = jnp.pad(x, (pad, pad), mode="reflect")
+        lpad = (cfg.n_fft - cfg.win_length) // 2
+        win_full = jnp.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
+        frames = _frame(x, cfg.n_fft, cfg.hop_length, n_frames) * win_full[None, :]
+    else:
+        frames = _frame(x, cfg.win_length, cfg.hop_length, n_frames) * window[None, :]
+        frames = jnp.pad(frames, ((0, 0), (0, cfg.n_fft - cfg.win_length)))
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=cfg.n_fft, axis=-1)
+    return spec.real**2 + spec.imag**2
+
+
+def _preemphasis(x: jnp.ndarray, coeff: float = 0.97, prev: jnp.ndarray | float = 0.0):
+    shifted = jnp.concatenate([jnp.full((1,), prev, x.dtype), x[:-1]])
+    return x - coeff * shifted
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _preprocess_jit(x: jnp.ndarray, cfg: AudioConfig, n_frames: int) -> jnp.ndarray:
+    x = _preemphasis(x)
+    power = _stft_power(x, cfg, center=True, n_frames=n_frames)  # (T, F)
+    fb = jnp.asarray(_fb_for(cfg))  # (F, M)
+    mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)  # (T, M)
+    log_mel = jnp.log(mel + LOG_GUARD)
+    if cfg.normalize:
+        # Per-feature (per mel bin) over time; unbiased N-1 variance;
+        # divide by (std + 1e-5) — audio.cpp:139-149.
+        mean = jnp.mean(log_mel, axis=0, keepdims=True)
+        centered = log_mel - mean
+        var = jnp.sum(centered * centered, axis=0, keepdims=True) / (n_frames - 1)
+        log_mel = centered / (jnp.sqrt(var) + 1e-5)
+    return log_mel
+
+
+def preprocess_audio(samples, config: AudioConfig = AudioConfig()) -> jnp.ndarray:
+    """Waveform (num_samples,) float32 → features (1, n_frames, n_mels).
+
+    n_frames = num_samples // hop + 1 (torch.stft center=True convention).
+    """
+    x = jnp.asarray(samples, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"expected 1D waveform, got shape {x.shape}")
+    n = x.shape[0]
+    if n < 1:
+        raise ValueError("empty waveform")
+    n_frames = n // config.hop_length + 1
+    return _preprocess_jit(x, config, n_frames)[None, :, :]
+
+
+# ─── Streaming ───────────────────────────────────────────────────────────────
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _process_chunk_jit(x: jnp.ndarray, cfg: AudioConfig, n_frames: int) -> jnp.ndarray:
+    power = _stft_power(x, cfg, center=False, n_frames=n_frames)
+    fb = jnp.asarray(_fb_for(cfg))
+    mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
+    return jnp.log(mel + LOG_GUARD)  # no normalization mid-stream
+
+
+class StreamingAudioPreprocessor:
+    """Stateful chunk-wise mel frontend (reference: audio.cpp:171-259).
+
+    State: last raw sample for preemphasis continuity + an overlap buffer of
+    already-preemphasized samples shorter than one window. Output is
+    unnormalized log-mel, (1, n_frames, n_mels); returns None while fewer
+    than win_length samples are buffered.
+    """
+
+    def __init__(self, config: AudioConfig = AudioConfig()):
+        self.config = config
+        self.reset()
+
+    def reset(self) -> None:
+        self._preemph_last = 0.0
+        self._overlap = np.zeros(0, dtype=np.float32)
+
+    def process_chunk(self, samples) -> jnp.ndarray | None:
+        cfg = self.config
+        x = np.asarray(samples, dtype=np.float32).reshape(-1)
+        if x.size:
+            pre = x.copy()
+            pre[0] -= 0.97 * self._preemph_last
+            pre[1:] -= 0.97 * x[:-1]
+            self._preemph_last = float(x[-1])
+            buf = np.concatenate([self._overlap, pre])
+        else:
+            buf = self._overlap
+
+        total = buf.shape[0]
+        if total < cfg.win_length:
+            self._overlap = buf
+            return None
+        n_frames = (total - cfg.win_length) // cfg.hop_length + 1
+        consumed = (n_frames - 1) * cfg.hop_length + cfg.win_length
+        self._overlap = buf[consumed:].copy()
+        feats = _process_chunk_jit(jnp.asarray(buf[:consumed]), cfg, n_frames)
+        return feats[None, :, :]
+
+
+__all__ = [
+    "LOG_GUARD",
+    "mel_filterbank",
+    "preprocess_audio",
+    "StreamingAudioPreprocessor",
+]

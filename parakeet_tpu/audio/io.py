@@ -1,0 +1,316 @@
+"""Audio file I/O: decoding, mono downmix, resampling, duration.
+
+Mirrors the reference audio_io layer (src/audio_io.cpp): format detection by
+extension then magic bytes (:37-94), WAV/FLAC/MP3/OGG decode, mean downmix
+to mono (:198-214), windowed-sinc Kaiser resampler (:96-195), header-only
+duration queries (:527-586).
+
+WAV is decoded natively (RIFF parser supporting PCM 8/16/24/32 and IEEE
+float — the dr_wav capability set we need). FLAC/MP3/OGG decode goes
+through optional backends (soundfile/librosa) when present and raises a
+clear error otherwise; the vendored-C decoders of the reference are not
+reproduced in round 1.
+
+The resampler reproduces the reference numerics exactly: Kaiser β=7.857
+(~80 dB), half-width 16 taps, cutoff min(1, dst/src), filter widened when
+downsampling, per-output normalization by the weight sum, GCD rate
+simplification — as a vectorized numpy pass instead of the scalar loop.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+# ─── Types ───────────────────────────────────────────────────────────────────
+
+
+@dataclass
+class AudioData:
+    """Decoded audio (audio_io.hpp:12-20)."""
+
+    samples: np.ndarray  # float32 mono, resampled
+    sample_rate: int
+    original_sample_rate: int
+    num_channels: int
+    num_samples: int
+    duration: float  # seconds (at original rate)
+    format: str  # "wav" | "flac" | "mp3" | "ogg" | "raw"
+
+
+class AudioFormat:
+    WAV = "wav"
+    FLAC = "flac"
+    MP3 = "mp3"
+    OGG = "ogg"
+    UNKNOWN = "unknown"
+
+
+# ─── Format detection (audio_io.cpp:37-94) ───────────────────────────────────
+
+_EXT_MAP = {
+    ".wav": AudioFormat.WAV,
+    ".wave": AudioFormat.WAV,
+    ".flac": AudioFormat.FLAC,
+    ".mp3": AudioFormat.MP3,
+    ".ogg": AudioFormat.OGG,
+    ".oga": AudioFormat.OGG,
+}
+
+
+def detect_format_by_extension(path: str | Path) -> str:
+    return _EXT_MAP.get(Path(path).suffix.lower(), AudioFormat.UNKNOWN)
+
+
+def detect_format_by_magic(data: bytes) -> str:
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return AudioFormat.WAV
+    if data[:4] == b"fLaC":
+        return AudioFormat.FLAC
+    if data[:4] == b"OggS":
+        return AudioFormat.OGG
+    if data[:3] == b"ID3":
+        return AudioFormat.MP3
+    if len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        return AudioFormat.MP3  # MPEG frame sync
+    return AudioFormat.UNKNOWN
+
+
+# ─── WAV decode (native RIFF parser) ─────────────────────────────────────────
+
+
+def _parse_wav(data: bytes):
+    """→ (interleaved float32 (N*ch,), sample_rate, channels)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("Not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _, _, bits = fmt
+    if audio_fmt == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
+        audio_fmt = 1 if bits != 32 else 3
+
+    if audio_fmt == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, "u1").reshape(-1, 3)
+            x = (
+                (b[:, 0].astype(np.int32))
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            x = (x - ((x & 0x800000) << 1)).astype(np.float32) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"Unsupported WAV PCM bit depth: {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(raw, "<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(raw, "<f8").astype(np.float32)
+        else:
+            raise ValueError(f"Unsupported WAV float bit depth: {bits}")
+    else:
+        raise ValueError(f"Unsupported WAV format tag: {audio_fmt}")
+    return x, sample_rate, channels
+
+
+def _decode_with_backend(data: bytes, fmt: str):
+    """FLAC/MP3/OGG via optional python backends."""
+    import io as _io
+
+    try:
+        import soundfile  # type: ignore
+
+        x, sr = soundfile.read(_io.BytesIO(data), dtype="float32", always_2d=True)
+        return x.reshape(-1), sr, x.shape[1]
+    except ImportError:
+        pass
+    try:
+        import librosa  # type: ignore
+
+        x, sr = librosa.load(_io.BytesIO(data), sr=None, mono=False)
+        if x.ndim == 1:
+            return x.astype(np.float32), int(sr), 1
+        return x.T.reshape(-1).astype(np.float32), int(sr), x.shape[0]
+    except ImportError:
+        pass
+    raise RuntimeError(
+        f"No decoder available for {fmt} (install soundfile or librosa); "
+        "WAV decoding is always available"
+    )
+
+
+# ─── Downmix + resample ──────────────────────────────────────────────────────
+
+
+def downmix_to_mono(interleaved: np.ndarray, channels: int) -> np.ndarray:
+    """Mean across channels (audio_io.cpp:198-214)."""
+    if channels == 1:
+        return interleaved.astype(np.float32)
+    n = len(interleaved) // channels
+    return interleaved[: n * channels].reshape(n, channels).mean(axis=1).astype(np.float32)
+
+
+def _kaiser(x: np.ndarray, n: float, beta: float) -> np.ndarray:
+    """Kaiser window at positions x ∈ [0, N] (audio_io.cpp:114-124)."""
+    arg = 2.0 * x / n - 1.0
+    val = np.maximum(1.0 - arg * arg, 0.0)
+    return np.i0(beta * np.sqrt(val)) / np.i0(beta)
+
+
+def resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Windowed-sinc resampler, numerics per audio_io.cpp:123-195."""
+    x = np.asarray(samples, np.float32).reshape(-1)
+    if src_rate == dst_rate:
+        return x.copy()
+    g = math.gcd(src_rate, dst_rate)
+    up, down = dst_rate // g, src_rate // g
+    n_in = len(x)
+    n_out = (n_in * up + down - 1) // down
+
+    half_width = 16
+    beta = 7.857
+    ratio = src_rate / dst_rate
+    cutoff = min(1.0, 1.0 / max(ratio, 1.0))
+    width_factor = max(1.0, ratio)
+    sample_ratio = dst_rate / src_rate
+
+    i = np.arange(n_out, dtype=np.float64)
+    src_pos = i / sample_ratio  # (n_out,)
+    center = np.floor(src_pos).astype(np.int64)
+    offs = np.arange(-half_width + 1, half_width + 1)  # 32 taps
+    j = center[:, None] + offs[None, :]  # (n_out, 32)
+    valid = (j >= 0) & (j < n_in)
+    dist = src_pos[:, None] - j
+    window_pos = dist / width_factor
+    w = np.where(np.abs(window_pos) <= half_width,
+                 _kaiser(window_pos + half_width, 2.0 * half_width, beta), 0.0)
+    xs = dist * cutoff * math.pi
+    sinc = np.where(np.abs(xs) < 1e-10, 1.0, np.sin(xs) / np.where(xs == 0, 1, xs))
+    weight = sinc * w * cutoff * valid
+    vals = x[np.clip(j, 0, n_in - 1)] * weight
+    wsum = weight.sum(axis=1)
+    out = np.where(wsum > 1e-10, vals.sum(axis=1) / np.where(wsum == 0, 1, wsum), 0.0)
+    return out.astype(np.float32)
+
+
+# ─── read_audio (audio_io.cpp:266-523) ───────────────────────────────────────
+
+
+def _decode_bytes(data: bytes, fmt_hint: str = AudioFormat.UNKNOWN):
+    fmt = fmt_hint
+    if fmt == AudioFormat.UNKNOWN:
+        fmt = detect_format_by_magic(data)
+    if fmt == AudioFormat.UNKNOWN:
+        raise ValueError("Unknown audio format (magic bytes not recognized)")
+    if fmt == AudioFormat.WAV:
+        inter, sr, ch = _parse_wav(data)
+    else:
+        inter, sr, ch = _decode_with_backend(data, fmt)
+    return inter, sr, ch, fmt
+
+
+def read_audio(
+    source,
+    target_sample_rate: int = 16000,
+    *,
+    sample_rate: int | None = None,
+    format_hint: str = AudioFormat.UNKNOWN,
+) -> AudioData:
+    """Load audio from a path, a bytes buffer, or raw PCM arrays.
+
+    Raw PCM: pass a float32/float64 array (with `sample_rate=`) or an int16
+    array (scaled by 1/32768, matching the reference's int16 overload).
+    """
+    if isinstance(source, (str, Path)):
+        path = Path(source)
+        if not path.is_file():
+            raise FileNotFoundError(f"Audio file not found: {path}")
+        data = path.read_bytes()
+        hint = detect_format_by_extension(path)
+        inter, sr, ch, fmt = _decode_bytes(data, hint)
+    elif isinstance(source, (bytes, bytearray, memoryview)):
+        inter, sr, ch, fmt = _decode_bytes(bytes(source), format_hint)
+    else:
+        arr = np.asarray(source)
+        if sample_rate is None:
+            raise ValueError("sample_rate= required for raw PCM input")
+        if arr.dtype == np.int16:
+            inter = arr.astype(np.float32) / 32768.0
+        else:
+            inter = arr.astype(np.float32)
+        sr, ch, fmt = int(sample_rate), 1, "raw"
+
+    mono = downmix_to_mono(inter, ch)
+    n_orig = len(mono)
+    out = resample(mono, sr, target_sample_rate) if sr != target_sample_rate else mono
+    return AudioData(
+        samples=out,
+        sample_rate=target_sample_rate,
+        original_sample_rate=sr,
+        num_channels=ch,
+        num_samples=len(out),
+        duration=n_orig / sr if sr else 0.0,
+        format=fmt,
+    )
+
+
+def get_audio_duration(path: str | Path) -> float:
+    """Header-only duration for WAV; full decode fallback otherwise
+    (audio_io.cpp:527-586)."""
+    path = Path(path)
+    data = path.read_bytes()
+    fmt = detect_format_by_extension(path)
+    if fmt == AudioFormat.UNKNOWN:
+        fmt = detect_format_by_magic(data)
+    if fmt == AudioFormat.WAV:
+        x, sr, ch = _parse_wav(data)
+        return len(x) / ch / sr
+    audio = read_audio(data, target_sample_rate=16000, format_hint=fmt)
+    return audio.duration
+
+
+def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int = 16000) -> None:
+    """Write mono float32 samples as 16-bit PCM WAV (test/tooling helper)."""
+    import wave
+
+    x = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2")
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+
+
+__all__ = [
+    "AudioData",
+    "AudioFormat",
+    "detect_format_by_extension",
+    "detect_format_by_magic",
+    "downmix_to_mono",
+    "resample",
+    "read_audio",
+    "get_audio_duration",
+    "write_wav",
+]

@@ -1,0 +1,191 @@
+"""Phrase boosting: ContextTrie + boosted greedy decodes.
+
+Reference: phrase_boost.cpp — a token-id trie built from boost phrases;
+during greedy decode, tokens reachable from active trie states get
+`boost_score` added to their log-prob BEFORE argmax; the trie advances only
+on actual emissions; root stays active; confidence always uses the
+unboosted log-prob (phrase_boost.cpp:152-153, 315-317).
+
+TPU design: the trie compiles to two dense arrays —
+  transitions (n_nodes, vocab) int32, -1 = no child
+  (node 0 = root)
+so the boosted-token mask and the advance step are pure array ops that ride
+inside the jitted transducer while_loop (decode/transducer.py). The boosted
+CTC variants run the same mask/advance arrays in a host loop over the few
+hundred frames (argmax already computed on device is not possible here since
+boost changes the argmax — the full (T, V) log-prob row is consulted).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from parakeet_tpu.decode.timestamp import TimestampedToken
+from parakeet_tpu.text.tokenizer import Tokenizer
+
+DEFAULT_BOOST_SCORE = 5.0
+
+
+class ContextTrie:
+    """Vector-backed token-id trie (phrase_boost.cpp:9-66)."""
+
+    def __init__(self):
+        self._children: list[dict[int, int]] = [{}]
+        self._is_end: list[bool] = [False]
+        self._vocab_hint = 0
+
+    def insert(self, token_ids: list[int]) -> None:
+        if not token_ids:
+            return
+        node = 0
+        for tid in token_ids:
+            nxt = self._children[node].get(tid)
+            if nxt is None:
+                nxt = len(self._children)
+                self._children[node][tid] = nxt
+                self._children.append({})
+                self._is_end.append(False)
+            node = nxt
+            self._vocab_hint = max(self._vocab_hint, tid + 1)
+        self._is_end[node] = True
+
+    def build(self, phrases: list[str], tokenizer: Tokenizer) -> None:
+        for phrase in phrases:
+            ids = tokenizer.encode(phrase)
+            if ids:
+                self.insert(ids)
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self._children)
+
+    def empty(self) -> bool:
+        return len(self._children) == 1 and not self._children[0]
+
+    # ── Host set semantics (parity with the reference API) ───────────────
+
+    def get_boosted_tokens(self, active_states: set[int]) -> set[int]:
+        boosted: set[int] = set()
+        for state in active_states:
+            if 0 <= state < len(self._children):
+                boosted.update(self._children[state].keys())
+        return boosted
+
+    def advance(self, active_states: set[int], token_id: int) -> set[int]:
+        nxt = {0}  # root always active
+        for state in active_states:
+            if 0 <= state < len(self._children):
+                child = self._children[state].get(token_id)
+                if child is not None:
+                    nxt.add(child)
+        return nxt
+
+    # ── Dense form for jitted decode ─────────────────────────────────────
+
+    def to_arrays(self, vocab_size: int) -> np.ndarray:
+        """(n_nodes, vocab) int32 transition table, -1 = no child."""
+        trans = np.full((len(self._children), vocab_size), -1, dtype=np.int32)
+        for node, children in enumerate(self._children):
+            for tid, child in children.items():
+                if tid < vocab_size:
+                    trans[node, tid] = child
+        return trans
+
+    def device_boost(self, vocab_size: int, batch: int, boost_score: float):
+        """(transitions, initial_active, score) triple for transducer decode."""
+        trans = jnp.asarray(self.to_arrays(vocab_size))
+        active0 = jnp.zeros((batch, len(self._children)), bool).at[:, 0].set(True)
+        return trans, active0, float(boost_score)
+
+
+# ─── Boosted CTC greedy decode (phrase_boost.cpp:70-173) ─────────────────────
+
+
+def _boosted_ctc_one(
+    lp: np.ndarray,  # (T, V) log-probs
+    trans: np.ndarray,  # (N, V)
+    boost_score: float,
+    blank_id: int,
+    want_timestamps: bool,
+):
+    t_len, vocab = lp.shape
+    n_nodes = trans.shape[0]
+    reach = trans >= 0  # (N, V)
+    active = np.zeros(n_nodes, bool)
+    active[0] = True
+
+    tokens: list[int] = []
+    toks_ts: list[TimestampedToken] = []
+    prev = -1
+    for t in range(t_len):
+        boost_mask = reach[active].any(axis=0)  # (V,)
+        vals = lp[t] + boost_score * boost_mask
+        best = int(np.argmax(vals))
+        if want_timestamps:
+            if best != prev:
+                if prev != -1 and prev != blank_id and toks_ts:
+                    toks_ts[-1].end_frame = t - 1
+                if best != blank_id:
+                    toks_ts.append(
+                        TimestampedToken(best, t, t, float(np.exp(lp[t, best])))
+                    )
+                    nxt = trans[active, best]
+                    active = np.zeros(n_nodes, bool)
+                    active[0] = True
+                    active[nxt[nxt >= 0]] = True
+        else:
+            if best != blank_id and best != prev:
+                tokens.append(best)
+                nxt = trans[active, best]
+                active = np.zeros(n_nodes, bool)
+                active[0] = True
+                active[nxt[nxt >= 0]] = True
+        prev = best
+    if want_timestamps:
+        if toks_ts:
+            toks_ts[-1].end_frame = t_len - 1
+        return toks_ts
+    return tokens
+
+
+def ctc_greedy_decode_boosted(
+    log_probs,
+    trie: ContextTrie,
+    boost_score: float = DEFAULT_BOOST_SCORE,
+    blank_id: int = 1024,
+    lengths=None,
+) -> list[list[int]]:
+    lp = np.asarray(log_probs)
+    b, t, v = lp.shape
+    trans = trie.to_arrays(v)
+    lens = [t] * b if lengths is None else [int(l) for l in np.asarray(lengths)]
+    return [
+        _boosted_ctc_one(lp[i, : lens[i]], trans, boost_score, blank_id, False)
+        for i in range(b)
+    ]
+
+
+def ctc_greedy_decode_with_timestamps_boosted(
+    log_probs,
+    trie: ContextTrie,
+    boost_score: float = DEFAULT_BOOST_SCORE,
+    blank_id: int = 1024,
+    lengths=None,
+) -> list[list[TimestampedToken]]:
+    lp = np.asarray(log_probs)
+    b, t, v = lp.shape
+    trans = trie.to_arrays(v)
+    lens = [t] * b if lengths is None else [int(l) for l in np.asarray(lengths)]
+    return [
+        _boosted_ctc_one(lp[i, : lens[i]], trans, boost_score, blank_id, True)
+        for i in range(b)
+    ]
+
+
+__all__ = [
+    "ContextTrie",
+    "DEFAULT_BOOST_SCORE",
+    "ctc_greedy_decode_boosted",
+    "ctc_greedy_decode_with_timestamps_boosted",
+]

@@ -1,0 +1,298 @@
+"""Jitted batched TDT/RNNT greedy decode.
+
+TPU-native redesign of the reference's scalar decode loops (tdt.cpp:36-210,
+rnnt.cpp:56-177, eou.cpp:17-98). The reference evaluates one tiny joint per
+step with a host `.item()` sync per decision; here the ENTIRE decode is one
+`lax.while_loop` on device over the whole batch — every iteration is one
+batched prediction-LSTM step + joint matmul (MXU work), and the only
+host↔device crossing is the final result fetch (SURVEY §5.8's single sync
+point).
+
+Semantics parity (tdt.cpp:66-105):
+  * SOS = blank (its embedding row is the start state)
+  * blank emission → restore saved LSTM state, t += max(skip, 1)
+  * non-blank → emit, feed token back; skip > 0 → t += skip; skip == 0 →
+    another symbol on the same frame, capped at max_symbols_per_step
+  * timestamps: start = t, end = min(t + max(skip, 1) - 1, len - 1),
+    confidence = exp(unboosted label log-prob)
+  * RNNT ≡ TDT with durations = (0,): blank advances by 1, non-blank stays.
+
+One documented deviation: when max_symbols consecutive zero-duration
+emissions occur on one frame, the reference re-enters its inner loop on the
+same frame (tdt.cpp:64-105 can livelock); we force t += 1 there instead.
+
+Batched: each batch element runs the state machine independently in
+lockstep; finished elements (t ≥ len) are masked no-ops. Phrase boosting
+(phrase_boost.cpp:180-258) rides along as dense trie arrays — see
+parakeet_tpu/decode/phrase_boost.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parakeet_tpu.decode.timestamp import TimestampedToken
+from parakeet_tpu.models.rnnt import prediction_step, prediction_zero_state, tdt_joint, rnnt_joint
+from parakeet_tpu.params import Params
+
+_F32 = jnp.float32
+
+
+@dataclass
+class TransducerResult:
+    """Host-side decode output for one batch."""
+
+    tokens: list[list[int]]
+    timestamped: list[list[TimestampedToken]]
+    # carry-over state for streaming (device arrays)
+    last_token: jnp.ndarray  # (B,)
+    lstm_state: jnp.ndarray  # (L, 2, B, H)
+    boost_active: jnp.ndarray | None = None  # (B, N) bool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_lstm_layers",
+        "durations",
+        "blank_id",
+        "max_symbols",
+        "max_out",
+        "is_tdt",
+        "joint_prefix",
+        "boost_score",
+        "clamp_end",
+    ),
+)
+def _decode_loop(
+    params: dict,
+    enc: jnp.ndarray,  # (B, T, H)
+    enc_len: jnp.ndarray,  # (B,)
+    init_token: jnp.ndarray,  # (B,)
+    init_lstm: jnp.ndarray,  # (L, 2, B, Hp)
+    boost_trans,  # (N, V) int32 or None
+    boost_active0,  # (B, N) bool or None
+    *,
+    num_lstm_layers: int,
+    durations: tuple[int, ...],
+    blank_id: int,
+    max_symbols: int,
+    max_out: int,
+    is_tdt: bool,
+    joint_prefix: str,
+    boost_score: float,
+    clamp_end: bool = True,
+):
+    b, t_max, _ = enc.shape
+    root = Params(params)
+    pred_p = root.sub("prediction_")
+    joint_p = root.sub(joint_prefix)
+    dur_arr = jnp.asarray(durations, dtype=jnp.int32)
+    batch_ix = jnp.arange(b)
+    use_boost = boost_trans is not None
+
+    out_tok = jnp.zeros((b, max_out), jnp.int32)
+    out_start = jnp.zeros((b, max_out), jnp.int32)
+    out_end = jnp.zeros((b, max_out), jnp.int32)
+    out_conf = jnp.zeros((b, max_out), _F32)
+
+    if use_boost:
+        boost_reach = (boost_trans >= 0).astype(_F32)  # (N, V)
+
+    state = dict(
+        t=jnp.zeros((b,), jnp.int32),
+        token=init_token.astype(jnp.int32),
+        lstm=init_lstm,
+        sym=jnp.zeros((b,), jnp.int32),
+        n_out=jnp.zeros((b,), jnp.int32),
+        out_tok=out_tok,
+        out_start=out_start,
+        out_end=out_end,
+        out_conf=out_conf,
+        boost_active=boost_active0,
+    )
+
+    def cond(s):
+        return jnp.any(s["t"] < enc_len)
+
+    def body(s):
+        t, token, lstm, sym = s["t"], s["token"], s["lstm"], s["sym"]
+        active = t < enc_len
+        t_idx = jnp.clip(t, 0, t_max - 1)
+        enc_t = enc[batch_ix, t_idx]  # (B, H)
+
+        pred, new_lstm = prediction_step(pred_p, token, lstm, num_lstm_layers)
+        if is_tdt:
+            label_lp, dur_lp = tdt_joint(joint_p, enc_t, pred)
+            dur_idx = jnp.argmax(dur_lp, axis=-1).astype(jnp.int32)
+            skip = dur_arr[jnp.clip(dur_idx, 0, len(durations) - 1)]
+        else:
+            label_lp = rnnt_joint(joint_p, enc_t, pred)
+            skip = jnp.zeros((b,), jnp.int32)
+
+        if use_boost:
+            # boosted token set = union of children of active trie nodes
+            mask = (s["boost_active"].astype(_F32) @ boost_reach) > 0  # (B, V)
+            select_lp = label_lp + boost_score * mask.astype(_F32)
+        else:
+            select_lp = label_lp
+
+        tok_id = jnp.argmax(select_lp, axis=-1).astype(jnp.int32)
+        raw_lp = label_lp[batch_ix, tok_id]  # unboosted → confidence
+
+        is_blank = tok_id == blank_id
+        emit = active & ~is_blank
+        zero_dur = emit & (skip == 0)
+        forced = zero_dur & (sym + 1 >= max_symbols)  # anti-livelock (see module doc)
+
+        adv_blank = jnp.maximum(skip, 1)
+        new_t = jnp.where(
+            is_blank, t + adv_blank, jnp.where(skip > 0, t + skip, jnp.where(forced, t + 1, t))
+        )
+        new_t = jnp.where(active, new_t, t)
+        new_sym = jnp.where(zero_dur & ~forced, sym + 1, 0)
+
+        new_token = jnp.where(emit, tok_id, token)
+        keep = emit.astype(lstm.dtype)[None, None, :, None]  # broadcast over (L,2,B,H)
+        merged_lstm = new_lstm * keep + lstm * (1 - keep)
+
+        # write emission records
+        idx = jnp.clip(s["n_out"], 0, max_out - 1)
+        end_frame = t + jnp.maximum(skip, 1) - 1
+        if clamp_end:
+            # offline decode clamps to seq_len-1 (tdt.cpp:176-178); the
+            # streaming chunk decode does not (eou.cpp:81-84)
+            end_frame = jnp.minimum(end_frame, enc_len - 1)
+
+        def wr(buf, val):
+            cur = buf[batch_ix, idx]
+            return buf.at[batch_ix, idx].set(jnp.where(emit, val, cur))
+
+        new_s = dict(
+            t=new_t,
+            token=new_token,
+            lstm=merged_lstm,
+            sym=new_sym,
+            n_out=s["n_out"] + emit.astype(jnp.int32),
+            out_tok=wr(s["out_tok"], tok_id),
+            out_start=wr(s["out_start"], t),
+            out_end=wr(s["out_end"], end_frame),
+            out_conf=wr(s["out_conf"], jnp.exp(raw_lp)),
+            boost_active=s["boost_active"],
+        )
+
+        if use_boost:
+            # advance trie on actual emission; root always active
+            next_node = boost_trans.T[tok_id]  # (B, N): node n → child via tok
+            valid = s["boost_active"] & (next_node >= 0)  # (B, N)
+            n_nodes = boost_trans.shape[0]
+            onehot = jax.nn.one_hot(jnp.clip(next_node, 0), n_nodes, dtype=_F32)  # (B,N,N)
+            advanced = jnp.einsum("bn,bnm->bm", valid.astype(_F32), onehot) > 0
+            advanced = advanced.at[:, 0].set(True)
+            new_s["boost_active"] = jnp.where(emit[:, None], advanced, s["boost_active"])
+
+        return new_s
+
+    final = jax.lax.while_loop(cond, body, state)
+    return (
+        final["out_tok"],
+        final["out_start"],
+        final["out_end"],
+        final["out_conf"],
+        final["n_out"],
+        final["token"],
+        final["lstm"],
+        final["boost_active"],
+    )
+
+
+def transducer_greedy_decode(
+    params: dict,
+    enc: jnp.ndarray,
+    *,
+    pred_hidden: int,
+    num_lstm_layers: int,
+    durations: tuple[int, ...] = (0, 1, 2, 3, 4),
+    blank_id: int = 1024,
+    max_symbols: int = 10,
+    is_tdt: bool = True,
+    joint_prefix: str = "tdt_joint_",
+    enc_lengths=None,
+    init_token=None,
+    init_lstm=None,
+    boost=None,  # (trans (N,V) int32, active0 (B,N) bool, boost_score)
+    frame_offset: int = 0,
+    max_out: int | None = None,
+    clamp_end: bool = True,
+) -> TransducerResult:
+    """Run the jitted decode and unpack to host lists.
+
+    frame_offset shifts reported timestamps (streaming chunks, eou.cpp:80-84).
+    """
+    b, t_max, _ = enc.shape
+    if enc_lengths is None:
+        enc_lengths = jnp.full((b,), t_max, jnp.int32)
+    else:
+        enc_lengths = jnp.asarray(enc_lengths, jnp.int32)
+    if init_token is None:
+        init_token = jnp.full((b,), blank_id, jnp.int32)
+    if init_lstm is None:
+        init_lstm = prediction_zero_state(num_lstm_layers, b, pred_hidden)
+    if max_out is None:
+        max_out = max(8, t_max * max_symbols)
+
+    if boost is not None:
+        trans, active0, boost_score = boost
+    else:
+        trans, active0, boost_score = None, None, 0.0
+
+    out_tok, out_start, out_end, out_conf, n_out, last_token, lstm, boost_active = _decode_loop(
+        params,
+        enc,
+        enc_lengths,
+        init_token,
+        init_lstm,
+        trans,
+        active0,
+        num_lstm_layers=num_lstm_layers,
+        durations=durations,
+        blank_id=blank_id,
+        max_symbols=max_symbols,
+        max_out=max_out,
+        is_tdt=is_tdt,
+        joint_prefix=joint_prefix,
+        boost_score=float(boost_score),
+        clamp_end=clamp_end,
+    )
+
+    out_tok = np.asarray(out_tok)
+    out_start = np.asarray(out_start)
+    out_end = np.asarray(out_end)
+    out_conf = np.asarray(out_conf)
+    n_out = np.asarray(n_out)
+
+    tokens: list[list[int]] = []
+    timestamped: list[list[TimestampedToken]] = []
+    for i in range(b):
+        n = int(n_out[i])
+        tokens.append(out_tok[i, :n].tolist())
+        timestamped.append(
+            [
+                TimestampedToken(
+                    int(out_tok[i, j]),
+                    int(out_start[i, j]) + frame_offset,
+                    int(out_end[i, j]) + frame_offset,
+                    float(out_conf[i, j]),
+                )
+                for j in range(n)
+            ]
+        )
+    return TransducerResult(tokens, timestamped, last_token, lstm, boost_active)
+
+
+__all__ = ["transducer_greedy_decode", "TransducerResult"]

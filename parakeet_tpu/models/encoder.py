@@ -1,0 +1,262 @@
+"""FastConformer encoder, TPU-first.
+
+Re-designs the reference encoder stack (src/encoder.cpp) as pure functions
+over a `Params` view: ConvSubsampling (8×, ReLU — the code applies ReLU even
+though the reference header comment says SiLU; encoder.cpp:224-232),
+NeMo-style rel-pos MHSA with the pad-reshape rel_shift trick
+(encoder.cpp:85-109), macaron FFN with 0.5 half-step (encoder.cpp:39-46),
+conv module with inference BatchNorm (encoder.cpp:59-75), and the sinusoidal
+relative position table (encoder.cpp:9-30).
+
+Everything here traces into one XLA program per (batch, length) shape; the
+whole block stack is MXU-friendly batched matmuls. Optional length masking
+(absent in the reference, which always passes an empty mask) is provided for
+padded batched inference — pad frames are masked out of attention.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parakeet_tpu.config import EncoderConfig
+from parakeet_tpu.ops.layers import batch_norm_1d, conv1d, conv2d, glu, layer_norm, linear
+from parakeet_tpu.params import Params
+
+_F32 = jnp.float32
+_NEG_INF = -1e9
+
+
+# ─── Sinusoidal relative position embedding (encoder.cpp:9-30) ──────────────
+
+
+@functools.lru_cache(maxsize=64)
+def _pos_emb_np(seq_len: int, d_model: int) -> np.ndarray:
+    total = 2 * seq_len - 1
+    position = (seq_len - 1 - np.arange(total, dtype=np.float64))[:, None]
+    i = np.arange(0, d_model, 2, dtype=np.float64)
+    div_term = np.exp(i * (-math.log(10000.0) / d_model))[None, :]
+    pe = np.zeros((total, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)[:, : pe[:, 1::2].shape[1]]
+    return pe.astype(np.float32)
+
+
+def sinusoidal_position_embedding(seq_len: int, d_model: int) -> jnp.ndarray:
+    """(2*seq_len-1, d_model): relative positions +(L-1) … -(L-1)."""
+    return jnp.asarray(_pos_emb_np(seq_len, d_model))
+
+
+# ─── Subsampling ─────────────────────────────────────────────────────────────
+
+
+def subsample_length(t: int) -> int:
+    """Output frames after three k3/s2/p1 convs."""
+    for _ in range(3):
+        t = (t - 1) // 2 + 1
+    return t
+
+
+def conv_subsampling(p: Params, x: jnp.ndarray, activation: str = "relu") -> jnp.ndarray:
+    """(B, T, mel) → (B, T/8, d_model). Reference: encoder.cpp:208-241,
+    streaming variant with selectable activation streaming_encoder.cpp:325-346."""
+    act = jax.nn.relu if activation == "relu" else jax.nn.silu
+    c = p["conv1_.weight"].shape[0]
+
+    h = x[:, None, :, :]  # (B, 1, T, mel)
+    h = act(conv2d(p.sub("conv1_"), h, stride=(2, 2), padding=(1, 1)))
+    h = conv2d(p.sub("dw1_"), h, stride=(2, 2), padding=(1, 1), groups=c)
+    h = act(conv2d(p.sub("conv2_"), h))
+    h = conv2d(p.sub("dw2_"), h, stride=(2, 2), padding=(1, 1), groups=c)
+    h = act(conv2d(p.sub("conv3_"), h))
+
+    b, ch, t, f = h.shape
+    h = jnp.transpose(h, (0, 2, 1, 3)).reshape(b, t, ch * f)
+    return linear(p.sub("proj_"), h)
+
+
+# ─── Conformer block pieces ──────────────────────────────────────────────────
+
+
+def feed_forward(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Macaron FFN with 0.5 half-step residual (encoder.cpp:39-46)."""
+    h = layer_norm(p.sub("norm_"), x, eps)
+    h = jax.nn.silu(linear(p.sub("fc1_"), h))
+    h = linear(p.sub("fc2_"), h)
+    return x + 0.5 * h
+
+
+def conv_module(
+    p: Params,
+    x: jnp.ndarray,
+    kernel_size: int,
+    eps: float,
+    pad_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Pointwise→GLU→depthwise→BN(inference)→SiLU→pointwise, residual
+    (encoder.cpp:59-75).
+
+    pad_mask: optional (B, T) bool, True = padding. Padded positions are
+    zero-filled before the depthwise conv (NeMo batching semantics) so pad
+    garbage can't bleed into valid frames. The reference is batch-1 and
+    never pads, so this is a no-op on its path."""
+    d = x.shape[-1]
+    h = layer_norm(p.sub("norm_"), x, eps)
+    h = jnp.swapaxes(h, 1, 2)  # (B, d, T)
+    h = conv1d(p.sub("pointwise_conv1_"), h)
+    h = glu(h, axis=1)
+    if pad_mask is not None:
+        h = jnp.where(pad_mask[:, None, :], 0.0, h)
+    h = conv1d(p.sub("depthwise_conv_"), h, padding=(kernel_size - 1) // 2, groups=d)
+    h = batch_norm_1d(p.sub("batch_norm_"), h)
+    h = jax.nn.silu(h)
+    h = conv1d(p.sub("pointwise_conv2_"), h)
+    return x + jnp.swapaxes(h, 1, 2)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, 2T-1) → (B, H, T, T) via the pad-reshape trick
+    (encoder.cpp:85-109)."""
+    b, h, t, pos_len = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, pos_len + 1, t)
+    x = x[:, :, 1:, :]
+    x = x.reshape(b, h, t, pos_len)
+    return x[:, :, :, :t]
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return jnp.transpose(x.reshape(b, t, num_heads, d // num_heads), (0, 2, 1, 3))
+
+
+def rel_position_attention(
+    p: Params,
+    x: jnp.ndarray,
+    pos_emb: jnp.ndarray,
+    num_heads: int,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """NeMo-style relative-position MHSA (encoder.cpp:112-181).
+
+    content = (Q+u)Kᵀ; pos = rel_shift((Q+v)Pᵀ); scores scaled AFTER the sum
+    (encoder.cpp:160). mask: (B, 1, T, T) bool, True = masked.
+    """
+    b, t, d = x.shape
+    head_dim = d // num_heads
+    scale = 1.0 / math.sqrt(head_dim)
+
+    mha = p.sub("mha_")
+    q = _split_heads(linear(mha.sub("q_proj"), x), num_heads)
+    k = _split_heads(linear(mha.sub("k_proj"), x), num_heads)
+    v = _split_heads(linear(mha.sub("v_proj"), x), num_heads)
+
+    bias_u = p["pos_bias_u_"].astype(x.dtype)[None, :, None, :]  # (1,H,1,hd)
+    bias_v = p["pos_bias_v_"].astype(x.dtype)[None, :, None, :]
+
+    # (B,H,T,hd) @ (B,H,hd,T) → (B,H,T,T)
+    content = jnp.einsum("bhtd,bhsd->bhts", q + bias_u, k,
+                         preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST)
+
+    pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
+    pos = jnp.transpose(pos.reshape(-1, num_heads, head_dim), (1, 0, 2))  # (H,2T-1,hd)
+    pos_score = jnp.einsum("bhtd,hsd->bhts", q + bias_v, pos,
+                           preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST)
+    pos_score = rel_shift(pos_score)
+
+    scores = (content + pos_score) * scale
+    if mask is not None:
+        scores = jnp.where(mask, _NEG_INF, scores)
+    attn = jax.nn.softmax(scores.astype(_F32), axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, v,
+                     preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
+    return linear(mha.sub("out_proj"), out)
+
+
+def conformer_block(
+    p: Params,
+    x: jnp.ndarray,
+    pos_emb: jnp.ndarray,
+    cfg: EncoderConfig,
+    mask: jnp.ndarray | None = None,
+    pad_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """ffn1 → attn → conv → ffn2 → final LayerNorm (encoder.cpp:196-204)."""
+    eps = cfg.layer_norm_eps
+    x = feed_forward(p.sub("ffn1_"), x, eps)
+    attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
+    x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask)
+    x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask)
+    x = feed_forward(p.sub("ffn2_"), x, eps)
+    return layer_norm(p.sub("final_norm_"), x, eps)
+
+
+def length_mask(lengths: jnp.ndarray, t: int) -> jnp.ndarray:
+    """(B,) valid encoder-frame counts → (B, 1, T, T) bool attention mask
+    (True = masked). Not in the reference (it never masks); needed for
+    padded batched inference on TPU."""
+    valid = jnp.arange(t)[None, :] < lengths[:, None]  # (B, T)
+    pair = valid[:, None, :] & valid[:, :, None]  # (B, T, T)
+    return ~pair[:, None, :, :]
+
+
+def fastconformer_encode(
+    p: Params,
+    cfg: EncoderConfig,
+    features: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(B, T, mel) → (B, T', d_model). Reference: encoder.cpp:245-271 (offline)
+    and streaming_encoder.cpp:389-427 (full-seq path with activation/xscaling).
+
+    `p` is the Params view at the encoder prefix (e.g. root.sub('encoder_')).
+    `lengths`: optional per-utterance mel-frame counts for pad masking.
+    """
+    activation = getattr(cfg, "subsampling_activation", "relu")
+    xscaling = getattr(cfg, "xscaling", False)
+
+    x = conv_subsampling(p.sub("subsampling_"), features, activation)
+    if xscaling:
+        x = x * math.sqrt(cfg.hidden_size)
+
+    t = x.shape[1]
+    pos_emb = sinusoidal_position_embedding(t, cfg.hidden_size)
+
+    mask = pad_mask = None
+    if lengths is not None:
+        enc_lengths = jnp.minimum(encoded_lengths(lengths), t)
+        mask = length_mask(enc_lengths, t)
+        pad_mask = jnp.arange(t)[None, :] >= enc_lengths[:, None]  # (B, T')
+
+    layers = p.sub("layers_")
+    for i in range(cfg.num_layers):
+        x = conformer_block(layers.sub(str(i)), x, pos_emb, cfg, mask, pad_mask)
+    return x
+
+
+def encoded_lengths(lengths: jnp.ndarray) -> jnp.ndarray:
+    l = lengths
+    for _ in range(3):
+        l = (l - 1) // 2 + 1
+    return l
+
+
+__all__ = [
+    "sinusoidal_position_embedding",
+    "subsample_length",
+    "conv_subsampling",
+    "feed_forward",
+    "conv_module",
+    "rel_shift",
+    "rel_position_attention",
+    "conformer_block",
+    "length_mask",
+    "encoded_lengths",
+    "fastconformer_encode",
+]

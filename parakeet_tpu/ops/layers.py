@@ -1,0 +1,118 @@
+"""Primitive NN ops over torch-layout weights.
+
+These replace the axiom layer zoo (`axiom::nn::Linear/Conv1d/Conv2d/
+LayerNorm/BatchNorm1d/Embedding`, SURVEY §2.14) with pure functions on a
+`Params` prefix view. Weight layouts are torch's (what the reference
+safetensors files contain): Linear (out, in), Conv1d (out, in/groups, k),
+Conv2d (out, in/groups, kh, kw).
+
+All matmuls set preferred_element_type=float32 so bf16 params still
+accumulate in f32 on the MXU. Normalization layers compute in f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from parakeet_tpu.params import Params
+
+_F32 = jnp.float32
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ W.T (+ b). W: (out, in); x: (..., in)."""
+    w = p["weight"]
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=_F32, precision=lax.Precision.HIGHEST,
+    )
+    b = p.get("bias")
+    if b is not None:
+        y = y + b.astype(_F32)
+    return y.astype(x.dtype)
+
+
+def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    """ids (...,) int32 → (..., dim)."""
+    return jnp.take(p["weight"], ids, axis=0)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(_F32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * p["weight"].astype(_F32) + p["bias"].astype(_F32)
+    return y.astype(x.dtype)
+
+
+def batch_norm_1d(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode BatchNorm1d over (B, C, T) using running stats."""
+    mean = p["running_mean"].astype(_F32)[None, :, None]
+    var = p["running_var"].astype(_F32)[None, :, None]
+    w = p["weight"].astype(_F32)[None, :, None]
+    b = p["bias"].astype(_F32)[None, :, None]
+    y = (x.astype(_F32) - mean) * lax.rsqrt(var + eps) * w + b
+    return y.astype(x.dtype)
+
+
+def conv1d(
+    p: Params,
+    x: jnp.ndarray,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """x: (B, C_in, T) → (B, C_out, T'). Weight: (C_out, C_in/groups, k)."""
+    w = p["weight"]
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=_F32,
+        precision=lax.Precision.HIGHEST,
+    )
+    b = p.get("bias")
+    if b is not None:
+        y = y + b.astype(_F32)[None, :, None]
+    return y.astype(x.dtype)
+
+
+def conv2d(
+    p: Params,
+    x: jnp.ndarray,
+    *,
+    stride: tuple[int, int] = (1, 1),
+    padding: tuple[int, int] = (0, 0),
+    groups: int = 1,
+) -> jnp.ndarray:
+    """x: (B, C_in, H, W) → (B, C_out, H', W'). Weight: (C_out, C_in/g, kh, kw)."""
+    w = p["weight"]
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+        preferred_element_type=_F32,
+        precision=lax.Precision.HIGHEST,
+    )
+    b = p.get("bias")
+    if b is not None:
+        y = y + b.astype(_F32)[None, :, None, None]
+    return y.astype(x.dtype)
+
+
+def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+__all__ = ["linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "glu"]

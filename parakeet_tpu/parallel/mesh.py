@@ -1,0 +1,97 @@
+"""Device mesh + sharding layer.
+
+The reference has NO distribution of any kind (SURVEY §2.6/§5.8 — no
+process group, no collectives, explicit Metal copies only). The TPU-native
+equivalent is this module: a (data, model) `jax.sharding.Mesh`, named
+shardings for batch data parallelism and tensor parallelism over the
+FFN/attention-head dimensions, with XLA inserting the ICI collectives.
+
+At 110M-600M params, DP is the throughput lever (batched clips per chip)
+and TP is provided as a config-level seam (SURVEY: "multi-chip batch DP is
+config, not code"); PP/SP/EP are deliberately not built — they are not
+warranted at these model sizes and sequence lengths (SURVEY §5.7).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+
+def make_mesh(n_devices: int | None = None, model_parallel: int = 1, devices=None) -> Mesh:
+    """Create a ('data', 'model') mesh over the first n devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if n_devices % model_parallel != 0:
+        raise ValueError(f"{n_devices} devices not divisible by model_parallel={model_parallel}")
+    grid = devices.reshape(n_devices // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+# Tensor-parallel partition rules over the converter-schema key names.
+# (regex, PartitionSpec) — first match wins; default replicated.
+_TP_RULES: list[tuple[str, PS]] = [
+    # Macaron FFN: split the intermediate dim
+    (r"\.ffn[12]_\.fc1_\.weight$", PS("model", None)),
+    (r"\.ffn[12]_\.fc1_\.bias$", PS("model")),
+    (r"\.ffn[12]_\.fc2_\.weight$", PS(None, "model")),
+    # Attention: split heads (rows of q/k/v, cols of out)
+    (r"\.mha_\.[qkv]_proj\.weight$", PS("model", None)),
+    (r"\.mha_\.[qkv]_proj\.bias$", PS("model")),
+    (r"\.mha_\.out_proj\.weight$", PS(None, "model")),
+    (r"\.pos_proj_\.weight$", PS("model", None)),
+    # Conv module pointwise convs: split channels
+    (r"\.pointwise_conv1_\.weight$", PS("model", None, None)),
+    (r"\.pointwise_conv1_\.bias$", PS("model")),
+    # Sortformer transformer FFN
+    (r"\.fc1_\.weight$", PS("model", None)),
+    (r"\.fc1_\.bias$", PS("model")),
+    (r"\.fc2_\.weight$", PS(None, "model")),
+    # Joint / CTC heads: split the vocab rows
+    (r"(label_proj_|out_proj_)\.weight$", PS("model", None)),
+    (r"(label_proj_|out_proj_)\.bias$", PS("model")),
+    (r"ctc_decoder_\.proj_\.weight$", PS("model", None, None)),
+    (r"ctc_decoder_\.proj_\.bias$", PS("model")),
+    # Prediction net embedding: split vocab rows
+    (r"prediction_\.embed_\.weight$", PS("model", None)),
+]
+
+
+def param_sharding_rules(key: str, mesh: Mesh) -> NamedSharding:
+    """Sharding for one parameter by schema name; replicated if no rule hits
+    or the sharded dim doesn't divide."""
+    if mesh.shape["model"] > 1:
+        for pattern, spec in _TP_RULES:
+            if re.search(pattern, key):
+                return NamedSharding(mesh, spec)
+    return NamedSharding(mesh, PS())
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place a flat param dict onto the mesh (TP split where rules apply)."""
+    tp = mesh.shape["model"]
+    out = {}
+    for k, v in params.items():
+        sh = param_sharding_rules(k, mesh)
+        spec = sh.spec
+        # skip TP split when the dimension doesn't divide evenly
+        ok = True
+        for dim, name in enumerate(spec):
+            if name == "model" and v.shape[dim] % tp != 0:
+                ok = False
+        out[k] = jax.device_put(v, sh if ok else NamedSharding(mesh, PS()))
+    return out
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch-leading arrays shard over 'data'."""
+    return NamedSharding(mesh, PS("data", *([None] * (ndim - 1))))
+
+
+__all__ = ["make_mesh", "param_sharding_rules", "shard_params", "batch_sharding"]

@@ -1,0 +1,263 @@
+"""High-level transcription API: Transcriber (TDT-CTC) and TDTTranscriber.
+
+Mirrors the reference facades (include/parakeet/transcribe.hpp:55-299):
+construct from safetensors + vocab, `transcribe(path | samples | bytes)`
+with decoder choice (CTC/TDT), timestamps, and phrase boosting. The
+pipeline is read → mel frontend → jitted encoder (+CTC head) → decode →
+detokenize → word grouping (call stack SURVEY §3.1).
+
+TPU-native extensions over the reference:
+  * `transcribe_batch`: padded, length-masked batched inference (the
+    reference is batch-1 only; README.md:513 roadmap item).
+  * `compute_dtype="bfloat16"` for MXU-speed inference (f32 default
+    matches reference numerics).
+  * decode runs as one on-device while_loop (no per-step host syncs).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parakeet_tpu import params as P
+from parakeet_tpu.audio.frontend import preprocess_audio
+from parakeet_tpu.audio.io import read_audio
+from parakeet_tpu.config import AudioConfig, TDTCTCConfig, TDTConfig, RNNTConfig, make_110m_config
+from parakeet_tpu.decode.phrase_boost import ContextTrie, DEFAULT_BOOST_SCORE
+from parakeet_tpu.decode.phrase_boost import (
+    ctc_greedy_decode_boosted,
+    ctc_greedy_decode_with_timestamps_boosted,
+)
+from parakeet_tpu.decode.timestamp import TimestampedToken, WordTimestamp, group_timestamps
+from parakeet_tpu.decode.transducer import transducer_greedy_decode
+from parakeet_tpu.models.ctc import (
+    ctc_greedy_decode,
+    ctc_greedy_decode_with_timestamps,
+    ctc_log_probs,
+)
+from parakeet_tpu.models.encoder import encoded_lengths, fastconformer_encode
+from parakeet_tpu.params import Params
+from parakeet_tpu.text.tokenizer import Tokenizer
+
+
+class Decoder(enum.Enum):
+    CTC = "ctc"
+    TDT = "tdt"
+
+
+@dataclass
+class TranscribeResult:
+    text: str = ""
+    token_ids: list[int] = field(default_factory=list)
+    timestamped_tokens: list[TimestampedToken] = field(default_factory=list)
+    word_timestamps: list[WordTimestamp] = field(default_factory=list)
+
+
+@dataclass
+class TranscribeOptions:
+    decoder: Decoder = Decoder.TDT
+    timestamps: bool = False
+    boost_phrases: list[str] = field(default_factory=list)
+    boost_score: float = DEFAULT_BOOST_SCORE
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class _TranscriberBase:
+    """Shared pipeline for the TDT-CTC and TDT-only facades."""
+
+    has_ctc = False
+    joint_prefix = "tdt_joint_"
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        vocab_path: str | None = None,
+        config=None,
+        *,
+        params: dict | None = None,
+        compute_dtype: str = "float32",
+        seed: int = 0,
+    ):
+        self.config = config
+        self.compute_dtype = compute_dtype
+        spec = self._spec()
+        if params is not None:
+            self.params = dict(params)
+        else:
+            self.params = P.load_params(spec, weights_path, seed=seed, warn=lambda m: print(f"[parakeet] {m}"))
+        if compute_dtype != "float32":
+            self.params = P.cast_params(self.params, _dtype_of(compute_dtype))
+        self.tokenizer = Tokenizer(vocab_path) if vocab_path else Tokenizer()
+        self._audio_cfg = AudioConfig(n_mels=config.encoder.mel_bins)
+        self._blank_id = config.joint.vocab_size - 1
+
+        enc_cfg = config.encoder
+
+        def _encode(p, feats, lengths):
+            x = feats.astype(_dtype_of(compute_dtype))
+            out = fastconformer_encode(Params(p).sub("encoder_"), enc_cfg, x, lengths)
+            return out
+
+        self._encode = jax.jit(_encode)
+
+        if self.has_ctc:
+
+            def _encode_ctc(p, feats, lengths):
+                enc = _encode(p, feats, lengths)
+                return enc, ctc_log_probs(Params(p).sub("ctc_decoder_"), enc)
+
+            self._encode_ctc = jax.jit(_encode_ctc)
+
+    def _spec(self):
+        raise NotImplementedError
+
+    # ── Input handling ───────────────────────────────────────────────────
+
+    def _to_samples(self, source) -> np.ndarray:
+        if isinstance(source, (str, Path)):
+            return read_audio(source, self._audio_cfg.sample_rate).samples
+        if isinstance(source, (bytes, bytearray)):
+            return read_audio(bytes(source), self._audio_cfg.sample_rate).samples
+        return np.asarray(source, np.float32).reshape(-1)
+
+    # ── Public API ───────────────────────────────────────────────────────
+
+    def transcribe(
+        self,
+        source,
+        decoder: Decoder = Decoder.TDT,
+        timestamps: bool = False,
+        *,
+        boost_phrases: list[str] | None = None,
+        boost_score: float = DEFAULT_BOOST_SCORE,
+    ) -> TranscribeResult:
+        opts = TranscribeOptions(decoder, timestamps, list(boost_phrases or []), boost_score)
+        return self.transcribe_batch([source], opts)[0]
+
+    def transcribe_batch(
+        self, sources: list, opts: TranscribeOptions | None = None
+    ) -> list[TranscribeResult]:
+        opts = opts or TranscribeOptions()
+        if self.has_ctc is False and opts.decoder == Decoder.CTC:
+            raise ValueError("this model has no CTC head; use Decoder.TDT")
+
+        waves = [self._to_samples(s) for s in sources]
+        feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
+        mel_lens = [f.shape[0] for f in feats]
+        t_max = max(mel_lens)
+        batch = np.zeros((len(feats), t_max, self._audio_cfg.n_mels), np.float32)
+        for i, f in enumerate(feats):
+            batch[i, : f.shape[0]] = f
+        lengths = jnp.asarray(mel_lens, jnp.int32)
+        feats_j = jnp.asarray(batch)
+
+        trie = None
+        if opts.boost_phrases:
+            trie = ContextTrie()
+            trie.build(opts.boost_phrases, self.tokenizer)
+            if trie.empty():
+                trie = None
+
+        enc_lens = [int(l) for l in np.asarray(encoded_lengths(np.asarray(mel_lens)))]
+
+        if opts.decoder == Decoder.CTC:
+            _, log_probs = self._encode_ctc(self.params, feats_j, lengths)
+            if opts.timestamps:
+                if trie is not None:
+                    ts = ctc_greedy_decode_with_timestamps_boosted(
+                        log_probs, trie, opts.boost_score, self._ctc_blank(), enc_lens
+                    )
+                else:
+                    ts = ctc_greedy_decode_with_timestamps(log_probs, self._ctc_blank(), enc_lens)
+                return [self._result_from_ts(t) for t in ts]
+            if trie is not None:
+                toks = ctc_greedy_decode_boosted(
+                    log_probs, trie, opts.boost_score, self._ctc_blank(), enc_lens
+                )
+            else:
+                toks = ctc_greedy_decode(log_probs, self._ctc_blank(), enc_lens)
+            return [self._result_from_tokens(t) for t in toks]
+
+        # TDT path
+        enc = self._encode(self.params, feats_j, lengths)
+        boost = trie.device_boost(self.config.joint.vocab_size, enc.shape[0], opts.boost_score) if trie else None
+        res = transducer_greedy_decode(
+            self.params,
+            enc,
+            pred_hidden=self.config.prediction.pred_hidden,
+            num_lstm_layers=self.config.prediction.num_lstm_layers,
+            durations=tuple(self.config.durations),
+            blank_id=self._blank_id,
+            is_tdt=True,
+            joint_prefix=self.joint_prefix,
+            enc_lengths=enc_lens,
+            boost=boost,
+        )
+        if opts.timestamps:
+            return [self._result_from_ts(t) for t in res.timestamped]
+        return [self._result_from_tokens(t) for t in res.tokens]
+
+    # ── Result assembly ──────────────────────────────────────────────────
+
+    def _ctc_blank(self) -> int:
+        return self._blank_id
+
+    def _result_from_tokens(self, token_ids: list[int]) -> TranscribeResult:
+        r = TranscribeResult(token_ids=token_ids)
+        if self.tokenizer.loaded:
+            r.text = self.tokenizer.decode(token_ids)
+        return r
+
+    def _result_from_ts(self, ts: list[TimestampedToken]) -> TranscribeResult:
+        r = TranscribeResult(
+            token_ids=[t.token_id for t in ts], timestamped_tokens=ts
+        )
+        if self.tokenizer.loaded:
+            r.text = self.tokenizer.decode(r.token_ids)
+            r.word_timestamps = group_timestamps(ts, self.tokenizer.pieces)
+        return r
+
+
+class Transcriber(_TranscriberBase):
+    """Offline TDT-CTC transcriber (transcribe.hpp:55-190); default 110m."""
+
+    has_ctc = True
+    joint_prefix = "tdt_joint_"
+
+    def __init__(self, weights_path=None, vocab_path=None, config: TDTCTCConfig | None = None, **kw):
+        super().__init__(weights_path, vocab_path, config or make_110m_config(), **kw)
+
+    def _spec(self):
+        return P.tdt_ctc_spec(self.config)
+
+
+class TDTTranscriber(_TranscriberBase):
+    """TDT-only transcriber for the 600m models (transcribe.hpp:200-299)."""
+
+    has_ctc = False
+    joint_prefix = "joint_"
+
+    def __init__(self, weights_path=None, vocab_path=None, config: TDTConfig | None = None, **kw):
+        from parakeet_tpu.config import make_tdt_600m_config
+
+        super().__init__(weights_path, vocab_path, config or make_tdt_600m_config(), **kw)
+
+    def _spec(self):
+        return P.tdt_spec(self.config)
+
+
+__all__ = [
+    "Decoder",
+    "TranscribeOptions",
+    "TranscribeResult",
+    "Transcriber",
+    "TDTTranscriber",
+]

@@ -4,7 +4,9 @@ Mirrors the reference's CPU-runnable test strategy (tests are hermetic;
 asset-gated goldens skip when weights aren't present). Sharding tests use
 the 8-device virtual CPU mesh.
 
-Must set env BEFORE jax is imported anywhere.
+NOTE: this environment's TPU plugin (axon) registers itself via
+sitecustomize and ignores JAX_PLATFORMS env; the jax.config updates below
+are the reliable way to force CPU, and must run before any backend use.
 """
 
 import os
@@ -13,6 +15,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 

@@ -1,0 +1,134 @@
+"""Audio IO tests (strategy from reference test_all.cpp:483-672)."""
+
+import numpy as np
+import pytest
+
+from parakeet_tpu.audio.io import (
+    AudioFormat,
+    detect_format_by_extension,
+    detect_format_by_magic,
+    downmix_to_mono,
+    get_audio_duration,
+    read_audio,
+    resample,
+    write_wav,
+)
+
+
+def _sine(seconds=0.5, freq=440.0, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    return (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_detect_by_extension():
+    assert detect_format_by_extension("a.wav") == AudioFormat.WAV
+    assert detect_format_by_extension("a.WAV") == AudioFormat.WAV
+    assert detect_format_by_extension("a.flac") == AudioFormat.FLAC
+    assert detect_format_by_extension("a.mp3") == AudioFormat.MP3
+    assert detect_format_by_extension("a.ogg") == AudioFormat.OGG
+    assert detect_format_by_extension("a.txt") == AudioFormat.UNKNOWN
+
+
+def test_detect_by_magic():
+    assert detect_format_by_magic(b"RIFF\x00\x00\x00\x00WAVEfmt ") == AudioFormat.WAV
+    assert detect_format_by_magic(b"fLaC....") == AudioFormat.FLAC
+    assert detect_format_by_magic(b"OggS....") == AudioFormat.OGG
+    assert detect_format_by_magic(b"ID3.....") == AudioFormat.MP3
+    assert detect_format_by_magic(b"\xff\xfb\x90\x00") == AudioFormat.MP3
+    assert detect_format_by_magic(b"nonsense") == AudioFormat.UNKNOWN
+
+
+def test_wav_roundtrip(tmp_path):
+    x = _sine(0.25)
+    p = tmp_path / "t.wav"
+    write_wav(p, x, 16000)
+    audio = read_audio(p)
+    assert audio.sample_rate == 16000
+    assert audio.num_channels == 1
+    assert audio.format == "wav"
+    assert abs(audio.duration - 0.25) < 1e-3
+    assert len(audio.samples) == len(x)
+    np.testing.assert_allclose(audio.samples, x, atol=2e-4)  # 16-bit quantization
+
+
+def test_wav_resampled_on_load(tmp_path):
+    x = _sine(0.5, sr=8000)
+    p = tmp_path / "8k.wav"
+    write_wav(p, x, 8000)
+    audio = read_audio(p, target_sample_rate=16000)
+    assert audio.original_sample_rate == 8000
+    assert audio.sample_rate == 16000
+    assert abs(len(audio.samples) - 16000 * 0.5) <= 2
+
+
+def test_raw_pcm_overloads():
+    f = _sine(0.1)
+    a = read_audio(f, sample_rate=16000)
+    np.testing.assert_array_equal(a.samples, f)
+    # int16 path scales by 1/32768 (test_all.cpp:638-672)
+    i16 = (f * 32768).astype(np.int16)
+    b = read_audio(i16, sample_rate=16000)
+    np.testing.assert_allclose(b.samples, i16.astype(np.float32) / 32768.0, atol=1e-7)
+
+
+def test_downmix_mean():
+    inter = np.array([1.0, 3.0, 2.0, 4.0], np.float32)  # 2 channels
+    np.testing.assert_allclose(downmix_to_mono(inter, 2), [2.0, 3.0])
+
+
+# ─── Resampler properties (test_all.cpp:553-615) ─────────────────────────────
+
+
+def test_resample_identity():
+    x = _sine(0.2)
+    np.testing.assert_array_equal(resample(x, 16000, 16000), x)
+
+
+def test_resample_duration():
+    x = _sine(1.0, sr=16000)
+    up = resample(x, 16000, 48000)
+    down = resample(x, 16000, 8000)
+    assert abs(len(up) - 48000) <= 2
+    assert abs(len(down) - 8000) <= 2
+
+
+def test_resample_sine_integrity():
+    """A 440 Hz sine resampled 16k→8k must stay a 440 Hz sine (no aliasing,
+    amplitude preserved within window ripple)."""
+    sr_in, sr_out, freq = 16000, 8000, 440.0
+    x = _sine(1.0, freq, sr_in)
+    y = resample(x, sr_in, sr_out)
+    # Check dominant DFT bin
+    spec = np.abs(np.fft.rfft(y[200:-200] * np.hanning(len(y) - 400)))
+    peak_hz = np.argmax(spec) * sr_out / (len(y) - 400)
+    assert abs(peak_hz - freq) < 5.0
+    # Amplitude preserved
+    assert abs(np.percentile(np.abs(y[200:-200]), 99) - 0.5) < 0.02
+
+
+def test_resample_vs_scipy():
+    """Cross-check against scipy.signal.resample_poly (different algorithm;
+    agreement within a small tolerance away from edges)."""
+    from scipy.signal import resample_poly
+
+    x = _sine(0.5, 300.0, 16000)
+    ours = resample(x, 16000, 8000)
+    ref = resample_poly(x, 1, 2).astype(np.float32)
+    n = min(len(ours), len(ref))
+    np.testing.assert_allclose(ours[100 : n - 100], ref[100 : n - 100], atol=0.01)
+
+
+def test_duration_query(tmp_path):
+    p = tmp_path / "d.wav"
+    write_wav(p, _sine(0.73), 16000)
+    assert abs(get_audio_duration(p) - 0.73) < 1e-3
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        read_audio("/nonexistent/file.wav")
+
+
+def test_unknown_format():
+    with pytest.raises(ValueError):
+        read_audio(b"garbage data not audio")
