@@ -33,6 +33,28 @@ from parakeet_tpu.config import (
     make_sortformer_117m_config,
 )
 from parakeet_tpu.text.tokenizer import Tokenizer
+from parakeet_tpu.transcribe import (
+    Decoder,
+    TranscribeOptions,
+    TranscribeResult,
+    Transcriber,
+    TDTTranscriber,
+)
+from parakeet_tpu.streaming import NemotronTranscriber, StreamingTranscriber
+from parakeet_tpu.diarize import (
+    DiarizedResult,
+    DiarizedTranscriber,
+    DiarizedWord,
+    diarize_transcription,
+)
+from parakeet_tpu.models.sortformer import (
+    AOSCCache,
+    DiarizationSegment,
+    Sortformer,
+)
+from parakeet_tpu.audio.io import AudioData, get_audio_duration, read_audio, resample
+from parakeet_tpu.audio.frontend import StreamingAudioPreprocessor, preprocess_audio
+from parakeet_tpu.decode.phrase_boost import ContextTrie
 from parakeet_tpu.decode.timestamp import (
     FRAME_DURATION_S,
     TimestampedToken,
@@ -65,6 +87,27 @@ __all__ = [
     "make_nemotron_600m_config",
     "make_sortformer_117m_config",
     "Tokenizer",
+    "Decoder",
+    "TranscribeOptions",
+    "TranscribeResult",
+    "Transcriber",
+    "TDTTranscriber",
+    "StreamingTranscriber",
+    "NemotronTranscriber",
+    "DiarizedTranscriber",
+    "DiarizedResult",
+    "DiarizedWord",
+    "diarize_transcription",
+    "Sortformer",
+    "AOSCCache",
+    "DiarizationSegment",
+    "AudioData",
+    "read_audio",
+    "resample",
+    "get_audio_duration",
+    "preprocess_audio",
+    "StreamingAudioPreprocessor",
+    "ContextTrie",
     "FRAME_DURATION_S",
     "TimestampedToken",
     "WordTimestamp",

@@ -1,0 +1,176 @@
+"""Streaming transcribers: EOU (StreamingTranscriber) and Nemotron.
+
+Mirrors the reference facades (include/parakeet/eou.hpp:101-160,
+nemotron.hpp:78-133): feed raw PCM chunks, get text deltas; partial-result
+callback; reset(); accumulated text + timestamped tokens.
+
+Pipeline per chunk (call stack SURVEY §3.2): StreamingAudioPreprocessor →
+fixed-shape streaming encoder chunk → jitted TDT chunk decode with carried
+(LSTM, last_token) state → detokenize delta. All streaming state is either
+a fixed-shape device pytree (encoder caches, decode state) or a tiny host
+remainder buffer, so every chunk after warmup reuses compiled programs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from parakeet_tpu import params as P
+from parakeet_tpu.audio.frontend import StreamingAudioPreprocessor
+from parakeet_tpu.config import (
+    AudioConfig,
+    EOUConfig,
+    NemotronConfig,
+    make_eou_120m_config,
+    make_nemotron_600m_config,
+)
+from parakeet_tpu.decode.timestamp import TimestampedToken
+from parakeet_tpu.decode.transducer import transducer_greedy_decode
+from parakeet_tpu.models.rnnt import prediction_zero_state
+from parakeet_tpu.models.streaming_encoder import StreamingEncoderSession
+from parakeet_tpu.params import cast_params
+from parakeet_tpu.text.tokenizer import Tokenizer
+
+PartialResultCallback = Callable[[str], None]
+
+
+class _StreamingBase:
+    joint_prefix = "tdt_joint_"
+
+    def _spec(self):
+        raise NotImplementedError
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        vocab_path: str | None = None,
+        config=None,
+        *,
+        params: dict | None = None,
+        compute_dtype: str = "float32",
+        seed: int = 0,
+    ):
+        self.config = config
+        if params is not None:
+            self.params = dict(params)
+        else:
+            self.params = P.load_params(self._spec(), weights_path, seed=seed,
+                                        warn=lambda m: print(f"[parakeet] {m}"))
+        if compute_dtype != "float32":
+            self.params = cast_params(self.params, jnp.bfloat16)
+        self.tokenizer = Tokenizer(vocab_path) if vocab_path else Tokenizer()
+        self._blank_id = config.joint.vocab_size - 1
+        self._audio_cfg = AudioConfig(n_mels=config.encoder.mel_bins)
+        self._partial_cb: PartialResultCallback | None = None
+        self.preprocessor = StreamingAudioPreprocessor(self._audio_cfg)
+        self.encoder_session = StreamingEncoderSession(self.params, config.encoder, batch=1)
+        self._init_decode_state()
+
+    def _init_decode_state(self) -> None:
+        self._last_token = jnp.full((1,), self._blank_id, jnp.int32)
+        self._lstm = prediction_zero_state(
+            self.config.prediction.num_lstm_layers, 1, self.config.prediction.pred_hidden
+        )
+        self._tokens: list[int] = []
+        self._timestamped: list[TimestampedToken] = []
+        self._frame_offset = 0
+
+    # ── Public API (eou.hpp:113-158) ─────────────────────────────────────
+
+    def transcribe_chunk(self, samples) -> str:
+        """Raw PCM chunk (float32 or int16 1-D) → new text from this chunk."""
+        x = np.asarray(samples)
+        if x.dtype == np.int16:
+            x = x.astype(np.float32) / 32768.0
+        feats = self.preprocessor.process_chunk(x.astype(np.float32).reshape(-1))
+        if feats is None:
+            return ""
+        enc = self.encoder_session.forward_chunk(np.asarray(feats))
+        if enc is None:
+            return ""
+
+        chunk_len = enc.shape[1]
+        res = transducer_greedy_decode(
+            self.params,
+            enc,
+            pred_hidden=self.config.prediction.pred_hidden,
+            num_lstm_layers=self.config.prediction.num_lstm_layers,
+            durations=tuple(self.config.durations),
+            blank_id=self._blank_id,
+            is_tdt=True,
+            joint_prefix=self.joint_prefix,
+            init_token=self._last_token,
+            init_lstm=self._lstm,
+            frame_offset=self._frame_offset,
+            clamp_end=False,  # streaming decode does not clamp (eou.cpp:81-84)
+        )
+        self._last_token = res.last_token
+        self._lstm = res.lstm_state
+        self._frame_offset += chunk_len
+
+        new_tokens = res.tokens[0]
+        self._tokens.extend(new_tokens)
+        self._timestamped.extend(res.timestamped[0])
+        if new_tokens and self.tokenizer.loaded:
+            text = self.tokenizer.decode(new_tokens)
+            if self._partial_cb:
+                self._partial_cb(text)
+            return text
+        return ""
+
+    def reset(self) -> None:
+        self.preprocessor.reset()
+        self.encoder_session.reset()
+        self._init_decode_state()
+
+    def get_text(self) -> str:
+        if self.tokenizer.loaded and self._tokens:
+            return self.tokenizer.decode(self._tokens)
+        return ""
+
+    def get_tokens(self) -> list[int]:
+        return list(self._tokens)
+
+    def get_timestamped_tokens(self) -> list[TimestampedToken]:
+        return list(self._timestamped)
+
+    def set_partial_callback(self, cb: PartialResultCallback) -> None:
+        self._partial_cb = cb
+
+
+class StreamingTranscriber(_StreamingBase):
+    """EOU-120m streaming transcriber (eou.hpp:101-160)."""
+
+    joint_prefix = "tdt_joint_"
+
+    def __init__(self, weights_path=None, vocab_path=None, config: EOUConfig | None = None, **kw):
+        self._cfg = config or make_eou_120m_config()
+        super().__init__(weights_path, vocab_path, self._cfg, **kw)
+
+    def _spec(self):
+        cfg = self._cfg
+        spec = P.encoder_spec(cfg.encoder, "encoder_")
+        spec.update(P.prediction_spec(cfg.prediction, "prediction_"))
+        spec.update(P.tdt_joint_spec(cfg.joint, len(cfg.durations), "tdt_joint_"))
+        spec.update(P.ctc_spec(cfg.ctc_vocab_size, cfg.encoder.hidden_size, "ctc_decoder_"))
+        return spec
+
+
+class NemotronTranscriber(_StreamingBase):
+    """Nemotron-600m multilingual streaming transcriber with latency modes
+    (nemotron.hpp:78-133); right context = latency_frames."""
+
+    joint_prefix = "joint_"
+
+    def __init__(self, weights_path=None, vocab_path=None, config: NemotronConfig | None = None, **kw):
+        self._cfg = config or make_nemotron_600m_config()
+        super().__init__(weights_path, vocab_path, self._cfg, **kw)
+
+    def _spec(self):
+        return P.nemotron_spec(self._cfg)
+
+
+__all__ = ["StreamingTranscriber", "NemotronTranscriber", "PartialResultCallback"]

