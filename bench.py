@@ -52,8 +52,12 @@ def main() -> int:
     def fwd(p, feats):
         enc = fastconformer_encode(Params(p).sub("encoder_"), cfg.encoder, feats)
         if args.full:
-            return ctc_log_probs(Params(p).sub("ctc_decoder_"), enc)
-        return enc
+            enc = ctc_log_probs(Params(p).sub("ctc_decoder_"), enc)
+        # Return a scalar checksum: fetching it to host each iteration is the
+        # only reliable completion barrier on this backend (block_until_ready
+        # acks without executing on the axon relay, inflating RTFx ~100x),
+        # and a scalar keeps the transfer out of the measurement.
+        return jnp.sum(enc.astype(jnp.float32))
 
     fwd_jit = jax.jit(fwd)
 
@@ -63,11 +67,10 @@ def main() -> int:
             dtype=dtype,
         )
         # warm-up: compile excluded from timing (bench.cpp:188-190)
-        fwd_jit(params, feats).block_until_ready()
+        float(fwd_jit(params, feats))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = fwd_jit(params, feats)
-        out.block_until_ready()
+            float(fwd_jit(params, feats))  # scalar host fetch = hard barrier
         dt = time.perf_counter() - t0
         audio_seconds = batch * args.secs * args.iters
         return audio_seconds / dt  # RTFx per chip
@@ -75,7 +78,7 @@ def main() -> int:
     if args.batch > 0:
         batches = [args.batch]
     else:
-        batches = [8, 16, 32, 64]
+        batches = [32, 64, 128, 256]
 
     best_rtfx, best_b = 0.0, 0
     for b in batches:

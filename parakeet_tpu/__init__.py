@@ -39,6 +39,7 @@ from parakeet_tpu.transcribe import (
     TranscribeResult,
     Transcriber,
     TDTTranscriber,
+    RNNTTranscriber,
 )
 from parakeet_tpu.streaming import NemotronTranscriber, StreamingTranscriber
 from parakeet_tpu.diarize import (
@@ -92,6 +93,7 @@ __all__ = [
     "TranscribeResult",
     "Transcriber",
     "TDTTranscriber",
+    "RNNTTranscriber",
     "StreamingTranscriber",
     "NemotronTranscriber",
     "DiarizedTranscriber",

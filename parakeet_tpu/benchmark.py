@@ -1,0 +1,106 @@
+"""`parakeet-bench` — encoder throughput benchmark harness.
+
+Mirrors the reference harness (src/bench.cpp): per model × duration
+{1,5,10,30,60}s, synthetic `randn(batch, sec*100, mel)` features, warm-up
+compile excluded from timing, real-time clock, RTF + throughput columns,
+optional markdown reporter (:76-117). TPU additions: batch sweep and
+bfloat16 mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+MODELS = {
+    "110m": ("make_110m_config", "encoder"),
+    "tdt-600m": ("make_tdt_600m_config", "encoder"),
+    "rnnt-600m": ("make_rnnt_600m_config", "encoder"),
+    "sortformer": ("make_sortformer_117m_config", "nest_encoder"),
+}
+
+
+def bench_encoder(model: str, seconds: int, batch: int, dtype_name: str, iters: int):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from parakeet_tpu import config as C
+    from parakeet_tpu import params as P
+    from parakeet_tpu.models.encoder import fastconformer_encode
+    from parakeet_tpu.models.sortformer import sortformer_forward
+    from parakeet_tpu.params import Params, cast_params
+
+    factory_name, enc_attr = MODELS[model]
+    cfg = getattr(C, factory_name)()
+    enc_cfg = getattr(cfg, enc_attr)
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    if model == "sortformer":
+        params = P.init_params(P.sortformer_spec(cfg), seed=0)
+        fwd = lambda p, x: sortformer_forward(p, x, cfg=cfg)  # full forward (bench.cpp note)
+    else:
+        params = P.init_params(P.encoder_spec(enc_cfg, "encoder_"), seed=0)
+
+        def fwd(p, x):
+            return fastconformer_encode(Params(p).sub("encoder_"), enc_cfg, x)
+
+    if dtype_name == "bfloat16":
+        params = cast_params(params, dtype)
+
+    fwd_jit = jax.jit(fwd)
+    feats = jnp.asarray(
+        np.random.RandomState(0).randn(batch, seconds * 100, enc_cfg.mel_bins), dtype=dtype
+    )
+    fwd_jit(params, feats).block_until_ready()  # warm-up compile excluded
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd_jit(params, feats)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return dt  # seconds per batch forward
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="parakeet-bench")
+    ap.add_argument("--models", default="110m", help=f"comma list from {list(MODELS)}")
+    ap.add_argument("--durations", default="1,5,10,30,60")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    models = [m.strip() for m in args.models.split(",")]
+    durations = [int(d) for d in args.durations.split(",")]
+
+    rows = []
+    for model in models:
+        for sec in durations:
+            dt = bench_encoder(model, sec, args.batch, args.dtype, args.iters)
+            audio_s = args.batch * sec
+            rows.append((model, sec, dt * 1e3, dt / audio_s, audio_s / dt))
+            print(
+                f"{model:12s} {sec:3d}s batch={args.batch} {args.dtype}: "
+                f"{dt * 1e3:8.1f} ms  RTF {dt / audio_s:.5f}  {audio_s / dt:8.1f}x realtime",
+                file=sys.stderr,
+            )
+
+    if args.markdown:
+        print("| Model | Audio | Time (ms) | RTF | Throughput |")
+        print("|-------|-------|-----------|-----|------------|")
+        for model, sec, ms, rtf, tput in rows:
+            print(f"| {model} | {sec} s | {ms:.1f} | {rtf:.5f} | {tput:.0f}x |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

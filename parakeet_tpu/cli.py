@@ -1,0 +1,182 @@
+"""`parakeet` CLI — model-mode dispatch mirroring the reference binary
+(src/main.cpp:642-735): seven modes, per-stage timings, the same flags.
+
+    parakeet <audio> --model tdt-ctc-110m --weights model.safetensors \
+        --vocab vocab.txt [--ctc|--tdt] [--timestamps] \
+        [--boost "phrase1,phrase2"] [--boost-score 5.0] [--latency 1] \
+        [--sortformer-weights sf.safetensors] [--dtype bfloat16]
+
+Differences from the reference: `--gpu` is replaced by `--device tpu|cpu`
+(JAX backend choice) and `--dtype` (bf16 MXU fast path); `--batch` accepts
+multiple audio files for batched inference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _stage(label: str, t0: float) -> float:
+    t1 = time.perf_counter()
+    print(f"  {label}: {(t1 - t0) * 1e3:.1f} ms")
+    return t1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="parakeet", description=__doc__)
+    ap.add_argument("audio", nargs="+", help="audio file(s): wav/flac/mp3/ogg")
+    ap.add_argument("--model", default="tdt-ctc-110m",
+                    choices=["tdt-ctc-110m", "tdt-600m", "rnnt-600m", "eou-120m",
+                             "nemotron-600m", "sortformer", "diarized"])
+    ap.add_argument("--weights", default="models/model.safetensors")
+    ap.add_argument("--vocab", default="models/vocab.txt")
+    ap.add_argument("--sortformer-weights", default="models/sortformer.safetensors")
+    ap.add_argument("--ctc", action="store_true", help="use CTC head (tdt-ctc only)")
+    ap.add_argument("--tdt", action="store_true", help="use TDT head (default)")
+    ap.add_argument("--timestamps", action="store_true")
+    ap.add_argument("--boost", default="", help="comma-separated boost phrases")
+    ap.add_argument("--boost-score", type=float, default=5.0)
+    ap.add_argument("--latency", type=int, default=0, choices=[0, 1, 6, 13],
+                    help="nemotron latency mode (right-context frames)")
+    ap.add_argument("--chunk-samples", type=int, default=2560,
+                    help="streaming chunk size (samples; 2560 = 160 ms)")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--random-weights", action="store_true",
+                    help="run with random-initialized weights (pipeline smoke test)")
+    args = ap.parse_args(argv)
+
+    if args.random_weights:
+        import os
+
+        args.weights = None
+        args.sortformer_weights = None
+        if not os.path.isfile(args.vocab):
+            args.vocab = None  # decode falls back to raw token ids
+    else:
+        import os
+
+        for p, flag in ((args.weights, "--weights"),
+                        (args.sortformer_weights, "--sortformer-weights")):
+            needed = flag == "--weights" or args.model in ("sortformer", "diarized")
+            if needed and p and not os.path.isfile(p):
+                print(
+                    f"Error: {flag} file not found: {p}\n"
+                    "Convert a NeMo checkpoint with scripts/convert_nemo.py, "
+                    "or pass --random-weights for a pipeline smoke test.",
+                    file=sys.stderr,
+                )
+                return 1
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from parakeet_tpu.audio.io import read_audio
+    from parakeet_tpu.transcribe import Decoder
+
+    boost = [p.strip() for p in args.boost.split(",") if p.strip()]
+    decoder = Decoder.CTC if args.ctc else Decoder.TDT
+    kw = dict(compute_dtype=args.dtype)
+
+    try:
+        t0 = time.perf_counter()
+        if args.model in ("tdt-ctc-110m", "tdt-600m", "rnnt-600m"):
+            if args.model == "tdt-ctc-110m":
+                from parakeet_tpu.transcribe import Transcriber
+
+                tr = Transcriber(args.weights, args.vocab, **kw)
+            elif args.model == "tdt-600m":
+                from parakeet_tpu.transcribe import TDTTranscriber
+
+                tr = TDTTranscriber(args.weights, args.vocab, **kw)
+            else:
+                from parakeet_tpu.transcribe import RNNTTranscriber
+
+                tr = RNNTTranscriber(args.weights, args.vocab, **kw)
+            t0 = _stage("model load", t0)
+
+            from parakeet_tpu.transcribe import TranscribeOptions
+
+            opts = TranscribeOptions(decoder, args.timestamps, boost, args.boost_score)
+            results = tr.transcribe_batch(args.audio, opts)
+            t0 = _stage("transcribe", t0)
+            for path, res in zip(args.audio, results):
+                if len(args.audio) > 1:
+                    print(f"\n== {path}")
+                print(res.text if res.text else f"(token ids) {res.token_ids}")
+                if args.timestamps:
+                    for w in res.word_timestamps:
+                        print(f"  [{w.start:6.2f} - {w.end:6.2f}] ({w.confidence:.2f}) {w.word}")
+
+        elif args.model in ("eou-120m", "nemotron-600m"):
+            if args.model == "eou-120m":
+                from parakeet_tpu.streaming import StreamingTranscriber
+
+                st = StreamingTranscriber(args.weights, args.vocab, **kw)
+            else:
+                from parakeet_tpu.config import make_nemotron_600m_config
+                from parakeet_tpu.streaming import NemotronTranscriber
+
+                st = NemotronTranscriber(
+                    args.weights, args.vocab, make_nemotron_600m_config(args.latency), **kw
+                )
+            t0 = _stage("model load", t0)
+            for path in args.audio:
+                audio = read_audio(path)
+                st.reset()
+                n = args.chunk_samples
+                for s in range(0, len(audio.samples), n):
+                    delta = st.transcribe_chunk(audio.samples[s : s + n])
+                    if delta:
+                        print(delta, end=" ", flush=True)
+                print()
+                if args.timestamps:
+                    for t in st.get_timestamped_tokens():
+                        print(f"  tok {t.token_id} [{t.start_frame}-{t.end_frame}] {t.confidence:.2f}")
+            t0 = _stage("stream", t0)
+
+        elif args.model == "sortformer":
+            from parakeet_tpu.audio.frontend import preprocess_audio
+            from parakeet_tpu.config import AudioConfig
+            from parakeet_tpu.models.sortformer import Sortformer
+
+            sf = Sortformer(args.sortformer_weights)
+            t0 = _stage("model load", t0)
+            for path in args.audio:
+                audio = read_audio(path)
+                feats = preprocess_audio(
+                    audio.samples,
+                    AudioConfig(n_mels=sf.config.nest_encoder.mel_bins, normalize=False),
+                )
+                segments = sf.diarize(feats)
+                t0 = _stage("diarize", t0)
+                for seg in segments:
+                    print(f"  speaker {seg.speaker_id}: {seg.start:.2f}s - {seg.end:.2f}s")
+
+        elif args.model == "diarized":
+            from parakeet_tpu.diarize import DiarizedTranscriber
+
+            dt = DiarizedTranscriber(args.weights, args.sortformer_weights, args.vocab, **{
+                "compute_dtype": args.dtype
+            })
+            t0 = _stage("model load", t0)
+            for path in args.audio:
+                res = dt.transcribe(path, decoder)
+                t0 = _stage("transcribe+diarize", t0)
+                print(res.text)
+                for w in res.words:
+                    spk = f"spk{w.speaker_id}" if w.speaker_id >= 0 else "----"
+                    print(f"  [{w.start:6.2f} - {w.end:6.2f}] {spk}  {w.word}")
+
+    except Exception as e:  # mirror reference: errors to stderr, exit 1 (main.cpp:729-732)
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

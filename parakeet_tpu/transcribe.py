@@ -71,10 +71,11 @@ def _dtype_of(name: str):
 
 
 class _TranscriberBase:
-    """Shared pipeline for the TDT-CTC and TDT-only facades."""
+    """Shared pipeline for the TDT-CTC / TDT-only / RNNT facades."""
 
     has_ctc = False
     joint_prefix = "tdt_joint_"
+    is_tdt = True
 
     def __init__(
         self,
@@ -186,7 +187,7 @@ class _TranscriberBase:
                 toks = ctc_greedy_decode(log_probs, self._ctc_blank(), enc_lens)
             return [self._result_from_tokens(t) for t in toks]
 
-        # TDT path
+        # Transducer path (TDT or RNNT)
         enc = self._encode(self.params, feats_j, lengths)
         boost = trie.device_boost(self.config.joint.vocab_size, enc.shape[0], opts.boost_score) if trie else None
         res = transducer_greedy_decode(
@@ -194,9 +195,9 @@ class _TranscriberBase:
             enc,
             pred_hidden=self.config.prediction.pred_hidden,
             num_lstm_layers=self.config.prediction.num_lstm_layers,
-            durations=tuple(self.config.durations),
+            durations=tuple(getattr(self.config, "durations", (0,))) if self.is_tdt else (0,),
             blank_id=self._blank_id,
-            is_tdt=True,
+            is_tdt=self.is_tdt,
             joint_prefix=self.joint_prefix,
             enc_lengths=enc_lens,
             boost=boost,
@@ -254,10 +255,27 @@ class TDTTranscriber(_TranscriberBase):
         return P.tdt_spec(self.config)
 
 
+class RNNTTranscriber(_TranscriberBase):
+    """RNNT transcriber for parakeet-rnnt-0.6b (main.cpp:296-375 mode)."""
+
+    has_ctc = False
+    joint_prefix = "joint_"
+    is_tdt = False
+
+    def __init__(self, weights_path=None, vocab_path=None, config: RNNTConfig | None = None, **kw):
+        from parakeet_tpu.config import make_rnnt_600m_config
+
+        super().__init__(weights_path, vocab_path, config or make_rnnt_600m_config(), **kw)
+
+    def _spec(self):
+        return P.rnnt_spec(self.config)
+
+
 __all__ = [
     "Decoder",
     "TranscribeOptions",
     "TranscribeResult",
     "Transcriber",
     "TDTTranscriber",
+    "RNNTTranscriber",
 ]

@@ -1,0 +1,174 @@
+"""Converter tests: synthetic NeMo-style checkpoints → our schema →
+loadable params (contract: convert_nemo.py key map == params.py spec)."""
+
+import numpy as np
+import pytest
+
+from parakeet_tpu import config as C
+from parakeet_tpu import params as P
+from parakeet_tpu.tools.convert import PRESETS, build_mapping, convert
+
+
+def synthetic_nemo_110m(cfg: C.TDTCTCConfig, seed=0):
+    """Build a NeMo-named state dict with correct shapes for the 110m."""
+    rng = np.random.RandomState(seed)
+    e = cfg.encoder
+    d, c, ffn = e.hidden_size, e.subsampling_channels, e.ffn_intermediate
+    hd = d // e.num_heads
+    sd = {}
+
+    def t(*shape):
+        return rng.randn(*shape).astype(np.float32)
+
+    # preprocessor junk that must be skipped
+    sd["preprocessor.featurizer.window"] = t(400)
+
+    # subsampling convs (NeMo Sequential indices)
+    sd["encoder.pre_encode.conv.0.weight"] = t(c, 1, 3, 3)
+    sd["encoder.pre_encode.conv.0.bias"] = t(c)
+    sd["encoder.pre_encode.conv.2.weight"] = t(c, 1, 3, 3)
+    sd["encoder.pre_encode.conv.2.bias"] = t(c)
+    sd["encoder.pre_encode.conv.3.weight"] = t(c, c, 1, 1)
+    sd["encoder.pre_encode.conv.3.bias"] = t(c)
+    sd["encoder.pre_encode.conv.5.weight"] = t(c, 1, 3, 3)
+    sd["encoder.pre_encode.conv.5.bias"] = t(c)
+    sd["encoder.pre_encode.conv.6.weight"] = t(c, c, 1, 1)
+    sd["encoder.pre_encode.conv.6.bias"] = t(c)
+    freq = P.subsampled_freq(e.mel_bins)
+    sd["encoder.pre_encode.out.weight"] = t(d, c * freq)
+    sd["encoder.pre_encode.out.bias"] = t(d)
+
+    for i in range(e.num_layers):
+        n = f"encoder.layers.{i}"
+        for nm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                   "norm_feed_forward2", "norm_out"):
+            sd[f"{n}.{nm}.weight"] = t(d)
+            sd[f"{n}.{nm}.bias"] = t(d)
+        sd[f"{n}.feed_forward1.linear1.weight"] = t(ffn, d)
+        sd[f"{n}.feed_forward1.linear1.bias"] = t(ffn)
+        sd[f"{n}.feed_forward1.linear2.weight"] = t(d, ffn)
+        sd[f"{n}.feed_forward1.linear2.bias"] = t(d)
+        sd[f"{n}.feed_forward2.linear1.weight"] = t(ffn, d)
+        sd[f"{n}.feed_forward2.linear1.bias"] = t(ffn)
+        sd[f"{n}.feed_forward2.linear2.weight"] = t(d, ffn)
+        sd[f"{n}.feed_forward2.linear2.bias"] = t(d)
+        for pr in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            sd[f"{n}.self_attn.{pr}.weight"] = t(d, d)
+            sd[f"{n}.self_attn.{pr}.bias"] = t(d)
+        sd[f"{n}.self_attn.linear_pos.weight"] = t(d, d)
+        sd[f"{n}.self_attn.pos_bias_u"] = t(e.num_heads, hd)
+        sd[f"{n}.self_attn.pos_bias_v"] = t(e.num_heads, hd)
+        sd[f"{n}.conv.pointwise_conv1.weight"] = t(2 * d, d, 1)
+        sd[f"{n}.conv.pointwise_conv1.bias"] = t(2 * d)
+        sd[f"{n}.conv.depthwise_conv.weight"] = t(d, 1, e.conv_kernel_size)
+        sd[f"{n}.conv.depthwise_conv.bias"] = t(d)
+        sd[f"{n}.conv.batch_norm.weight"] = t(d)
+        sd[f"{n}.conv.batch_norm.bias"] = t(d)
+        sd[f"{n}.conv.batch_norm.running_mean"] = t(d)
+        sd[f"{n}.conv.batch_norm.running_var"] = np.abs(t(d))
+        sd[f"{n}.conv.pointwise_conv2.weight"] = t(d, d, 1)
+        sd[f"{n}.conv.pointwise_conv2.bias"] = t(d)
+
+    ph, v = cfg.prediction.pred_hidden, cfg.prediction.vocab_size
+    nd = len(cfg.durations)
+    sd["decoder.prediction.embed.weight"] = t(v, ph)
+    sd["decoder.prediction.dec_rnn.lstm.weight_ih_l0"] = t(4 * ph, ph)
+    sd["decoder.prediction.dec_rnn.lstm.weight_hh_l0"] = t(4 * ph, ph)
+    sd["decoder.prediction.dec_rnn.lstm.bias_ih_l0"] = t(4 * ph)
+    sd["decoder.prediction.dec_rnn.lstm.bias_hh_l0"] = t(4 * ph)
+    jh = cfg.joint.joint_hidden
+    sd["joint.enc.weight"] = t(jh, cfg.joint.encoder_hidden)
+    sd["joint.enc.bias"] = t(jh)
+    sd["joint.pred.weight"] = t(jh, ph)
+    sd["joint.pred.bias"] = t(jh)
+    sd["joint.joint_net.2.weight"] = t(v + nd, jh)
+    sd["joint.joint_net.2.bias"] = t(v + nd)
+    sd["ctc_decoder.decoder_layers.0.weight"] = t(cfg.ctc_vocab_size, cfg.encoder.hidden_size, 1)
+    sd["ctc_decoder.decoder_layers.0.bias"] = t(cfg.ctc_vocab_size)
+    return sd
+
+
+def small_110m():
+    return C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                                num_layers=2, num_heads=2, ffn_intermediate=32),
+        prediction=C.PredictionConfig(vocab_size=11, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=11),
+        ctc_vocab_size=11,
+    )
+
+
+def test_convert_roundtrip(tmp_path):
+    cfg = small_110m()
+    sd = synthetic_nemo_110m(cfg)
+    preset = dict(PRESETS["110m-tdt-ctc"])
+    preset.update(num_layers=2, vocab_size=11)
+    import parakeet_tpu.tools.convert as conv_mod
+
+    out_path = tmp_path / "m.safetensors"
+    # patch preset for tiny dims
+    old = conv_mod.PRESETS["110m-tdt-ctc"]
+    conv_mod.PRESETS["110m-tdt-ctc"] = preset
+    try:
+        out = convert(None, out_path, "110m-tdt-ctc", state_dict=sd, verbose=False)
+    finally:
+        conv_mod.PRESETS["110m-tdt-ctc"] = old
+
+    # LSTM bias merge
+    np.testing.assert_allclose(
+        out["prediction_.lstm_.cells_.0.input_proj_.bias"],
+        sd["decoder.prediction.dec_rnn.lstm.bias_ih_l0"]
+        + sd["decoder.prediction.dec_rnn.lstm.bias_hh_l0"],
+    )
+    # joint split
+    np.testing.assert_allclose(out["tdt_joint_.label_proj_.weight"],
+                               sd["joint.joint_net.2.weight"][:11])
+    np.testing.assert_allclose(out["tdt_joint_.duration_proj_.weight"],
+                               sd["joint.joint_net.2.weight"][11:])
+    # pred_proj bias exists in NeMo but our joint drops none... NeMo joint.pred HAS bias;
+    # reference maps it (tdt_joint_.pred_proj_.bias) even though the C++ layer is
+    # bias-free. We keep it out of the spec; loader ignores extras.
+    # preprocessor skipped
+    assert not any(k.startswith("preprocessor") for k in out)
+
+    # loads strictly into the spec (all spec keys present in file)
+    spec = P.tdt_ctc_spec(cfg)
+    missing = [k for k in spec if k not in out]
+    assert missing == ["tdt_joint_.pred_proj_.bias"] or missing == [], missing
+    params = P.load_params(spec, str(out_path))
+    assert set(params) == set(spec)
+
+
+def test_convert_unmapped_key_raises():
+    cfg = small_110m()
+    sd = synthetic_nemo_110m(cfg)
+    sd["mystery.weight"] = np.zeros(3, np.float32)
+    import parakeet_tpu.tools.convert as conv_mod
+
+    preset = dict(PRESETS["110m-tdt-ctc"])
+    preset.update(num_layers=2, vocab_size=11)
+    old = conv_mod.PRESETS["110m-tdt-ctc"]
+    conv_mod.PRESETS["110m-tdt-ctc"] = preset
+    try:
+        with pytest.raises(ValueError, match="unmapped"):
+            convert(None, None, "110m-tdt-ctc", state_dict=sd, verbose=False)
+    finally:
+        conv_mod.PRESETS["110m-tdt-ctc"] = old
+
+
+def test_mapping_covers_spec_keys():
+    """Every loadable spec key for the real 110m must be producible by the
+    converter mapping (+ special-cased keys)."""
+    cfg = C.make_110m_config()
+    spec = P.tdt_ctc_spec(cfg)
+    mapping = build_mapping(PRESETS["110m-tdt-ctc"])
+    produced = set(mapping.values())
+    special = {
+        "prediction_.lstm_.cells_.0.input_proj_.bias",
+        "tdt_joint_.label_proj_.weight",
+        "tdt_joint_.label_proj_.bias",
+        "tdt_joint_.duration_proj_.weight",
+        "tdt_joint_.duration_proj_.bias",
+    }
+    missing = [k for k in spec if k not in produced and k not in special]
+    assert missing == [], missing
