@@ -164,9 +164,14 @@ def _decode_with_backend(data: bytes, fmt: str):
 
 
 def downmix_to_mono(interleaved: np.ndarray, channels: int) -> np.ndarray:
-    """Mean across channels (audio_io.cpp:198-214)."""
+    """Mean across channels (audio_io.cpp:198-214). Native C++ when built."""
     if channels == 1:
         return interleaved.astype(np.float32)
+    from parakeet_tpu import native
+
+    out = native.downmix_to_mono(np.asarray(interleaved, np.float32), channels)
+    if out is not None:
+        return out
     n = len(interleaved) // channels
     return interleaved[: n * channels].reshape(n, channels).mean(axis=1).astype(np.float32)
 
@@ -179,10 +184,18 @@ def _kaiser(x: np.ndarray, n: float, beta: float) -> np.ndarray:
 
 
 def resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
-    """Windowed-sinc resampler, numerics per audio_io.cpp:123-195."""
+    """Windowed-sinc resampler, numerics per audio_io.cpp:123-195.
+
+    Uses the native C++ implementation (csrc/) when available; the numpy
+    path below is the exact fallback."""
     x = np.asarray(samples, np.float32).reshape(-1)
     if src_rate == dst_rate:
         return x.copy()
+    from parakeet_tpu import native
+
+    out = native.sinc_resample(x, src_rate, dst_rate)
+    if out is not None:
+        return out
     g = math.gcd(src_rate, dst_rate)
     up, down = dst_rate // g, src_rate // g
     n_in = len(x)
