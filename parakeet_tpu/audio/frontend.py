@@ -164,6 +164,37 @@ def preprocess_audio(samples, config: AudioConfig = AudioConfig()) -> jnp.ndarra
     return _preprocess_jit(x, config, n_frames)[None, :, :]
 
 
+def preprocess_audio_fused(samples, config: AudioConfig = AudioConfig()) -> jnp.ndarray:
+    """preprocess_audio via the fused Pallas mel kernel
+    (ops/pallas_frontend.py). Same numerics to ~1e-4 in log space; one
+    VMEM-resident kernel instead of separate frame/FFT/matmul HLOs."""
+    from parakeet_tpu.ops.pallas_frontend import fused_log_mel
+
+    x = jnp.asarray(samples, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"expected 1D waveform, got shape {x.shape}")
+    f_max = config.f_max if config.f_max > 0 else config.sample_rate / 2.0
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(wave, cfg: AudioConfig):
+        pre = _preemphasis(wave)
+        padded = jnp.pad(pre, (cfg.n_fft // 2, cfg.n_fft // 2), mode="reflect")
+        log_mel = fused_log_mel(
+            padded, n_fft=cfg.n_fft, hop=cfg.hop_length, win_length=cfg.win_length,
+            n_mels=cfg.n_mels, sample_rate=float(cfg.sample_rate),
+            f_min=cfg.f_min, f_max=f_max,
+        )
+        if cfg.normalize:
+            n_frames = log_mel.shape[0]
+            mean = jnp.mean(log_mel, axis=0, keepdims=True)
+            centered = log_mel - mean
+            var = jnp.sum(centered * centered, axis=0, keepdims=True) / (n_frames - 1)
+            log_mel = centered / (jnp.sqrt(var) + 1e-5)
+        return log_mel
+
+    return run(x, config)[None, :, :]
+
+
 # ─── Streaming ───────────────────────────────────────────────────────────────
 
 
