@@ -135,8 +135,21 @@ def _parse_wav(data: bytes):
 
 
 def _decode_with_backend(data: bytes, fmt: str):
-    """FLAC/MP3/OGG via optional python backends."""
+    """FLAC via the native decoder (csrc/flac_decoder.cpp); FLAC/MP3/OGG
+    also via optional python backends."""
     import io as _io
+
+    if fmt == AudioFormat.FLAC:
+        from parakeet_tpu import native
+
+        if native.available():
+            inter, sr, ch = native.flac_decode(data)
+            return inter, sr, ch
+    if fmt == AudioFormat.MP3:
+        from parakeet_tpu.audio.codecs import mp3_available, mp3_decode
+
+        if mp3_available():
+            return mp3_decode(data)
 
     try:
         import soundfile  # type: ignore

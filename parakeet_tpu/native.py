@@ -26,15 +26,16 @@ _tried = False
 
 
 def _build() -> Path | None:
-    src = _CSRC / "parakeet_native.cpp"
-    if not src.is_file():
+    srcs = [_CSRC / "parakeet_native.cpp", _CSRC / "flac_decoder.cpp"]
+    srcs = [s for s in srcs if s.is_file()]
+    if not srcs:
         return None
     _CACHE.mkdir(exist_ok=True)
     out = _CACHE / _LIB_NAME
-    if out.is_file() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.is_file() and all(out.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return out
     cmd = ["g++", "-O3", "-march=native", "-std=c++20", "-shared", "-fPIC",
-           str(src), "-o", str(out)]
+           *[str(s) for s in srcs], "-o", str(out)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
@@ -71,6 +72,14 @@ def _load() -> ctypes.CDLL | None:
         lib.pk_preemphasis.restype = ctypes.c_float
         lib.pk_preemphasis.argtypes = [c_float_p, ctypes.c_int64, ctypes.c_float,
                                        ctypes.c_float, c_float_p]
+        lib.pk_flac_decode.restype = ctypes.c_int
+        lib.pk_flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(c_float_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.pk_free.restype = None
+        lib.pk_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -125,4 +134,27 @@ def preemphasis(x: np.ndarray, coeff: float = 0.97, prev: float = 0.0):
     return out, float(new_prev)
 
 
-__all__ = ["available", "sinc_resample", "downmix_to_mono", "int16_to_float", "preemphasis"]
+def flac_decode(data: bytes):
+    """FLAC bytes → (interleaved float32, sample_rate, channels) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out_p = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    rc = lib.pk_flac_decode(buf, len(data), ctypes.byref(out_p),
+                            ctypes.byref(frames), ctypes.byref(channels), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (error {rc})")
+    try:
+        n = frames.value * channels.value
+        arr = np.ctypeslib.as_array(out_p, shape=(n,)).copy()
+    finally:
+        lib.pk_free(out_p)
+    return arr, rate.value, channels.value
+
+
+__all__ = ["available", "sinc_resample", "downmix_to_mono", "int16_to_float",
+           "preemphasis", "flac_decode"]
