@@ -3,13 +3,19 @@
 
 Metric: RTFx per chip for the tdt-ctc-110m ENCODER on batched synthetic 10 s
 clips — the reference's own methodology (src/bench.cpp:165-196: features
-randn(1, sec*100, mel), warm-up compile excluded, real-time clock,
+randn(batch, sec*100, mel), warm-up compile excluded, real-time clock,
 RTF = time/audio_sec), extended to a batch (TPU throughput lever).
+
+Timing methodology for this environment: the TPU is reached through a
+relay whose `block_until_ready` acks without executing, and every host
+fetch pays ~25 ms round-trip. We therefore chain K data-dependent encoder
+iterations inside one jitted `lax.fori_loop` and fetch a single scalar —
+one round-trip amortized over K real forwards.
 
 vs_baseline compares against the reference's best published number:
 110m encoder, 10 s audio, Apple M3 GPU = 27 ms → RTFx 370 (README.md:464).
 
-Run: python bench.py [--batch N] [--dtype bfloat16] [--secs 10] [--layers N]
+Run: python bench.py [--batch N] [--dtype bfloat16] [--secs 10] [--iters K]
 """
 
 from __future__ import annotations
@@ -19,86 +25,71 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=0, help="0 = auto-sweep")
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--secs", type=int, default=10)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--full", action="store_true", help="include CTC head + greedy decode")
+    ap.add_argument("--iters", type=int, default=10, help="chained on-device iterations")
+    ap.add_argument("--full", action="store_true", help="include CTC head")
     args = ap.parse_args()
 
+    import numpy as np
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from parakeet_tpu import config as C
     from parakeet_tpu import params as P
     from parakeet_tpu.models.ctc import ctc_log_probs
     from parakeet_tpu.models.encoder import fastconformer_encode
-    from parakeet_tpu.params import Params
+    from parakeet_tpu.params import Params, cast_params
 
     cfg = C.make_110m_config()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     spec = P.tdt_ctc_spec(cfg) if args.full else P.encoder_spec(cfg.encoder, "encoder_")
     params = P.init_params(spec, seed=0)
     if args.dtype != "float32":
-        params = P.cast_params(params, dtype)
+        params = cast_params(params, dtype)
 
     mel_frames = args.secs * 100  # 100 frames/s pre-subsampling (bench.cpp)
+    k = args.iters
 
-    def fwd(p, feats):
-        enc = fastconformer_encode(Params(p).sub("encoder_"), cfg.encoder, feats)
-        if args.full:
-            enc = ctc_log_probs(Params(p).sub("ctc_decoder_"), enc)
-        # Return a scalar checksum: fetching it to host each iteration is the
-        # only reliable completion barrier on this backend (block_until_ready
-        # acks without executing on the axon relay, inflating RTFx ~100x),
-        # and a scalar keeps the transfer out of the measurement.
-        return jnp.sum(enc.astype(jnp.float32))
+    @jax.jit
+    def chained(p, feats):
+        # k data-dependent forwards; a single scalar leaves the device.
+        def body(i, acc):
+            x = feats + (acc * 1e-12).astype(feats.dtype)
+            out = fastconformer_encode(Params(p).sub("encoder_"), cfg.encoder, x)
+            if args.full:
+                out = ctc_log_probs(Params(p).sub("ctc_decoder_"), out)
+            return jnp.sum(out).astype(jnp.float32)
 
-    fwd_jit = jax.jit(fwd)
+        return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-    def measure(batch: int) -> float:
-        feats = jnp.asarray(
-            np.random.RandomState(0).randn(batch, mel_frames, cfg.encoder.mel_bins),
-            dtype=dtype,
-        )
-        # warm-up: compile excluded from timing (bench.cpp:188-190)
-        float(fwd_jit(params, feats))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            float(fwd_jit(params, feats))  # scalar host fetch = hard barrier
-        dt = time.perf_counter() - t0
-        audio_seconds = batch * args.secs * args.iters
-        return audio_seconds / dt  # RTFx per chip
+    feats = jnp.asarray(
+        np.random.RandomState(0).randn(args.batch, mel_frames, cfg.encoder.mel_bins),
+        dtype=dtype,
+    )
+    t0 = time.perf_counter()
+    float(chained(params, feats))  # compile + first run, excluded
+    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    if args.batch > 0:
-        batches = [args.batch]
-    else:
-        batches = [32, 64, 128, 256]
-
-    best_rtfx, best_b = 0.0, 0
-    for b in batches:
-        try:
-            r = measure(b)
-        except Exception as e:  # OOM etc.
-            print(f"# batch {b} failed: {e}", file=sys.stderr)
-            continue
-        print(f"# batch {b}: RTFx {r:.0f}", file=sys.stderr)
-        if r > best_rtfx:
-            best_rtfx, best_b = r, b
+    t0 = time.perf_counter()
+    float(chained(params, feats))
+    dt = time.perf_counter() - t0
+    rtfx = args.batch * args.secs * k / dt
+    print(f"# batch {args.batch}: {dt / k * 1e3:.2f} ms/forward, RTFx {rtfx:.0f}", file=sys.stderr)
 
     baseline = 370.0  # reference 110m GPU, 10 s: RTF 0.003 → 370x (README.md:464)
     print(
         json.dumps(
             {
-                "metric": f"RTFx per chip (tdt-ctc-110m encoder, batch={best_b}, {args.secs}s clips, {args.dtype})",
-                "value": round(best_rtfx, 1),
+                "metric": f"RTFx per chip (tdt-ctc-110m encoder, batch={args.batch}, {args.secs}s clips, {args.dtype})",
+                "value": round(rtfx, 1),
                 "unit": "x realtime",
-                "vs_baseline": round(best_rtfx / baseline, 2),
+                "vs_baseline": round(rtfx / baseline, 2),
             }
         )
     )
