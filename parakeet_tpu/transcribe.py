@@ -206,6 +206,67 @@ class _TranscriberBase:
             return [self._result_from_ts(t) for t in res.timestamped]
         return [self._result_from_tokens(t) for t in res.tokens]
 
+    def transcribe_long(
+        self,
+        source,
+        decoder: Decoder = Decoder.TDT,
+        *,
+        window_s: float = 60.0,
+        overlap_s: float = 10.0,
+        boost_phrases: list[str] | None = None,
+        boost_score: float = DEFAULT_BOOST_SCORE,
+    ) -> TranscribeResult:
+        """Long-form transcription via overlapping windows + timestamp merge.
+
+        The reference caps offline audio at ~4-5 minutes (dense attention;
+        its README lists 'long-form chunking with overlap-merge' as an
+        unchecked roadmap item). This implements it: windows of `window_s`
+        with `overlap_s` overlap are decoded with timestamps; from each
+        window we keep tokens whose START falls in its exclusive half of
+        the overlap, so every instant is owned by exactly one window.
+        """
+        samples = self._to_samples(source)
+        sr = self._audio_cfg.sample_rate
+        win = int(window_s * sr)
+        hop = int((window_s - overlap_s) * sr)
+        if len(samples) <= win:
+            return self.transcribe(
+                samples, decoder, timestamps=True,
+                boost_phrases=boost_phrases, boost_score=boost_score,
+            )
+
+        starts = list(range(0, len(samples), hop))
+        merged: list[TimestampedToken] = []
+        opts = TranscribeOptions(decoder, True, list(boost_phrases or []), boost_score)
+        for wi, s0 in enumerate(starts):
+            chunk = samples[s0 : s0 + win]
+            if len(chunk) < sr // 4 and wi > 0:  # ignore a trailing sliver
+                break
+            res = self.transcribe_batch([chunk], opts)[0]
+            offset_s = s0 / sr
+            # exclusive ownership range for this window (in seconds, absolute)
+            keep_lo = 0.0 if wi == 0 else offset_s + overlap_s / 2.0
+            keep_hi = (
+                float("inf")
+                if s0 + win >= len(samples)
+                else offset_s + window_s - overlap_s / 2.0
+            )
+            frame_off = int(round(offset_s / 0.08))
+            for t in res.timestamped_tokens:
+                abs_start_s = (t.start_frame + frame_off) * 0.08
+                if keep_lo <= abs_start_s < keep_hi:
+                    merged.append(
+                        TimestampedToken(
+                            t.token_id,
+                            t.start_frame + frame_off,
+                            t.end_frame + frame_off,
+                            t.confidence,
+                        )
+                    )
+            if s0 + win >= len(samples):
+                break
+        return self._result_from_ts(merged)
+
     # ── Result assembly ──────────────────────────────────────────────────
 
     def _ctc_blank(self) -> int:
