@@ -1,11 +1,13 @@
-"""MP3 decoding via the system libmpg123 (ctypes; ABI-stable C API).
+"""MP3/OGG decoding via system codec libraries (ctypes; stable C ABIs).
 
-Covers the reference's dr_mp3 capability (audio_io.cpp:7-13) without
-vendoring a decoder. The feed API is used so decoding works from memory
-buffers as well as files. Output is interleaved float32.
-
-OGG remains gated behind optional python backends for now (the reference
-uses stb_vorbis; libvorbisfile's struct ABI is too fragile to bind blind).
+Covers the reference's dr_mp3 + stb_vorbis capabilities (audio_io.cpp:7-21)
+without vendoring decoders:
+  * MP3: libmpg123 feed API — works from memory buffers. Output f32.
+  * OGG: libvorbisfile via ov_fopen (memory buffers go through a temp
+    file — the ov_callbacks by-value struct does not marshal reliably
+    through ctypes here). OggVorbis_File is treated as opaque (oversized
+    buffer, library-initialized); the only layout relied on is the head of
+    `vorbis_info` (version/channels/rate), frozen for 20+ years.
 """
 
 from __future__ import annotations
@@ -122,4 +124,89 @@ def mp3_decode(data: bytes):
         lib.mpg123_delete(h)
 
 
-__all__ = ["mp3_available", "mp3_decode"]
+# ─── OGG Vorbis via libvorbisfile ────────────────────────────────────────────
+
+
+class _VorbisInfoHead(ctypes.Structure):
+    # head of vorbis_info (codec.h): int version; int channels; long rate;
+    _fields_ = [("version", ctypes.c_int), ("channels", ctypes.c_int),
+                ("rate", ctypes.c_long)]
+
+
+_vorbisfile: ctypes.CDLL | None = None
+_vf_tried = False
+
+
+def _load_vorbisfile() -> ctypes.CDLL | None:
+    global _vorbisfile, _vf_tried
+    with _lock:
+        if _vf_tried:
+            return _vorbisfile
+        _vf_tried = True
+        for name in ("libvorbisfile.so.3", "libvorbisfile.so"):
+            try:
+                lib = ctypes.CDLL(name)
+                break
+            except OSError:
+                lib = None
+        if lib is None:
+            return None
+        lib.ov_fopen.restype = ctypes.c_int
+        lib.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.ov_read.restype = ctypes.c_long
+        lib.ov_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                ctypes.POINTER(ctypes.c_int)]
+        lib.ov_info.restype = ctypes.POINTER(_VorbisInfoHead)
+        lib.ov_info.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ov_clear.restype = ctypes.c_int
+        lib.ov_clear.argtypes = [ctypes.c_void_p]
+        _vorbisfile = lib
+        return _vorbisfile
+
+
+def ogg_available() -> bool:
+    return _load_vorbisfile() is not None
+
+
+def ogg_decode(data: bytes):
+    """OGG Vorbis bytes → (interleaved float32, sample_rate, channels)."""
+    import os
+    import tempfile
+
+    lib = _load_vorbisfile()
+    if lib is None:
+        raise RuntimeError("libvorbisfile not available for OGG decoding")
+
+    with tempfile.NamedTemporaryFile(suffix=".ogg", delete=False) as f:
+        f.write(data)
+        tmp_path = f.name
+    vf = ctypes.create_string_buffer(8192)  # OggVorbis_File, treated opaque
+    rc = lib.ov_fopen(tmp_path.encode(), vf)
+    if rc != 0:
+        os.unlink(tmp_path)
+        raise ValueError(f"not an OGG Vorbis stream (ov_fopen={rc})")
+    try:
+        info = lib.ov_info(vf, -1)
+        if not info:
+            raise ValueError("ov_info failed")
+        channels, rate = info.contents.channels, int(info.contents.rate)
+        chunks: list[bytes] = []
+        buf = ctypes.create_string_buffer(65536)
+        bitstream = ctypes.c_int(0)
+        while True:
+            n = lib.ov_read(vf, buf, len(buf), 0, 2, 1, ctypes.byref(bitstream))
+            if n == 0:
+                break
+            if n < 0:
+                raise ValueError(f"ov_read error {n}")
+            chunks.append(buf.raw[:n])
+        raw = b"".join(chunks)
+        samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        return samples, rate, channels
+    finally:
+        lib.ov_clear(vf)
+        os.unlink(tmp_path)
+
+
+__all__ = ["mp3_available", "mp3_decode", "ogg_available", "ogg_decode"]

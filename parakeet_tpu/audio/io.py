@@ -150,6 +150,11 @@ def _decode_with_backend(data: bytes, fmt: str):
 
         if mp3_available():
             return mp3_decode(data)
+    if fmt == AudioFormat.OGG:
+        from parakeet_tpu.audio.codecs import ogg_available, ogg_decode
+
+        if ogg_available():
+            return ogg_decode(data)
 
     try:
         import soundfile  # type: ignore

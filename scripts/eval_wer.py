@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""WER evaluation over a manifest (LibriSpeech-style).
+
+Manifest: one JSON object per line with {"audio_filepath": ..., "text": ...}
+(NeMo manifest format), or a LibriSpeech trans.txt directory tree.
+
+    python scripts/eval_wer.py manifest.jsonl --weights m.safetensors \
+        --vocab vocab.txt [--decoder ctc|tdt] [--batch 16] [--dtype bfloat16]
+    python scripts/eval_wer.py --librispeech path/to/test-clean ...
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def load_manifest(path: str) -> list[tuple[str, str]]:
+    items = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                obj = json.loads(line)
+                items.append((obj["audio_filepath"], obj["text"]))
+    return items
+
+
+def load_librispeech(root: str) -> list[tuple[str, str]]:
+    items = []
+    for trans in Path(root).rglob("*.trans.txt"):
+        for line in trans.read_text().splitlines():
+            utt_id, _, text = line.partition(" ")
+            flac = trans.parent / f"{utt_id}.flac"
+            if flac.exists():
+                items.append((str(flac), text))
+    return items
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("manifest", nargs="?")
+    ap.add_argument("--librispeech", default=None, help="LibriSpeech split dir")
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--vocab", required=True)
+    ap.add_argument("--model", default="tdt-ctc-110m", choices=["tdt-ctc-110m", "tdt-600m", "rnnt-600m"])
+    ap.add_argument("--decoder", default="tdt", choices=["ctc", "tdt"])
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args()
+
+    from parakeet_tpu.metrics import corpus_wer
+    from parakeet_tpu.transcribe import Decoder, RNNTTranscriber, TDTTranscriber, Transcriber
+
+    if args.librispeech:
+        items = load_librispeech(args.librispeech)
+    elif args.manifest:
+        items = load_manifest(args.manifest)
+    else:
+        ap.error("provide a manifest or --librispeech")
+    if args.limit:
+        items = items[: args.limit]
+    if not items:
+        print("no items found", file=sys.stderr)
+        return 1
+
+    cls = {"tdt-ctc-110m": Transcriber, "tdt-600m": TDTTranscriber, "rnnt-600m": RNNTTranscriber}[args.model]
+    tr = cls(args.weights, args.vocab, compute_dtype=args.dtype)
+    decoder = Decoder.CTC if args.decoder == "ctc" else Decoder.TDT
+
+    pairs = []
+    total_audio = 0.0
+    t0 = time.perf_counter()
+    for i in range(0, len(items), args.batch):
+        chunk = items[i : i + args.batch]
+        results = tr.transcribe_batch([p for p, _ in chunk])
+        from parakeet_tpu.audio.io import get_audio_duration
+
+        for (path, ref), res in zip(chunk, results):
+            pairs.append((ref, res.text))
+            total_audio += get_audio_duration(path)
+        print(f"\r{len(pairs)}/{len(items)}", end="", file=sys.stderr)
+    elapsed = time.perf_counter() - t0
+    print(file=sys.stderr)
+
+    result = corpus_wer(pairs)
+    print(result)
+    print(f"RTFx: {total_audio / elapsed:.1f} ({total_audio:.0f}s audio in {elapsed:.1f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
