@@ -50,17 +50,25 @@ def bench_encoder(model: str, seconds: int, batch: int, dtype_name: str, iters: 
     if dtype_name == "bfloat16":
         params = cast_params(params, dtype)
 
-    fwd_jit = jax.jit(fwd)
+    from jax import lax
+
+    # Chain the iterations on device and fetch one scalar: on some remote
+    # backends block_until_ready acks before execution (see bench.py).
+    @jax.jit
+    def chained(p, feats):
+        def body(i, acc):
+            out = fwd(p, feats + (acc * 1e-12).astype(feats.dtype))
+            return jnp.sum(out).astype(jnp.float32)
+
+        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
     feats = jnp.asarray(
         np.random.RandomState(0).randn(batch, seconds * 100, enc_cfg.mel_bins), dtype=dtype
     )
-    fwd_jit(params, feats).block_until_ready()  # warm-up compile excluded
+    float(chained(params, feats))  # warm-up compile excluded
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd_jit(params, feats)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return dt  # seconds per batch forward
+    float(chained(params, feats))
+    return (time.perf_counter() - t0) / iters  # seconds per batch forward
 
 
 def main(argv=None) -> int:

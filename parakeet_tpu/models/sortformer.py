@@ -72,6 +72,15 @@ def _speaker_head(root: Params, trans_out: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _sortformer_tail(params: dict, enc: jnp.ndarray, *, cfg: SortformerConfig) -> jnp.ndarray:
+    """projection → transformer → speaker head (shared by full + chunk paths)."""
+    root = Params(params)
+    proj = linear(root.sub("projection_"), enc)
+    trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj)
+    return _speaker_head(root, trans)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def sortformer_forward(params: dict, features: jnp.ndarray, *, cfg: SortformerConfig) -> jnp.ndarray:
     """(B, mel_len, 128) unnormalized log-mel → (B, T, max_speakers) probs
     (sortformer.cpp:50-68)."""
@@ -146,10 +155,7 @@ class Sortformer:
         enc = self._stream_session.forward_chunk(np.asarray(features))
         if enc is None:
             return []
-        root = Params(self.params)
-        proj = linear(root.sub("projection_"), enc)
-        trans = transformer_encode(root.sub("transformer_"), self.config.transformer, proj)
-        probs = np.asarray(_speaker_head(root, trans))[0]
+        probs = np.asarray(_sortformer_tail(self.params, enc, cfg=self.config))[0]
         aosc.update(probs)
         return probs_to_segments(probs, self.config.activity_threshold)
 
