@@ -38,11 +38,14 @@ class BitReader {
         return (v << n) | bits(n);
     }
 
-    int32_t signed_bits(int n) {
-        uint32_t v = bits(n);
+    // Sign-extended read, up to 64 bits (side channels of 32-bit streams
+    // need 33-bit values).
+    int64_t signed_bits(int n) {
+        uint64_t v = bits64(n);
         if (n == 0) return 0;
-        if (n < 32 && (v & (1u << (n - 1)))) return static_cast<int32_t>(v | (~0u << n));
-        return static_cast<int32_t>(v);
+        if (n < 64 && (v & (1ull << (n - 1))))
+            return static_cast<int64_t>(v | (~0ull << n));
+        return static_cast<int64_t>(v);
     }
 
     // Unary: count zero bits until a 1.
@@ -153,7 +156,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps, std::vector<int64_t
         for (int i = 0; i < order; ++i) out[i] = br.signed_bits(bps);
         const uint32_t precision = br.bits(4) + 1;
         if (precision == 16) return false;  // 0b1111 is invalid
-        const int shift = br.signed_bits(5);
+        const int shift = static_cast<int>(br.signed_bits(5));
         if (shift < 0) return false;
         std::vector<int64_t> coef(order);
         for (int i = 0; i < order; ++i) coef[i] = br.signed_bits(precision);

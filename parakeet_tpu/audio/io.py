@@ -89,6 +89,7 @@ def _parse_wav(data: bytes):
         raise ValueError("Not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -96,14 +97,18 @@ def _parse_wav(data: bytes):
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, sample_rate, _, _, bits = fmt
-    if audio_fmt == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
-        audio_fmt = 1 if bits != 32 else 3
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads SubFormat GUID
+        if len(fmt_body) >= 26:
+            (audio_fmt,) = struct.unpack("<H", fmt_body[24:26])
+        else:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
 
     if audio_fmt == 1:  # PCM
         if bits == 16:
@@ -139,22 +144,27 @@ def _decode_with_backend(data: bytes, fmt: str):
     also via optional python backends."""
     import io as _io
 
-    if fmt == AudioFormat.FLAC:
-        from parakeet_tpu import native
+    # Native/system decoders first; on failure fall through to the python
+    # backends below, which may handle streams these decoders can't.
+    try:
+        if fmt == AudioFormat.FLAC:
+            from parakeet_tpu import native
 
-        if native.available():
-            inter, sr, ch = native.flac_decode(data)
-            return inter, sr, ch
-    if fmt == AudioFormat.MP3:
-        from parakeet_tpu.audio.codecs import mp3_available, mp3_decode
+            if native.available():
+                inter, sr, ch = native.flac_decode(data)
+                return inter, sr, ch
+        if fmt == AudioFormat.MP3:
+            from parakeet_tpu.audio.codecs import mp3_available, mp3_decode
 
-        if mp3_available():
-            return mp3_decode(data)
-    if fmt == AudioFormat.OGG:
-        from parakeet_tpu.audio.codecs import ogg_available, ogg_decode
+            if mp3_available():
+                return mp3_decode(data)
+        if fmt == AudioFormat.OGG:
+            from parakeet_tpu.audio.codecs import ogg_available, ogg_decode
 
-        if ogg_available():
-            return ogg_decode(data)
+            if ogg_available():
+                return ogg_decode(data)
+    except (ValueError, RuntimeError):
+        pass
 
     try:
         import soundfile  # type: ignore

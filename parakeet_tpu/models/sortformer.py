@@ -86,9 +86,7 @@ def sortformer_forward(params: dict, features: jnp.ndarray, *, cfg: SortformerCo
     (sortformer.cpp:50-68)."""
     root = Params(params)
     enc = fastconformer_encode(root.sub("nest_encoder_"), cfg.nest_encoder, features)
-    proj = linear(root.sub("projection_"), enc)
-    trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj)
-    return _speaker_head(root, trans)
+    return _sortformer_tail(params, enc, cfg=cfg)
 
 
 def probs_to_segments(probs, activity_threshold: float = 0.5) -> list[DiarizationSegment]:

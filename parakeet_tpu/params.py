@@ -315,15 +315,23 @@ def load_params(
     return params
 
 
-def cast_params(params: dict[str, jnp.ndarray], dtype) -> dict[str, jnp.ndarray]:
-    """Cast floating-point parameters (weights) to a compute dtype.
+def _is_norm_param(key: str) -> bool:
+    # LayerNorm/BatchNorm weights+biases and BN running stats: any key whose
+    # layer segment contains "norm" (norm_, norm1_, norm2_, final_norm_,
+    # batch_norm_.*) — these feed f32 normalization math in the apply fns.
+    return "norm" in key
 
-    BatchNorm running stats and norm parameters stay f32 for accuracy; the
-    apply functions upcast around normalization anyway.
+
+def cast_params(params: dict[str, jnp.ndarray], dtype) -> dict[str, jnp.ndarray]:
+    """Cast floating-point weight parameters to a compute dtype.
+
+    Normalization parameters (LayerNorm/BatchNorm weight/bias and BN running
+    stats) stay f32: the apply functions compute normalization in f32, so
+    quantizing their parameters would only lose precision.
     """
     out = {}
     for k, v in params.items():
-        if jnp.issubdtype(v.dtype, jnp.floating):
+        if jnp.issubdtype(v.dtype, jnp.floating) and not _is_norm_param(k):
             out[k] = v.astype(dtype)
         else:
             out[k] = v

@@ -60,7 +60,9 @@ class _StreamingBase:
             self.params = P.load_params(self._spec(), weights_path, seed=seed,
                                         warn=lambda m: print(f"[parakeet] {m}"))
         if compute_dtype != "float32":
-            self.params = cast_params(self.params, jnp.bfloat16)
+            from parakeet_tpu.transcribe import _dtype_of
+
+            self.params = cast_params(self.params, _dtype_of(compute_dtype))
         self.tokenizer = Tokenizer(vocab_path) if vocab_path else Tokenizer()
         self._blank_id = config.joint.vocab_size - 1
         self._audio_cfg = AudioConfig(n_mels=config.encoder.mel_bins)

@@ -105,17 +105,17 @@ def _write_subframe(w: BitWriter, samples: np.ndarray, bps: int, mode: str) -> N
 
 
 def encode_flac(
-    samples: np.ndarray,  # (frames,) or (frames, channels) int16 range
+    samples: np.ndarray,  # (frames,) or (frames, channels) ints in bps range
     sample_rate: int = 16000,
     block_size: int = 4096,
     subframe_mode: str = "verbatim",
     left_side: bool = False,
+    bps: int = 16,
 ) -> bytes:
     x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
     frames, channels = x.shape
-    bps = 16
     x = x.astype(np.int64)
 
     out = bytearray(b"fLaC")
@@ -148,7 +148,8 @@ def encode_flac(
             w.bits(8, 4)  # left/side
         else:
             w.bits(channels - 1, 4)
-        w.bits(4, 3)  # 16-bit
+        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+        w.bits(ss_code, 3)
         w.bits(0, 1)
         assert frame_idx < 0x80  # single-byte UTF-8 frame number
         w.bits(frame_idx, 8)

@@ -132,3 +132,40 @@ def test_missing_file():
 def test_unknown_format():
     with pytest.raises(ValueError):
         read_audio(b"garbage data not audio")
+
+
+def test_wave_format_extensible_pcm32(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE: the real format tag comes from the SubFormat
+    GUID, not a bit-depth guess — 32-bit int PCM must not parse as float."""
+    import struct
+
+    sr, n = 16000, 100
+    pcm = (np.linspace(-0.5, 0.5, n) * 2147483647).astype("<i4")
+    # fmt chunk: extensible (0xFFFE), 40 bytes, SubFormat GUID = PCM (1)
+    sub_format = struct.pack("<H", 1) + b"\x00\x00" + bytes.fromhex("000010008000" + "00aa00389b71")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 1) + sub_format
+    data_chunk = pcm.tobytes()
+    riff = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data_chunk)) + data_chunk
+    blob = b"RIFF" + struct.pack("<I", 4 + len(riff)) + riff
+    p = tmp_path / "ext.wav"
+    p.write_bytes(blob)
+
+    audio = read_audio(p)
+    np.testing.assert_allclose(audio.samples, pcm.astype(np.float64) / 2147483648.0, atol=1e-6)
+
+
+def test_wav_24bit(tmp_path):
+    import struct
+
+    sr, n = 16000, 64
+    vals = (np.linspace(-0.9, 0.9, n) * 8388607).astype(np.int32)
+    b24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 3, 3, 24)
+    riff = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(b24)) + b24
+    p = tmp_path / "p24.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(riff)) + riff)
+    audio = read_audio(p)
+    np.testing.assert_allclose(audio.samples, vals / 8388608.0, atol=1e-6)

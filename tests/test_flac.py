@@ -85,3 +85,18 @@ def test_corrupt_flac_raises():
         native.flac_decode(b"fLaC" + b"\x00" * 16)
     with pytest.raises(ValueError):
         native.flac_decode(b"not a flac file at all")
+
+
+def test_32bit_left_side_decorrelation():
+    """32-bit stream with left/side stereo: the side channel is 33 bits wide
+    (regression for the signed_bits width bug)."""
+    rng = np.random.RandomState(0)
+    left = (rng.randn(2000) * 2**30).astype(np.int64).clip(-2**31, 2**31 - 1)
+    right = (rng.randn(2000) * 2**30).astype(np.int64).clip(-2**31, 2**31 - 1)
+    pcm = np.stack([left, right], axis=1)
+    data = encode_flac(pcm, 16000, block_size=1024, subframe_mode="verbatim",
+                       left_side=True, bps=32)
+    out, sr, ch = native.flac_decode(data)
+    inter = out.reshape(-1, 2).astype(np.float64) * 2**31
+    np.testing.assert_allclose(inter[:, 0], left, atol=300)  # f32 output quantization
+    np.testing.assert_allclose(inter[:, 1], right, atol=300)

@@ -119,3 +119,17 @@ def test_params_prefix_view():
     assert layer.sub("fc1_")["weight"] == 1
     assert "bias" in layer.sub("fc1_")
     assert layer.get("nope") is None
+
+
+def test_cast_params_keeps_norm_f32():
+    import jax.numpy as jnp
+    from parakeet_tpu import config as C
+
+    cfg = C.make_110m_config()
+    spec = P.encoder_spec(cfg.encoder, "encoder_")
+    params = P.init_params(spec, seed=0)
+    cast = P.cast_params(params, jnp.bfloat16)
+    assert cast["encoder_.layers_.0.ffn1_.fc1_.weight"].dtype == jnp.bfloat16
+    assert cast["encoder_.layers_.0.ffn1_.norm_.weight"].dtype == jnp.float32
+    assert cast["encoder_.layers_.0.conv_.batch_norm_.running_var"].dtype == jnp.float32
+    assert cast["encoder_.layers_.0.final_norm_.bias"].dtype == jnp.float32
