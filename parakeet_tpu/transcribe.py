@@ -144,8 +144,16 @@ class _TranscriberBase:
         return self.transcribe_batch([source], opts)[0]
 
     def transcribe_batch(
-        self, sources: list, opts: TranscribeOptions | None = None
+        self,
+        sources: list,
+        opts: TranscribeOptions | None = None,
+        *,
+        pad_to_multiple: int | None = None,
     ) -> list[TranscribeResult]:
+        """Batched inference. `pad_to_multiple` (mel frames) buckets the
+        padded length so arbitrary-length workloads reuse a bounded set of
+        compiled programs (e.g. 200 ≙ 2 s granularity); None = exact length
+        (one compile per distinct max length)."""
         opts = opts or TranscribeOptions()
         if self.has_ctc is False and opts.decoder == Decoder.CTC:
             raise ValueError("this model has no CTC head; use Decoder.TDT")
@@ -154,6 +162,8 @@ class _TranscriberBase:
         feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
         mel_lens = [f.shape[0] for f in feats]
         t_max = max(mel_lens)
+        if pad_to_multiple:
+            t_max = -(-t_max // pad_to_multiple) * pad_to_multiple
         batch = np.zeros((len(feats), t_max, self._audio_cfg.n_mels), np.float32)
         for i, f in enumerate(feats):
             batch[i, : f.shape[0]] = f

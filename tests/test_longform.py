@@ -51,3 +51,16 @@ def test_longform_matches_flat_outside_boundaries(tiny):
     # majority agreement (seams may differ)
     inter = len(flat_set & win_set)
     assert inter >= 0.5 * max(1, len(flat_set))
+
+
+def test_pad_to_multiple_bucketing(tiny):
+    """Bucketed padding must not change decode results (pad frames masked)."""
+    from parakeet_tpu.transcribe import TranscribeOptions, Decoder
+    import numpy as np
+
+    audio = np.random.RandomState(4).randn(20000).astype(np.float32) * 0.1
+    exact = tiny.transcribe_batch([audio], TranscribeOptions(Decoder.CTC))[0]
+    bucketed = tiny.transcribe_batch(
+        [audio], TranscribeOptions(Decoder.CTC), pad_to_multiple=200
+    )[0]
+    assert bucketed.token_ids == exact.token_ids
