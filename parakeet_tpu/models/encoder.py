@@ -28,7 +28,22 @@ from parakeet_tpu.ops.layers import batch_norm_1d, conv1d, conv2d, glu, layer_no
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
+
+
+def _silu(x):
+    # inline (x * sigmoid(x)): jax.nn.silu lowers via closed_call, which this
+    # jax version fails to cache-lower when a pallas_call shares the jaxpr
+    return x * jax.nn.sigmoid(x)
 _NEG_INF = -1e9
+
+# Fused Pallas attention (ops/pallas_attention.py). Off by default; enable
+# with set_fused_attention(True) on TPU for the unmasked batched path.
+_FUSED_ATTENTION = False
+
+
+def set_fused_attention(enabled: bool) -> None:
+    global _FUSED_ATTENTION
+    _FUSED_ATTENTION = bool(enabled)
 
 
 # ─── Sinusoidal relative position embedding (encoder.cpp:9-30) ──────────────
@@ -64,7 +79,7 @@ def subsample_length(t: int) -> int:
 def conv_subsampling(p: Params, x: jnp.ndarray, activation: str = "relu") -> jnp.ndarray:
     """(B, T, mel) → (B, T/8, d_model). Reference: encoder.cpp:208-241,
     streaming variant with selectable activation streaming_encoder.cpp:325-346."""
-    act = jax.nn.relu if activation == "relu" else jax.nn.silu
+    act = jax.nn.relu if activation == "relu" else _silu
     c = p["conv1_.weight"].shape[0]
 
     h = x[:, None, :, :]  # (B, 1, T, mel)
@@ -85,7 +100,7 @@ def conv_subsampling(p: Params, x: jnp.ndarray, activation: str = "relu") -> jnp
 def feed_forward(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Macaron FFN with 0.5 half-step residual (encoder.cpp:39-46)."""
     h = layer_norm(p.sub("norm_"), x, eps)
-    h = jax.nn.silu(linear(p.sub("fc1_"), h))
+    h = _silu(linear(p.sub("fc1_"), h))
     h = linear(p.sub("fc2_"), h)
     return x + 0.5 * h
 
@@ -113,7 +128,7 @@ def conv_module(
         h = jnp.where(pad_mask[:, None, :], 0.0, h)
     h = conv1d(p.sub("depthwise_conv_"), h, padding=(kernel_size - 1) // 2, groups=d)
     h = batch_norm_1d(p.sub("batch_norm_"), h)
-    h = jax.nn.silu(h)
+    h = _silu(h)
     h = conv1d(p.sub("pointwise_conv2_"), h)
     return x + jnp.swapaxes(h, 1, 2)
 
@@ -157,6 +172,15 @@ def rel_position_attention(
 
     bias_u = p["pos_bias_u_"].astype(x.dtype)[None, :, None, :]  # (1,H,1,hd)
     bias_v = p["pos_bias_v_"].astype(x.dtype)[None, :, None, :]
+
+    if _FUSED_ATTENTION and mask is None:
+        from parakeet_tpu.ops.pallas_attention import fused_rel_attention
+
+        pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
+        pos = jnp.transpose(pos.reshape(-1, num_heads, head_dim), (1, 0, 2))
+        out = fused_rel_attention(q + bias_u, q + bias_v, k, v, pos)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
+        return linear(mha.sub("out_proj"), out)
 
     # (B,H,T,hd) @ (B,H,hd,T) → (B,H,T,T)
     content = jnp.einsum("bhtd,bhsd->bhts", q + bias_u, k,

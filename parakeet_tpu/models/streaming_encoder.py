@@ -44,6 +44,12 @@ from parakeet_tpu.ops.layers import batch_norm_1d, conv1d, glu, layer_norm, line
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
+
+
+def _silu(x):
+    # inline (x * sigmoid(x)): jax.nn.silu lowers via closed_call, which this
+    # jax version fails to cache-lower when a pallas_call shares the jaxpr
+    return x * jax.nn.sigmoid(x)
 _NEG_INF = -1e9
 
 
@@ -138,7 +144,7 @@ def _causal_conv_module(
     new_cache = h[:, :, -(kernel_size - 1) :]
     h = conv1d(p.sub("depthwise_conv_"), h, groups=d)  # VALID → (B, d, chunk)
     h = batch_norm_1d(p.sub("batch_norm_"), h)
-    h = jax.nn.silu(h)
+    h = _silu(h)
     h = conv1d(p.sub("pointwise_conv2_"), h)
     return x + jnp.swapaxes(h, 1, 2), new_cache
 

@@ -1,0 +1,74 @@
+"""Fused Pallas attention vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from parakeet_tpu import config as C
+from parakeet_tpu import params as P
+from parakeet_tpu.models import encoder as E
+from parakeet_tpu.ops.pallas_attention import fused_rel_attention
+from parakeet_tpu.params import Params
+
+
+def test_fused_attention_matches_xla():
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=32,
+                          num_layers=1, num_heads=4, ffn_intermediate=64)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=3)
+    a = Params(params).sub("encoder_").sub("layers_").sub("0").sub("attn_")
+    rng = np.random.RandomState(0)
+    b, t, d, h = 2, 9, 32, 4
+    hd = d // h
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32) * 0.5)
+    pos_emb = E.sinusoidal_position_embedding(t, d)
+
+    ref = np.asarray(E.rel_position_attention(a, x, pos_emb, h))
+
+    # Build the fused-kernel inputs exactly as the integration does
+    from parakeet_tpu.ops.layers import linear
+
+    def split(v):
+        return jnp.transpose(v.reshape(b, t, h, hd), (0, 2, 1, 3))
+
+    q = split(linear(a.sub("mha_").sub("q_proj"), x))
+    k = split(linear(a.sub("mha_").sub("k_proj"), x))
+    v = split(linear(a.sub("mha_").sub("v_proj"), x))
+    bias_u = a["pos_bias_u_"][None, :, None, :]
+    bias_v = a["pos_bias_v_"][None, :, None, :]
+    pos = linear(a.sub("pos_proj_"), pos_emb)
+    pos = jnp.transpose(pos.reshape(-1, h, hd), (1, 0, 2))
+
+    fused = fused_rel_attention(q + bias_u, q + bias_v, k, v, pos, interpret=True)
+    fused = np.asarray(jnp.transpose(fused, (0, 2, 1, 3)).reshape(b, t, d))
+    ref_ctx = ref  # includes out_proj; apply out_proj to fused for comparison
+    fused_out = np.asarray(linear(a.sub("mha_").sub("out_proj"), jnp.asarray(fused)))
+
+    np.testing.assert_allclose(fused_out, ref_ctx, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_flag_end_to_end_interpret(monkeypatch):
+    """Encoder forward with the fused flag on (interpret via monkeypatch)
+    equals the XLA path."""
+    import parakeet_tpu.ops.pallas_attention as PA
+
+    orig = PA.fused_rel_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(PA, "fused_rel_attention", interp)
+
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                          num_layers=2, num_heads=2, ffn_intermediate=32)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=4)
+    root = Params(params).sub("encoder_")
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 48, 80).astype(np.float32))
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, x))
+    E.set_fused_attention(True)
+    try:
+        fused = np.asarray(E.fastconformer_encode(root, cfg, x))
+    finally:
+        E.set_fused_attention(False)
+    np.testing.assert_allclose(fused, ref, rtol=1e-3, atol=1e-5)
