@@ -7,13 +7,16 @@ layer. This kernel keeps the whole per-(batch, head) attention in VMEM:
 
     content = (Q+u) Kᵀ                  (T,T)   MXU
     raw     = (Q+v) Pᵀ                  (T,2T-1) MXU
-    shift   : row t ← raw[t, T-1-t : 2T-1-t]    (dynamic lane slices)
+    shift   : row t ← raw[t, T-1-t : 2T-1-t]
     softmax((content+shift)·scale) @ V  (T,hd)  MXU
 
-Nothing but Q/K/V/P and the (T,hd) output touches HBM. Numerics: scores and
-softmax in f32 (same as the XLA path); bf16 inputs supported.
+Mosaic constraints shape the implementation: dynamic lane slicing must be
+128-aligned and `pltpu.roll` needs aligned operands, so inputs are padded
+to lane-aligned shapes (T→⌈T/128⌉·128) and the shift is realized as one
+dynamic roll per row with pad columns masked to -inf; only Q/K/V/P and the
+(T,hd) output touch HBM. Scores/softmax in f32 (same as the XLA path).
 
-Grid: (B, H). Fits easily: T≈125, hd=64 → all operands < 1 MB.
+Grid: (B, H). T≈125, hd=64 → all operands ≪ 1 MB.
 """
 
 from __future__ import annotations
@@ -27,33 +30,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _F32 = jnp.float32
+_NEG_INF = -1e9
 
 
-def _attn_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, shifted_ref, *, scale: float):
-    # refs: (1, 1, T, hd) per (b, h) block; p_ref (1, 2T-1, hd); shifted (T, T) f32 scratch
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _attn_kernel(
+    qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, raw_ref, shifted_ref,
+    *, scale: float, t_real: int
+):
+    # blocks per (b, h): q/k/v (1,1,TP,hd); p (1,PLEN,hd); scratch (TP,PLEN)/(TP,TP)
     qu = qu_ref[0, 0]
     qv = qv_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     p = p_ref[0]
-    t = qu.shape[0]
+    tp = qu.shape[0]
 
-    hi = jax.lax.Precision.HIGHEST
+    # HIGHEST only matters (and is only Mosaic-supported) for f32 operands;
+    # bf16 MXU products accumulate in f32 regardless.
+    hi = jax.lax.Precision.HIGHEST if qu.dtype == _F32 else jax.lax.Precision.DEFAULT
     content = jax.lax.dot_general(
         qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    )  # (T, T)
-    raw = jax.lax.dot_general(
+    )  # (TP, TP)
+    raw_ref[:] = jax.lax.dot_general(
         qv, p, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    )  # (T, 2T-1)
+    )  # (TP, PLEN)
 
     def shift_row(i, _):
-        # row i of the shifted matrix = raw[i, (T-1-i) : (2T-1-i)]
-        shifted_ref[pl.ds(i, 1), :] = jax.lax.dynamic_slice(raw, (i, t - 1 - i), (1, t))
+        # row i of the shifted matrix = raw[i, (t_real-1-i) : (t_real-1-i)+TP]
+        row = raw_ref[pl.ds(i, 1), :]
+        rolled = pltpu.roll(row, -(t_real - 1 - i), 1)
+        shifted_ref[pl.ds(i, 1), :] = rolled[:, :tp]
         return 0
 
-    jax.lax.fori_loop(0, t, shift_row, 0)
+    jax.lax.fori_loop(0, tp, shift_row, 0)
 
     scores = (content + shifted_ref[:]) * scale
+    # mask pad key columns (s >= t_real); pad query rows are sliced on host
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    scores = jnp.where(col >= t_real, _NEG_INF, scores)
     # inline softmax (jax.nn.softmax lowers via closed_call; see module note)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -65,9 +83,9 @@ def _attn_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, shifted_ref, *, s
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
-def fused_rel_attention(  # no inner jit: nested closed_call trips this
-    # jax version's cached lowering (KeyError in _lower_jaxpr_to_fun_cached);
-    # callers are always inside an outer jit.
+def fused_rel_attention(
+    # no inner jit: nested closed_call trips this jax version's cached
+    # lowering; callers are always inside an outer jit.
     q_u: jnp.ndarray,  # (B, H, T, hd): Q + pos_bias_u
     q_v: jnp.ndarray,  # (B, H, T, hd): Q + pos_bias_v
     k: jnp.ndarray,  # (B, H, T, hd)
@@ -77,12 +95,21 @@ def fused_rel_attention(  # no inner jit: nested closed_call trips this
 ) -> jnp.ndarray:
     b, h, t, hd = q_u.shape
     scale = 1.0 / math.sqrt(hd)
-    kernel = functools.partial(_attn_kernel, scale=scale)
+    tp = _round_up(t, 128)
+    plen = _round_up(2 * t - 1, 128)
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+
+    q_u, q_v, k, v = pad_t(q_u), pad_t(q_v), pad_t(k), pad_t(v)
+    p = jnp.pad(p, ((0, 0), (0, plen - (2 * t - 1)), (0, 0)))
+
+    kernel = functools.partial(_attn_kernel, scale=scale, t_real=t)
 
     def qspec():
-        return pl.BlockSpec((1, 1, t, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, tp, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, h),
         in_specs=[
@@ -90,13 +117,14 @@ def fused_rel_attention(  # no inner jit: nested closed_call trips this
             qspec(),
             qspec(),
             qspec(),
-            pl.BlockSpec((1, 2 * t - 1, hd), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, plen, hd), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, t, hd), q_u.dtype),
-        scratch_shapes=[pltpu.VMEM((t, t), _F32)],
+        out_specs=pl.BlockSpec((1, 1, tp, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, hd), q_u.dtype),
+        scratch_shapes=[pltpu.VMEM((tp, plen), _F32), pltpu.VMEM((tp, tp), _F32)],
         interpret=interpret,
     )(q_u, q_v, k, v, p)
+    return out[:, :, :t, :]
 
 
 __all__ = ["fused_rel_attention"]
