@@ -155,6 +155,7 @@ def rel_position_attention(
     pos_emb: jnp.ndarray,
     num_heads: int,
     mask: jnp.ndarray | None = None,
+    lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """NeMo-style relative-position MHSA (encoder.cpp:112-181).
 
@@ -173,12 +174,12 @@ def rel_position_attention(
     bias_u = p["pos_bias_u_"].astype(x.dtype)[None, :, None, :]  # (1,H,1,hd)
     bias_v = p["pos_bias_v_"].astype(x.dtype)[None, :, None, :]
 
-    if _FUSED_ATTENTION and mask is None:
+    if _FUSED_ATTENTION and (mask is None or lengths is not None):
         from parakeet_tpu.ops.pallas_attention import fused_rel_attention
 
         pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
         pos = jnp.transpose(pos.reshape(-1, num_heads, head_dim), (1, 0, 2))
-        out = fused_rel_attention(q + bias_u, q + bias_v, k, v, pos)
+        out = fused_rel_attention(q + bias_u, q + bias_v, k, v, pos, lengths=lengths)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
         return linear(mha.sub("out_proj"), out)
 
@@ -210,12 +211,13 @@ def conformer_block(
     cfg: EncoderConfig,
     mask: jnp.ndarray | None = None,
     pad_mask: jnp.ndarray | None = None,
+    lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """ffn1 → attn → conv → ffn2 → final LayerNorm (encoder.cpp:196-204)."""
     eps = cfg.layer_norm_eps
     x = feed_forward(p.sub("ffn1_"), x, eps)
     attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
-    x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask)
+    x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
     x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask)
     x = feed_forward(p.sub("ffn2_"), x, eps)
     return layer_norm(p.sub("final_norm_"), x, eps)
@@ -252,7 +254,7 @@ def fastconformer_encode(
     t = x.shape[1]
     pos_emb = sinusoidal_position_embedding(t, cfg.hidden_size)
 
-    mask = pad_mask = None
+    mask = pad_mask = enc_lengths = None
     if lengths is not None:
         enc_lengths = jnp.minimum(encoded_lengths(lengths), t)
         mask = length_mask(enc_lengths, t)
@@ -260,7 +262,7 @@ def fastconformer_encode(
 
     layers = p.sub("layers_")
     for i in range(cfg.num_layers):
-        x = conformer_block(layers.sub(str(i)), x, pos_emb, cfg, mask, pad_mask)
+        x = conformer_block(layers.sub(str(i)), x, pos_emb, cfg, mask, pad_mask, enc_lengths)
     return x
 
 

@@ -38,8 +38,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(
-    qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, raw_ref, shifted_ref,
-    *, scale: float, t_real: int
+    len_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, *, scale: float, t_real: int
 ):
     # blocks per (b, h): q/k/v (1,1,TP,hd); p (1,PLEN,hd); scratch (TP,PLEN)/(TP,TP)
     qu = qu_ref[0, 0]
@@ -55,23 +54,30 @@ def _attn_kernel(
     content = jax.lax.dot_general(
         qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     )  # (TP, TP)
-    raw_ref[:] = jax.lax.dot_general(
+    raw = jax.lax.dot_general(
         qv, p, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     )  # (TP, PLEN)
 
-    def shift_row(i, _):
-        # row i of the shifted matrix = raw[i, (t_real-1-i) : (t_real-1-i)+TP]
-        row = raw_ref[pl.ds(i, 1), :]
-        rolled = pltpu.roll(row, -(t_real - 1 - i), 1)
-        shifted_ref[pl.ds(i, 1), :] = rolled[:, :tp]
-        return 0
+    # rel_shift, vectorized: row i needs a left-roll by (t_real-1-i). Apply
+    # the per-row shifts via binary decomposition — ceil(log2 T) static
+    # full-matrix rolls + masked selects instead of T serialized row rolls.
+    plen = raw.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tp, plen), 0)
+    shifts = jnp.where(rows < t_real, t_real - 1 - rows, 0)
+    mat = raw
+    bit = 1
+    while bit < t_real:  # static python loop
+        rolled = pltpu.roll(mat, plen - bit, 1)  # left-roll by bit (shift ≥ 0)
+        mat = jnp.where((shifts & bit) > 0, rolled, mat)
+        bit <<= 1
+    shifted = mat[:, :tp]
 
-    jax.lax.fori_loop(0, tp, shift_row, 0)
-
-    scores = (content + shifted_ref[:]) * scale
-    # mask pad key columns (s >= t_real); pad query rows are sliced on host
+    scores = (content + shifted) * scale
+    # mask pad key columns (s >= per-item valid length); pad query rows give
+    # garbage but are zero-filled/sliced downstream (same as the XLA path)
+    kv_len = jnp.minimum(len_ref[0], t_real)
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-    scores = jnp.where(col >= t_real, _NEG_INF, scores)
+    scores = jnp.where(col >= kv_len, _NEG_INF, scores)
     # inline softmax (jax.nn.softmax lowers via closed_call; see module note)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -91,12 +97,16 @@ def fused_rel_attention(
     k: jnp.ndarray,  # (B, H, T, hd)
     v: jnp.ndarray,  # (B, H, T, hd)
     p: jnp.ndarray,  # (H, 2T-1, hd): per-head projected position table
+    lengths: jnp.ndarray | None = None,  # (B,) valid key counts (pad masking)
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, t, hd = q_u.shape
     scale = 1.0 / math.sqrt(hd)
     tp = _round_up(t, 128)
     plen = _round_up(2 * t - 1, 128)
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    lengths = lengths.astype(jnp.int32)
 
     def pad_t(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
@@ -113,6 +123,7 @@ def fused_rel_attention(
         kernel,
         grid=(b, h),
         in_specs=[
+            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
             qspec(),
             qspec(),
             qspec(),
@@ -121,9 +132,8 @@ def fused_rel_attention(
         ],
         out_specs=pl.BlockSpec((1, 1, tp, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, hd), q_u.dtype),
-        scratch_shapes=[pltpu.VMEM((tp, plen), _F32), pltpu.VMEM((tp, tp), _F32)],
         interpret=interpret,
-    )(q_u, q_v, k, v, p)
+    )(lengths, q_u, q_v, k, v, p)
     return out[:, :, :t, :]
 
 

@@ -72,3 +72,36 @@ def test_fused_flag_end_to_end_interpret(monkeypatch):
     finally:
         E.set_fused_attention(False)
     np.testing.assert_allclose(fused, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_fused_masked_matches_xla_lengths(monkeypatch):
+    """Padded batch + per-item lengths: fused path == XLA masked path for
+    the valid region."""
+    import parakeet_tpu.ops.pallas_attention as PA
+
+    orig = PA.fused_rel_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(PA, "fused_rel_attention", interp)
+
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                          num_layers=2, num_heads=2, ffn_intermediate=32)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=9)
+    root = Params(params).sub("encoder_")
+    mel = np.zeros((2, 80, 80), np.float32)
+    mel[0, :64] = np.random.RandomState(2).randn(64, 80)
+    mel[1, :80] = np.random.RandomState(3).randn(80, 80)
+    lengths = jnp.asarray([64, 80])
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    E.set_fused_attention(True)
+    try:
+        fused = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    finally:
+        E.set_fused_attention(False)
+    t_valid = E.subsample_length(64)
+    np.testing.assert_allclose(fused[0, :t_valid], ref[0, :t_valid], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(fused[1], ref[1], rtol=1e-3, atol=1e-5)
