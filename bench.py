@@ -31,20 +31,27 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--secs", type=int, default=10)
-    ap.add_argument("--iters", type=int, default=10, help="chained on-device iterations")
+    ap.add_argument("--iters", type=int, default=5, help="chained on-device iterations")
     ap.add_argument("--full", action="store_true", help="include CTC head")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the fused Pallas attention kernel")
     args = ap.parse_args()
 
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from jax import lax
+
 
     from parakeet_tpu import config as C
     from parakeet_tpu import params as P
     from parakeet_tpu.models.ctc import ctc_log_probs
     from parakeet_tpu.models.encoder import fastconformer_encode
     from parakeet_tpu.params import Params, cast_params
+
+    if not args.no_fused:
+        from parakeet_tpu.models.encoder import set_fused_attention
+
+        set_fused_attention(True)
 
     cfg = C.make_110m_config()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -59,14 +66,16 @@ def main() -> int:
     @jax.jit
     def chained(p, feats):
         # k data-dependent forwards; a single scalar leaves the device.
-        def body(i, acc):
+        # Unrolled python loop (not fori_loop): a pallas_call inside a loop
+        # closure trips this jax version's cached lowering.
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(k):
             x = feats + (acc * 1e-12).astype(feats.dtype)
             out = fastconformer_encode(Params(p).sub("encoder_"), cfg.encoder, x)
             if args.full:
                 out = ctc_log_probs(Params(p).sub("ctc_decoder_"), out)
-            return jnp.sum(out).astype(jnp.float32)
-
-        return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+            acc = jnp.sum(out).astype(jnp.float32)
+        return acc
 
     feats = jnp.asarray(
         np.random.RandomState(0).randn(args.batch, mel_frames, cfg.encoder.mel_bins),

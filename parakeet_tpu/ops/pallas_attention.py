@@ -75,7 +75,7 @@ def _attn_kernel(
     scores = (content + shifted) * scale
     # mask pad key columns (s >= per-item valid length); pad query rows give
     # garbage but are zero-filled/sliced downstream (same as the XLA path)
-    kv_len = jnp.minimum(len_ref[0], t_real)
+    kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     scores = jnp.where(col >= kv_len, _NEG_INF, scores)
     # inline softmax (jax.nn.softmax lowers via closed_call; see module note)
@@ -106,7 +106,7 @@ def fused_rel_attention(
     plen = _round_up(2 * t - 1, 128)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
-    lengths = lengths.astype(jnp.int32)
+    lengths = lengths.astype(jnp.int32).reshape(b, 1)  # SMEM scalars are 2D
 
     def pad_t(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
@@ -123,7 +123,9 @@ def fused_rel_attention(
         kernel,
         grid=(b, h),
         in_specs=[
-            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
+            # whole (B,1) lengths vector in SMEM for every program; indexed
+            # by program_id (block dims must equal SMEM array dims)
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             qspec(),
             qspec(),
             qspec(),
