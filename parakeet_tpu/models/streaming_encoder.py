@@ -63,7 +63,7 @@ def init_encoder_cache(cfg: StreamingEncoderConfig, batch: int, dtype=_F32) -> d
         "conv": jnp.zeros((l, batch, d, k - 1), dtype),
         "key": jnp.zeros((l, batch, h, left, hd), dtype),
         "value": jnp.zeros((l, batch, h, left, hd), dtype),
-        "valid": jnp.zeros((), jnp.int32),  # filled KV slots (≤ left)
+        "valid": jnp.zeros((batch,), jnp.int32),  # per-item filled KV slots (≤ left)
     }
 
 
@@ -73,7 +73,7 @@ def _streaming_attention(
     pos_tail: jnp.ndarray,  # (tc, d): P rows tc-1 … 2tc-2 (positions 0…-(tc-1))
     k_cache: jnp.ndarray,  # (B, H, left, hd)
     v_cache: jnp.ndarray,
-    valid: jnp.ndarray,  # () int32
+    valid: jnp.ndarray,  # (B,) int32 — per-item filled cache slots
     num_heads: int,
     att_left: int,
     att_right: int,
@@ -118,9 +118,11 @@ def _streaming_attention(
     qi = jnp.arange(chunk)[:, None]
     ki = jnp.arange(tc)[None, :]
     dist = (left + qi) - ki
-    mask = (dist > att_left) | (-dist > att_right)
-    mask = mask | (ki < left - valid)  # unfilled cache slots
-    scores = jnp.where(mask[None, None], _NEG_INF, scores)
+    mask = (dist > att_left) | (-dist > att_right)  # (chunk, tc)
+    # per-item unfilled cache slots: (B, 1, chunk, tc)
+    unfilled = ki[None] < (left - valid)[:, None, None]
+    full_mask = mask[None, None] | unfilled[:, None]
+    scores = jnp.where(full_mask, _NEG_INF, scores)
 
     attn = jax.nn.softmax(scores.astype(_F32), axis=-1).astype(x.dtype)
     out = jnp.einsum(

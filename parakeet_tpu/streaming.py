@@ -175,4 +175,145 @@ class NemotronTranscriber(_StreamingBase):
         return P.nemotron_spec(self._cfg)
 
 
-__all__ = ["StreamingTranscriber", "NemotronTranscriber", "PartialResultCallback"]
+class StreamingBatchTranscriber:
+    """Serve B concurrent streaming sessions in lockstep (TPU addition —
+    the reference is strictly single-stream).
+
+    Fixed B slots share ONE compiled encoder-chunk program and ONE jitted
+    decode loop. Each slot has its own mel preprocessor and frame queue;
+    whenever every active slot has ≥ `mel_frames_per_step` mel frames
+    buffered, a uniform step runs for the whole batch (inactive slots feed
+    zeros and are ignored). `reset_slot(i)` zeroes slot i's caches/decode
+    state in place so streams can join/leave without recompiling.
+    """
+
+    def __init__(
+        self,
+        batch: int,
+        weights_path: str | None = None,
+        vocab_path: str | None = None,
+        config: EOUConfig | None = None,
+        *,
+        params: dict | None = None,
+        mel_frames_per_step: int = 16,  # multiple of 8 (subsampling stride)
+        seed: int = 0,
+    ):
+        import jax.numpy as jnp
+        from parakeet_tpu.models.streaming_encoder import (
+            init_encoder_cache,
+            streaming_encoder_chunk,
+        )
+
+        if mel_frames_per_step % 8:
+            raise ValueError("mel_frames_per_step must be a multiple of 8")
+        self.batch = batch
+        self.config = config or make_eou_120m_config()
+        self._mel_step = mel_frames_per_step
+        self._chunk_fn = streaming_encoder_chunk
+        self._init_cache_fn = init_encoder_cache
+
+        proto = StreamingTranscriber(weights_path, vocab_path, self.config,
+                                     params=params, seed=seed)
+        self.params = proto.params
+        self.tokenizer = proto.tokenizer
+        self._blank_id = proto._blank_id
+        self._audio_cfg = proto._audio_cfg
+
+        self.reset()
+
+    def reset(self) -> None:
+        import numpy as np
+        import jax.numpy as jnp
+
+        cfg = self.config
+        self._cache = self._init_cache_fn(cfg.encoder, self.batch)
+        self._pre = [StreamingAudioPreprocessor(self._audio_cfg) for _ in range(self.batch)]
+        self._queues = [np.zeros((0, cfg.encoder.mel_bins), np.float32) for _ in range(self.batch)]
+        self._last_token = jnp.full((self.batch,), self._blank_id, jnp.int32)
+        self._lstm = prediction_zero_state(
+            cfg.prediction.num_lstm_layers, self.batch, cfg.prediction.pred_hidden
+        )
+        self._tokens: list[list[int]] = [[] for _ in range(self.batch)]
+        self._frame_offset = [0] * self.batch
+
+    def reset_slot(self, slot: int) -> None:
+        """Clear one stream's state in place (stream leave/join)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        self._pre[slot].reset()
+        self._queues[slot] = np.zeros((0, self.config.encoder.mel_bins), np.float32)
+        self._cache = {
+            "conv": self._cache["conv"].at[:, slot].set(0.0),
+            "key": self._cache["key"].at[:, slot].set(0.0),
+            "value": self._cache["value"].at[:, slot].set(0.0),
+            "valid": self._cache["valid"].at[slot].set(0),
+        }
+        self._last_token = self._last_token.at[slot].set(self._blank_id)
+        self._lstm = self._lstm.at[:, :, slot].set(0.0)
+        self._tokens[slot] = []
+        self._frame_offset[slot] = 0
+
+    def push(self, slot: int, samples) -> None:
+        """Feed raw PCM to one slot's frontend."""
+        import numpy as np
+
+        x = np.asarray(samples)
+        if x.dtype == np.int16:
+            x = x.astype(np.float32) / 32768.0
+        feats = self._pre[slot].process_chunk(x.astype(np.float32).reshape(-1))
+        if feats is not None:
+            self._queues[slot] = np.concatenate(
+                [self._queues[slot], np.asarray(feats)[0]], axis=0
+            )
+
+    def ready(self) -> bool:
+        return all(q.shape[0] >= self._mel_step for q in self._queues)
+
+    def step(self) -> list[list[int]]:
+        """Run one uniform batch step; returns new tokens per slot.
+        Requires ready() (every slot has mel_frames_per_step frames)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        if not self.ready():
+            raise RuntimeError("not every slot has enough buffered mel frames; check ready()")
+        mel = np.stack([q[: self._mel_step] for q in self._queues])
+        self._queues = [q[self._mel_step :] for q in self._queues]
+
+        enc, self._cache = self._chunk_fn(
+            self.params, jnp.asarray(mel), self._cache, cfg=self.config.encoder
+        )
+        res = transducer_greedy_decode(
+            self.params,
+            enc,
+            pred_hidden=self.config.prediction.pred_hidden,
+            num_lstm_layers=self.config.prediction.num_lstm_layers,
+            durations=tuple(self.config.durations),
+            blank_id=self._blank_id,
+            is_tdt=True,
+            joint_prefix="tdt_joint_",
+            init_token=self._last_token,
+            init_lstm=self._lstm,
+            clamp_end=False,
+        )
+        self._last_token = res.last_token
+        self._lstm = res.lstm_state
+        chunk_len = enc.shape[1]
+        for i in range(self.batch):
+            self._tokens[i].extend(res.tokens[i])
+            self._frame_offset[i] += chunk_len
+        return res.tokens
+
+    def get_text(self, slot: int) -> str:
+        if self.tokenizer.loaded and self._tokens[slot]:
+            return self.tokenizer.decode(self._tokens[slot])
+        return ""
+
+
+__all__ = [
+    "StreamingTranscriber",
+    "NemotronTranscriber",
+    "StreamingBatchTranscriber",
+    "PartialResultCallback",
+]

@@ -172,3 +172,40 @@ def test_mapping_covers_spec_keys():
     }
     missing = [k for k in spec if k not in produced and k not in special]
     assert missing == [], missing
+
+
+def test_nemo_tar_roundtrip(tmp_path):
+    """Full .nemo archive path: tar with model_weights.ckpt + vocab file."""
+    import tarfile
+
+    torch = pytest.importorskip("torch")
+    cfg = small_110m()
+    sd = synthetic_nemo_110m(cfg)
+    ckpt = tmp_path / "model_weights.ckpt"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    vocab_src = tmp_path / "tokenizer.vocab"
+    vocab_src.write_text("▁hello\t-1.0\n▁world\t-2.0\nxx\t-3.0\n")
+    nemo = tmp_path / "model.nemo"
+    with tarfile.open(nemo, "w") as tar:
+        tar.add(ckpt, arcname="model_weights.ckpt")
+        tar.add(vocab_src, arcname="tokenizer.vocab")
+
+    import parakeet_tpu.tools.convert as conv_mod
+    from parakeet_tpu.tools.convert import extract_vocab
+
+    preset = dict(PRESETS["110m-tdt-ctc"])
+    preset.update(num_layers=2, vocab_size=11)
+    old = conv_mod.PRESETS["110m-tdt-ctc"]
+    conv_mod.PRESETS["110m-tdt-ctc"] = preset
+    try:
+        out = convert(nemo, tmp_path / "m.safetensors", "110m-tdt-ctc", verbose=False)
+    finally:
+        conv_mod.PRESETS["110m-tdt-ctc"] = old
+    assert "encoder_.layers_.1.final_norm_.weight" in out
+
+    n = extract_vocab(nemo, tmp_path / "vocab.txt")
+    assert n == 3
+    from parakeet_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(tmp_path / "vocab.txt")
+    assert tok.decode([0, 1]) == "hello world"
