@@ -56,6 +56,8 @@ from parakeet_tpu.models.sortformer import (
 from parakeet_tpu.audio.io import AudioData, get_audio_duration, read_audio, resample
 from parakeet_tpu.audio.frontend import StreamingAudioPreprocessor, preprocess_audio
 from parakeet_tpu.decode.phrase_boost import ContextTrie
+from parakeet_tpu.models.encoder import set_fused_attention
+from parakeet_tpu.metrics import corpus_wer, word_error_rate
 from parakeet_tpu.decode.timestamp import (
     FRAME_DURATION_S,
     TimestampedToken,
@@ -110,6 +112,9 @@ __all__ = [
     "preprocess_audio",
     "StreamingAudioPreprocessor",
     "ContextTrie",
+    "set_fused_attention",
+    "word_error_rate",
+    "corpus_wer",
     "FRAME_DURATION_S",
     "TimestampedToken",
     "WordTimestamp",
