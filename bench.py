@@ -9,8 +9,10 @@ RTF = time/audio_sec), extended to a batch (TPU throughput lever).
 Timing methodology for this environment: the TPU is reached through a
 relay whose `block_until_ready` acks without executing, and every host
 fetch pays ~25 ms round-trip. We therefore chain K data-dependent encoder
-iterations inside one jitted `lax.fori_loop` and fetch a single scalar —
-one round-trip amortized over K real forwards.
+iterations UNROLLED inside one jitted function (NOT fori_loop — a
+pallas_call inside a loop closure crashes this jax version's lowering
+cache) and fetch a single scalar — one round-trip amortized over K real
+forwards.
 
 vs_baseline compares against the reference's best published number:
 110m encoder, 10 s audio, Apple M3 GPU = 27 ms → RTFx 370 (README.md:464).

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from parakeet_tpu.config import StreamingEncoderConfig
 from parakeet_tpu.models.encoder import (
+    _silu,
     conv_subsampling,
     feed_forward,
     sinusoidal_position_embedding,
@@ -44,12 +45,6 @@ from parakeet_tpu.ops.layers import batch_norm_1d, conv1d, glu, layer_norm, line
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
-
-
-def _silu(x):
-    # inline (x * sigmoid(x)): jax.nn.silu lowers via closed_call, which this
-    # jax version fails to cache-lower when a pallas_call shares the jaxpr
-    return x * jax.nn.sigmoid(x)
 _NEG_INF = -1e9
 
 

@@ -181,10 +181,11 @@ class StreamingBatchTranscriber:
 
     Fixed B slots share ONE compiled encoder-chunk program and ONE jitted
     decode loop. Each slot has its own mel preprocessor and frame queue;
-    whenever every active slot has ≥ `mel_frames_per_step` mel frames
-    buffered, a uniform step runs for the whole batch (inactive slots feed
-    zeros and are ignored). `reset_slot(i)` zeroes slot i's caches/decode
-    state in place so streams can join/leave without recompiling.
+    `ready()`/`step()` run a uniform batch step once every ACTIVE slot has
+    ≥ `mel_frames_per_step` mel frames buffered. Inactive slots feed zero
+    frames and their decoded tokens are discarded. Streams leave with
+    `deactivate_slot(i)` and (re)join with `reset_slot(i)` — both are
+    in-place state edits; nothing recompiles.
     """
 
     def __init__(
@@ -198,7 +199,6 @@ class StreamingBatchTranscriber:
         mel_frames_per_step: int = 16,  # multiple of 8 (subsampling stride)
         seed: int = 0,
     ):
-        import jax.numpy as jnp
         from parakeet_tpu.models.streaming_encoder import (
             init_encoder_cache,
             streaming_encoder_chunk,
@@ -222,9 +222,6 @@ class StreamingBatchTranscriber:
         self.reset()
 
     def reset(self) -> None:
-        import numpy as np
-        import jax.numpy as jnp
-
         cfg = self.config
         self._cache = self._init_cache_fn(cfg.encoder, self.batch)
         self._pre = [StreamingAudioPreprocessor(self._audio_cfg) for _ in range(self.batch)]
@@ -234,13 +231,18 @@ class StreamingBatchTranscriber:
             cfg.prediction.num_lstm_layers, self.batch, cfg.prediction.pred_hidden
         )
         self._tokens: list[list[int]] = [[] for _ in range(self.batch)]
+        self._timestamped: list[list[TimestampedToken]] = [[] for _ in range(self.batch)]
         self._frame_offset = [0] * self.batch
+        self._active = [True] * self.batch
+
+    def deactivate_slot(self, slot: int) -> None:
+        """Mark a slot vacant: it feeds zero frames and its decode output is
+        discarded, so the remaining streams keep flowing."""
+        self._active[slot] = False
 
     def reset_slot(self, slot: int) -> None:
-        """Clear one stream's state in place (stream leave/join)."""
-        import jax.numpy as jnp
-        import numpy as np
-
+        """Clear one stream's state in place and (re)activate it."""
+        self._active[slot] = True
         self._pre[slot].reset()
         self._queues[slot] = np.zeros((0, self.config.encoder.mel_bins), np.float32)
         self._cache = {
@@ -252,12 +254,11 @@ class StreamingBatchTranscriber:
         self._last_token = self._last_token.at[slot].set(self._blank_id)
         self._lstm = self._lstm.at[:, :, slot].set(0.0)
         self._tokens[slot] = []
+        self._timestamped[slot] = []
         self._frame_offset[slot] = 0
 
     def push(self, slot: int, samples) -> None:
         """Feed raw PCM to one slot's frontend."""
-        import numpy as np
-
         x = np.asarray(samples)
         if x.dtype == np.int16:
             x = x.astype(np.float32) / 32768.0
@@ -268,18 +269,28 @@ class StreamingBatchTranscriber:
             )
 
     def ready(self) -> bool:
-        return all(q.shape[0] >= self._mel_step for q in self._queues)
+        return any(self._active) and all(
+            q.shape[0] >= self._mel_step
+            for q, act in zip(self._queues, self._active)
+            if act
+        )
 
     def step(self) -> list[list[int]]:
-        """Run one uniform batch step; returns new tokens per slot.
-        Requires ready() (every slot has mel_frames_per_step frames)."""
-        import numpy as np
-        import jax.numpy as jnp
-
+        """Run one uniform batch step; returns new tokens per ACTIVE slot
+        (empty lists for inactive slots). Requires ready()."""
         if not self.ready():
-            raise RuntimeError("not every slot has enough buffered mel frames; check ready()")
-        mel = np.stack([q[: self._mel_step] for q in self._queues])
-        self._queues = [q[self._mel_step :] for q in self._queues]
+            raise RuntimeError(
+                "not every active slot has enough buffered mel frames; check ready()"
+            )
+        zeros = np.zeros((self._mel_step, self.config.encoder.mel_bins), np.float32)
+        mel = np.stack([
+            q[: self._mel_step] if act else zeros
+            for q, act in zip(self._queues, self._active)
+        ])
+        self._queues = [
+            q[self._mel_step :] if act else q
+            for q, act in zip(self._queues, self._active)
+        ]
 
         enc, self._cache = self._chunk_fn(
             self.params, jnp.asarray(mel), self._cache, cfg=self.config.encoder
@@ -300,15 +311,29 @@ class StreamingBatchTranscriber:
         self._last_token = res.last_token
         self._lstm = res.lstm_state
         chunk_len = enc.shape[1]
+        out: list[list[int]] = []
         for i in range(self.batch):
+            if not self._active[i]:
+                out.append([])
+                continue
             self._tokens[i].extend(res.tokens[i])
+            off = self._frame_offset[i]
+            self._timestamped[i].extend(
+                TimestampedToken(t.token_id, t.start_frame + off, t.end_frame + off, t.confidence)
+                for t in res.timestamped[i]
+            )
             self._frame_offset[i] += chunk_len
-        return res.tokens
+            out.append(res.tokens[i])
+        return out
 
     def get_text(self, slot: int) -> str:
         if self.tokenizer.loaded and self._tokens[slot]:
             return self.tokenizer.decode(self._tokens[slot])
         return ""
+
+    def get_timestamped_tokens(self, slot: int) -> list[TimestampedToken]:
+        """Stream-absolute timestamped tokens for one slot."""
+        return list(self._timestamped[slot])
 
 
 __all__ = [

@@ -277,3 +277,39 @@ def test_streaming_batch_transcriber_slots():
         while bt.ready():
             bt.step()
     assert bt._tokens[0] == toks_a, "slot reset must reproduce a fresh stream"
+
+
+def test_streaming_batch_deactivate_slot():
+    """A vacated slot must not stall the batch; reactivation works."""
+    from parakeet_tpu.streaming import StreamingBatchTranscriber
+
+    cfg = C.EOUConfig(
+        encoder=tiny_streaming_cfg(att_context_right=0),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=13),
+        ctc_vocab_size=13,
+    )
+    rng = np.random.RandomState(7)
+    audio = (rng.randn(6400) * 0.1).astype(np.float32)
+
+    bt = StreamingBatchTranscriber(2, None, None, cfg, seed=5)
+    bt.deactivate_slot(1)  # slot 1 never fed
+    for s in range(0, 6400, 3200):
+        bt.push(0, audio[s : s + 3200])
+        while bt.ready():
+            out = bt.step()
+            assert out[1] == []  # inactive slot yields nothing
+    assert bt._tokens[1] == []
+    toks_before = list(bt._tokens[0])
+
+    # slot 1 joins mid-session
+    bt.reset_slot(1)
+    bt.push(0, audio)
+    bt.push(1, audio)
+    while bt.ready():
+        bt.step()
+    assert bt._tokens[0][: len(toks_before)] == toks_before
+    # per-slot timestamps are stream-absolute and monotonic
+    ts0 = bt.get_timestamped_tokens(0)
+    starts = [t.start_frame for t in ts0]
+    assert starts == sorted(starts)
