@@ -13,7 +13,7 @@ as static arguments to `jax.jit`.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 
 
 def _frozen(cls):

@@ -14,7 +14,7 @@ the caller chooses (default float32, matching convert_nemo.py:501).
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from typing import Callable
 
 import numpy as np
 import jax.numpy as jnp
