@@ -37,7 +37,13 @@ import jax
 import jax.numpy as jnp
 
 from parakeet_tpu.decode.timestamp import TimestampedToken
-from parakeet_tpu.models.rnnt import prediction_step, prediction_zero_state, tdt_joint, rnnt_joint
+from parakeet_tpu.models.rnnt import (
+    joint_encoder_projection,
+    prediction_step,
+    prediction_zero_state,
+    rnnt_joint_precomputed,
+    tdt_joint_precomputed,
+)
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
@@ -96,6 +102,11 @@ def _decode_loop(
     batch_ix = jnp.arange(b)
     use_boost = boost_trans is not None
 
+    # Hoist the encoder-side joint projection out of the loop: one large
+    # MXU matmul over all frames instead of a matmul per decode iteration
+    # (numerically identical; the reference recomputes it per step).
+    enc_pre = joint_encoder_projection(joint_p, enc)  # (B, T, joint_h)
+
     out_tok = jnp.zeros((b, max_out), jnp.int32)
     out_start = jnp.zeros((b, max_out), jnp.int32)
     out_end = jnp.zeros((b, max_out), jnp.int32)
@@ -124,15 +135,15 @@ def _decode_loop(
         t, token, lstm, sym = s["t"], s["token"], s["lstm"], s["sym"]
         active = t < enc_len
         t_idx = jnp.clip(t, 0, t_max - 1)
-        enc_t = enc[batch_ix, t_idx]  # (B, H)
+        enc_pre_t = enc_pre[batch_ix, t_idx]  # (B, joint_h)
 
         pred, new_lstm = prediction_step(pred_p, token, lstm, num_lstm_layers)
         if is_tdt:
-            label_lp, dur_lp = tdt_joint(joint_p, enc_t, pred)
+            label_lp, dur_lp = tdt_joint_precomputed(joint_p, enc_pre_t, pred)
             dur_idx = jnp.argmax(dur_lp, axis=-1).astype(jnp.int32)
             skip = dur_arr[jnp.clip(dur_idx, 0, len(durations) - 1)]
         else:
-            label_lp = rnnt_joint(joint_p, enc_t, pred)
+            label_lp = rnnt_joint_precomputed(joint_p, enc_pre_t, pred)
             skip = jnp.zeros((b,), jnp.int32)
 
         if use_boost:

@@ -42,9 +42,24 @@ def prediction_zero_state(num_lstm_layers: int, batch: int, pred_hidden: int, dt
     return lstm_zero_state(num_lstm_layers, batch, pred_hidden, dtype)
 
 
+def joint_encoder_projection(p: Params, enc: jnp.ndarray) -> jnp.ndarray:
+    """Precompute enc_proj over all frames: (B, T, enc_h) → (B, T, joint_h).
+
+    The reference evaluates enc_proj once per decode STEP (rnnt.cpp:40);
+    hoisting it out of the decode loop is numerically identical (row-wise
+    matmul) and turns a per-iteration matmul into one large MXU op."""
+    return linear(p.sub("enc_proj_"), enc)
+
+
 def rnnt_joint(p: Params, enc: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
     """(…, enc_h) × (…, pred_h) → (…, V) log-probs (rnnt.cpp:38-44)."""
     hidden = jax.nn.relu(linear(p.sub("enc_proj_"), enc) + linear(p.sub("pred_proj_"), pred))
+    return jax.nn.log_softmax(linear(p.sub("out_proj_"), hidden).astype(_F32), axis=-1)
+
+
+def rnnt_joint_precomputed(p: Params, enc_pre: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    """rnnt_joint with enc_proj already applied (joint_encoder_projection)."""
+    hidden = jax.nn.relu(enc_pre + linear(p.sub("pred_proj_"), pred))
     return jax.nn.log_softmax(linear(p.sub("out_proj_"), hidden).astype(_F32), axis=-1)
 
 
@@ -53,6 +68,16 @@ def tdt_joint(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(…, enc_h) × (…, pred_h) → ((…, V), (…, D)) log-probs (tdt.cpp:15-24)."""
     hidden = jax.nn.relu(linear(p.sub("enc_proj_"), enc) + linear(p.sub("pred_proj_"), pred))
+    label_lp = jax.nn.log_softmax(linear(p.sub("label_proj_"), hidden).astype(_F32), axis=-1)
+    dur_lp = jax.nn.log_softmax(linear(p.sub("duration_proj_"), hidden).astype(_F32), axis=-1)
+    return label_lp, dur_lp
+
+
+def tdt_joint_precomputed(
+    p: Params, enc_pre: jnp.ndarray, pred: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """tdt_joint with enc_proj already applied (joint_encoder_projection)."""
+    hidden = jax.nn.relu(enc_pre + linear(p.sub("pred_proj_"), pred))
     label_lp = jax.nn.log_softmax(linear(p.sub("label_proj_"), hidden).astype(_F32), axis=-1)
     dur_lp = jax.nn.log_softmax(linear(p.sub("duration_proj_"), hidden).astype(_F32), axis=-1)
     return label_lp, dur_lp
