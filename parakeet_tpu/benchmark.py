@@ -80,6 +80,8 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--markdown", action="store_true")
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the bench into DIR")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -89,6 +91,19 @@ def main(argv=None) -> int:
 
     models = [m.strip() for m in args.models.split(",")]
     durations = [int(d) for d in args.durations.split(",")]
+
+    profiler_cm = None
+    if args.profile:
+        import contextlib
+        import jax
+
+        try:
+            profiler_cm = jax.profiler.trace(args.profile)
+            profiler_cm.__enter__()
+            print(f"# profiling to {args.profile}", file=sys.stderr)
+        except Exception as e:  # profiling may be unsupported on remote relays
+            print(f"# profiler unavailable: {e}", file=sys.stderr)
+            profiler_cm = None
 
     rows = []
     for model in models:
@@ -101,6 +116,9 @@ def main(argv=None) -> int:
                 f"{dt * 1e3:8.1f} ms  RTF {dt / audio_s:.5f}  {audio_s / dt:8.1f}x realtime",
                 file=sys.stderr,
             )
+
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
 
     if args.markdown:
         print("| Model | Audio | Time (ms) | RTF | Throughput |")

@@ -183,8 +183,12 @@ def run_both(seed, is_tdt, lstm_layers=1, trie=None, boost_score=0.0, t_len=25, 
         )
 
 
-def test_tdt_decode_matches_oracle():
-    run_both(seed=0, is_tdt=True)
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [0, 6, 7])
+def test_tdt_decode_matches_oracle(seed):
+    run_both(seed=seed, is_tdt=True)
 
 
 def test_tdt_decode_two_lstm_layers():
