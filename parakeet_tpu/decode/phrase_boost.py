@@ -100,18 +100,28 @@ class ContextTrie:
 
 
 # ─── Boosted CTC greedy decode (phrase_boost.cpp:70-173) ─────────────────────
+#
+# Boosting adds boost_score only to tokens reachable in the trie, so the
+# boosted argmax is either (a) the unboosted global argmax or (b) one of the
+# trie's candidate tokens. The host loop therefore only needs the per-frame
+# global argmax/max plus the candidate token columns — not the full (T, V)
+# log-prob matrix (a 30+ MB device→host transfer per batch at vocab 1025).
 
 
 def _boosted_ctc_one(
-    lp: np.ndarray,  # (T, V) log-probs
+    best_ids: np.ndarray,  # (T,) unboosted global argmax
+    best_vals: np.ndarray,  # (T,) unboosted global max log-prob
+    cand_vals: np.ndarray,  # (T, C) log-probs of the trie's candidate tokens
+    cand_tokens: np.ndarray,  # (C,) candidate token ids
     trans: np.ndarray,  # (N, V)
     boost_score: float,
     blank_id: int,
     want_timestamps: bool,
 ):
-    t_len, vocab = lp.shape
+    t_len = best_ids.shape[0]
     n_nodes = trans.shape[0]
-    reach = trans >= 0  # (N, V)
+    # per-node candidate reachability: (N, C)
+    reach_c = trans[:, cand_tokens] >= 0 if len(cand_tokens) else np.zeros((n_nodes, 0), bool)
     active = np.zeros(n_nodes, bool)
     active[0] = True
 
@@ -119,17 +129,28 @@ def _boosted_ctc_one(
     toks_ts: list[TimestampedToken] = []
     prev = -1
     for t in range(t_len):
-        boost_mask = reach[active].any(axis=0)  # (V,)
-        vals = lp[t] + boost_score * boost_mask
-        best = int(np.argmax(vals))
+        best = int(best_ids[t])
+        raw_lp = float(best_vals[t])
+        if len(cand_tokens):
+            boosted_mask = reach_c[active].any(axis=0)  # (C,)
+            if boosted_mask.any():
+                vals = cand_vals[t] + boost_score * boosted_mask
+                ci = int(np.argmax(vals))
+                # first-max tie-breaking: the reference scans v=0..V-1 and
+                # takes a later token only on a strictly greater value
+                cand_tok = int(cand_tokens[ci])
+                take = vals[ci] > best_vals[t] or (
+                    vals[ci] == best_vals[t] and cand_tok < best
+                )
+                if take:
+                    best = cand_tok
+                    raw_lp = float(cand_vals[t, ci])
         if want_timestamps:
             if best != prev:
                 if prev != -1 and prev != blank_id and toks_ts:
                     toks_ts[-1].end_frame = t - 1
                 if best != blank_id:
-                    toks_ts.append(
-                        TimestampedToken(best, t, t, float(np.exp(lp[t, best])))
-                    )
+                    toks_ts.append(TimestampedToken(best, t, t, float(np.exp(raw_lp))))
                     nxt = trans[active, best]
                     active = np.zeros(n_nodes, bool)
                     active[0] = True
@@ -149,6 +170,29 @@ def _boosted_ctc_one(
     return tokens
 
 
+def _candidate_tokens(trie: ContextTrie, vocab: int) -> np.ndarray:
+    toks = sorted(
+        {tid for children in trie._children for tid in children if tid < vocab}
+    )
+    return np.asarray(toks, dtype=np.int64)
+
+
+def _prepare_boosted(log_probs, trie: ContextTrie, lengths):
+    """Device-side reduction: per-frame argmax/max + candidate columns only."""
+    lp = jnp.asarray(log_probs)
+    b, t, v = lp.shape
+    cand_tokens = _candidate_tokens(trie, v)
+    best_ids = np.asarray(jnp.argmax(lp, axis=-1))
+    best_vals = np.asarray(jnp.max(lp, axis=-1))
+    if len(cand_tokens):
+        cand_vals = np.asarray(lp[:, :, jnp.asarray(cand_tokens)])
+    else:
+        cand_vals = np.zeros((b, t, 0), np.float32)
+    trans = trie.to_arrays(v)
+    lens = [t] * b if lengths is None else [int(l) for l in np.asarray(lengths)]
+    return b, best_ids, best_vals, cand_vals, cand_tokens, trans, lens
+
+
 def ctc_greedy_decode_boosted(
     log_probs,
     trie: ContextTrie,
@@ -156,12 +200,10 @@ def ctc_greedy_decode_boosted(
     blank_id: int = 1024,
     lengths=None,
 ) -> list[list[int]]:
-    lp = np.asarray(log_probs)
-    b, t, v = lp.shape
-    trans = trie.to_arrays(v)
-    lens = [t] * b if lengths is None else [int(l) for l in np.asarray(lengths)]
+    b, bi, bv, cv, ct, trans, lens = _prepare_boosted(log_probs, trie, lengths)
     return [
-        _boosted_ctc_one(lp[i, : lens[i]], trans, boost_score, blank_id, False)
+        _boosted_ctc_one(bi[i, : lens[i]], bv[i, : lens[i]], cv[i, : lens[i]],
+                         ct, trans, boost_score, blank_id, False)
         for i in range(b)
     ]
 
@@ -173,12 +215,10 @@ def ctc_greedy_decode_with_timestamps_boosted(
     blank_id: int = 1024,
     lengths=None,
 ) -> list[list[TimestampedToken]]:
-    lp = np.asarray(log_probs)
-    b, t, v = lp.shape
-    trans = trie.to_arrays(v)
-    lens = [t] * b if lengths is None else [int(l) for l in np.asarray(lengths)]
+    b, bi, bv, cv, ct, trans, lens = _prepare_boosted(log_probs, trie, lengths)
     return [
-        _boosted_ctc_one(lp[i, : lens[i]], trans, boost_score, blank_id, True)
+        _boosted_ctc_one(bi[i, : lens[i]], bv[i, : lens[i]], cv[i, : lens[i]],
+                         ct, trans, boost_score, blank_id, True)
         for i in range(b)
     ]
 

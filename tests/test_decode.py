@@ -327,3 +327,38 @@ def test_boost_flips_near_tie():
     boosted = ctc_greedy_decode_boosted(lp, trie, 5.0, BLANK)[0]
     assert un == [2, 3]
     assert boosted == [2, 4]
+
+
+def test_boosted_ctc_optimized_equals_bruteforce():
+    """The candidate-column device reduction must equal brute-force boosting
+    over the full (T, V) matrix (randomized check, incl. tie handling)."""
+    rng = np.random.RandomState(17)
+    vocab, t_len = 10, 40
+    lp = np.log(rng.dirichlet(np.ones(vocab), size=(2, t_len)).astype(np.float32))
+    trie = ContextTrie()
+    trie.insert([2, 5])
+    trie.insert([7])
+    trie.insert([2, 3, 1])
+    boost = 1.5
+
+    got = ctc_greedy_decode_boosted(lp, trie, boost, BLANK)
+
+    # brute force: add boost to reachable tokens on the full matrix
+    def brute(seq):
+        trans = trie.to_arrays(vocab)
+        reach = trans >= 0
+        active = np.zeros(trans.shape[0], bool); active[0] = True
+        prev, toks = -1, []
+        for t in range(t_len):
+            mask = reach[active].any(axis=0)
+            vals = seq[t] + boost * mask
+            best = int(np.argmax(vals))
+            if best != BLANK and best != prev:
+                toks.append(best)
+                nxt = trans[active, best]
+                active = np.zeros(trans.shape[0], bool); active[0] = True
+                active[nxt[nxt >= 0]] = True
+            prev = best
+        return toks
+
+    assert got == [brute(lp[0]), brute(lp[1])]
