@@ -22,7 +22,8 @@ MODELS = {
 }
 
 
-def bench_encoder(model: str, seconds: int, batch: int, dtype_name: str, iters: int):
+def bench_encoder(model: str, seconds: int, batch: int, dtype_name: str, iters: int,
+                  weights_path: str | None = None):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -39,10 +40,12 @@ def bench_encoder(model: str, seconds: int, batch: int, dtype_name: str, iters: 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     if model == "sortformer":
-        params = P.init_params(P.sortformer_spec(cfg), seed=0)
+        spec = P.sortformer_spec(cfg)
+        params = P.load_params(spec, weights_path, seed=0) if weights_path else P.init_params(spec, seed=0)
         fwd = lambda p, x: sortformer_forward(p, x, cfg=cfg)  # full forward (bench.cpp note)
     else:
-        params = P.init_params(P.encoder_spec(enc_cfg, "encoder_"), seed=0)
+        spec = P.encoder_spec(enc_cfg, "encoder_")
+        params = P.load_params(spec, weights_path, seed=0) if weights_path else P.init_params(spec, seed=0)
 
         def fwd(p, x):
             return fastconformer_encode(Params(p).sub("encoder_"), enc_cfg, x)
@@ -82,6 +85,8 @@ def main(argv=None) -> int:
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the bench into DIR")
+    ap.add_argument("--weights", default=None,
+                    help="bench with real weights (timing-identical to random init)")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -108,7 +113,7 @@ def main(argv=None) -> int:
     rows = []
     for model in models:
         for sec in durations:
-            dt = bench_encoder(model, sec, args.batch, args.dtype, args.iters)
+            dt = bench_encoder(model, sec, args.batch, args.dtype, args.iters, args.weights)
             audio_s = args.batch * sec
             rows.append((model, sec, dt * 1e3, dt / audio_s, audio_s / dt))
             print(

@@ -42,6 +42,9 @@ def main(argv=None) -> int:
                     help="nemotron latency mode (right-context frames)")
     ap.add_argument("--chunk-samples", type=int, default=2560,
                     help="streaming chunk size (samples; 2560 = 160 ms)")
+    ap.add_argument("--features", default=None, metavar="NPY",
+                    help="bypass audio loading: decode precomputed mel features "
+                         "from a .npy file (reference --features flag)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--random-weights", action="store_true",
@@ -102,7 +105,16 @@ def main(argv=None) -> int:
             from parakeet_tpu.transcribe import TranscribeOptions
 
             opts = TranscribeOptions(decoder, args.timestamps, boost, args.boost_score)
-            results = tr.transcribe_batch(args.audio, opts)
+            if args.features:
+                import numpy as _np
+
+                feats = _np.load(args.features)
+                if feats.ndim == 2:
+                    feats = feats[None]
+                results = [tr.transcribe_features(feats, opts)]
+                args.audio = [args.features]
+            else:
+                results = tr.transcribe_batch(args.audio, opts)
             t0 = _stage("transcribe", t0)
             for path, res in zip(args.audio, results):
                 if len(args.audio) > 1:

@@ -160,6 +160,23 @@ class _TranscriberBase:
 
         waves = [self._to_samples(s) for s in sources]
         feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
+        return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
+
+    def transcribe_features(self, features, opts: TranscribeOptions | None = None) -> TranscribeResult:
+        """Decode precomputed mel features (1, T, mel) or (T, mel) — the
+        reference CLI's --features path (main.cpp --features flag)."""
+        f = np.asarray(features, np.float32)
+        if f.ndim == 3:
+            f = f[0]
+        return self._decode_features([f], opts or TranscribeOptions())[0]
+
+    def _decode_features(
+        self,
+        feats: list[np.ndarray],
+        opts: TranscribeOptions,
+        *,
+        pad_to_multiple: int | None = None,
+    ) -> list[TranscribeResult]:
         mel_lens = [f.shape[0] for f in feats]
         t_max = max(mel_lens)
         if pad_to_multiple:
