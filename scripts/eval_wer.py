@@ -41,8 +41,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("manifest", nargs="?")
     ap.add_argument("--librispeech", default=None, help="LibriSpeech split dir")
-    ap.add_argument("--weights", required=True)
-    ap.add_argument("--vocab", required=True)
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--vocab", default=None)
+    ap.add_argument("--random-weights", action="store_true",
+                    help="pipeline smoke test without a checkpoint")
     ap.add_argument("--model", default="tdt-ctc-110m", choices=["tdt-ctc-110m", "tdt-600m", "rnnt-600m"])
     ap.add_argument("--decoder", default="tdt", choices=["ctc", "tdt"])
     ap.add_argument("--batch", type=int, default=16)
@@ -51,7 +53,13 @@ def main() -> int:
     args = ap.parse_args()
 
     from parakeet_tpu.metrics import corpus_wer
-    from parakeet_tpu.transcribe import Decoder, RNNTTranscriber, TDTTranscriber, Transcriber
+    from parakeet_tpu.transcribe import (
+        Decoder,
+        RNNTTranscriber,
+        TDTTranscriber,
+        TranscribeOptions,
+        Transcriber,
+    )
 
     if args.librispeech:
         items = load_librispeech(args.librispeech)
@@ -65,16 +73,19 @@ def main() -> int:
         print("no items found", file=sys.stderr)
         return 1
 
+    if not args.random_weights and not args.weights:
+        ap.error("--weights required (or pass --random-weights for a smoke test)")
     cls = {"tdt-ctc-110m": Transcriber, "tdt-600m": TDTTranscriber, "rnnt-600m": RNNTTranscriber}[args.model]
-    tr = cls(args.weights, args.vocab, compute_dtype=args.dtype)
+    tr = cls(None if args.random_weights else args.weights, args.vocab, compute_dtype=args.dtype)
     decoder = Decoder.CTC if args.decoder == "ctc" else Decoder.TDT
 
     pairs = []
     total_audio = 0.0
     t0 = time.perf_counter()
+    opts = TranscribeOptions(decoder)
     for i in range(0, len(items), args.batch):
         chunk = items[i : i + args.batch]
-        results = tr.transcribe_batch([p for p, _ in chunk])
+        results = tr.transcribe_batch([p for p, _ in chunk], opts)
         from parakeet_tpu.audio.io import get_audio_duration
 
         for (path, ref), res in zip(chunk, results):

@@ -169,3 +169,16 @@ def test_wav_24bit(tmp_path):
     p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(riff)) + riff)
     audio = read_audio(p)
     np.testing.assert_allclose(audio.samples, vals / 8388608.0, atol=1e-6)
+
+
+def test_wav_parser_fuzz_no_crash():
+    """Random bytes behind a RIFF/WAVE magic must raise, never crash."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(1)
+    for _ in range(50):
+        blob = b"RIFF" + rng.bytes(4) + b"WAVE" + rng.bytes(int(rng.randint(0, 300)))
+        try:
+            read_audio(blob)
+        except (ValueError, RuntimeError):
+            pass

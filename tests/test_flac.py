@@ -100,3 +100,27 @@ def test_32bit_left_side_decorrelation():
     inter = out.reshape(-1, 2).astype(np.float64) * 2**31
     np.testing.assert_allclose(inter[:, 0], left, atol=300)  # f32 output quantization
     np.testing.assert_allclose(inter[:, 1], right, atol=300)
+
+
+def test_flac_fuzz_no_crash():
+    """Random garbage behind a valid fLaC magic must error, never crash or
+    hang (bit-reader bounds + unary guard)."""
+    rng = np.random.RandomState(0)
+    for i in range(50):
+        blob = b"fLaC" + rng.bytes(int(rng.randint(8, 400)))
+        try:
+            native.flac_decode(blob)
+        except ValueError:
+            pass  # expected
+
+
+def test_flac_truncated_stream():
+    """A valid stream cut mid-frame must not crash."""
+    pcm = _pcm16(_sine(3000))
+    data = encode_flac(pcm, 16000, block_size=1024, subframe_mode="fixed1")
+    for cut in (len(data) // 3, len(data) // 2, len(data) - 7):
+        try:
+            out, _, _ = native.flac_decode(data[:cut])
+            assert len(out) <= len(pcm)  # partial decode acceptable
+        except ValueError:
+            pass  # error acceptable; crash is not
