@@ -1,0 +1,19 @@
+# Convenience targets (reference has an equivalent Makefile wrapper).
+
+.PHONY: install test bench native clean
+
+install:
+	pip install -e . --no-build-isolation
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+native:
+	mkdir -p build && cd build && cmake ../csrc -G Ninja && ninja
+
+clean:
+	rm -rf build parakeet_tpu/_native .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

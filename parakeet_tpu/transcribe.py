@@ -86,9 +86,14 @@ class _TranscriberBase:
         params: dict | None = None,
         compute_dtype: str = "float32",
         seed: int = 0,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — batched
+        inference shards the batch over it (data parallelism; weights are
+        replicated). Build one with parakeet_tpu.parallel.make_mesh()."""
         self.config = config
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
         spec = self._spec()
         if params is not None:
             self.params = dict(params)
@@ -96,6 +101,10 @@ class _TranscriberBase:
             self.params = P.load_params(spec, weights_path, seed=seed, warn=lambda m: print(f"[parakeet] {m}"))
         if compute_dtype != "float32":
             self.params = P.cast_params(self.params, _dtype_of(compute_dtype))
+        if mesh is not None:
+            from parakeet_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)  # replicated (no TP rules hit at batch DP)
         self.tokenizer = Tokenizer(vocab_path) if vocab_path else Tokenizer()
         self._audio_cfg = AudioConfig(n_mels=config.encoder.mel_bins)
         self._blank_id = config.joint.vocab_size - 1
@@ -181,11 +190,22 @@ class _TranscriberBase:
         t_max = max(mel_lens)
         if pad_to_multiple:
             t_max = -(-t_max // pad_to_multiple) * pad_to_multiple
-        batch = np.zeros((len(feats), t_max, self._audio_cfg.n_mels), np.float32)
+        n = len(feats)
+        pad_items = 0
+        if self.mesh is not None:
+            # batch must divide over the 'data' axis; pad with empty items
+            dp = self.mesh.shape["data"]
+            pad_items = (-n) % dp
+        batch = np.zeros((n + pad_items, t_max, self._audio_cfg.n_mels), np.float32)
         for i, f in enumerate(feats):
             batch[i, : f.shape[0]] = f
-        lengths = jnp.asarray(mel_lens, jnp.int32)
+        lengths = jnp.asarray(mel_lens + [1] * pad_items, jnp.int32)
         feats_j = jnp.asarray(batch)
+        if self.mesh is not None:
+            from parakeet_tpu.parallel.mesh import batch_sharding
+
+            feats_j = jax.device_put(feats_j, batch_sharding(self.mesh, 3))
+            lengths = jax.device_put(lengths, batch_sharding(self.mesh, 1))
 
         trie = None
         if opts.boost_phrases:
@@ -195,6 +215,7 @@ class _TranscriberBase:
                 trie = None
 
         enc_lens = [int(l) for l in np.asarray(encoded_lengths(np.asarray(mel_lens)))]
+        enc_lens += [1] * pad_items  # mesh padding items (discarded below)
 
         if opts.decoder == Decoder.CTC:
             _, log_probs = self._encode_ctc(self.params, feats_j, lengths)
@@ -205,14 +226,14 @@ class _TranscriberBase:
                     )
                 else:
                     ts = ctc_greedy_decode_with_timestamps(log_probs, self._ctc_blank(), enc_lens)
-                return [self._result_from_ts(t) for t in ts]
+                return [self._result_from_ts(t) for t in ts[:n]]
             if trie is not None:
                 toks = ctc_greedy_decode_boosted(
                     log_probs, trie, opts.boost_score, self._ctc_blank(), enc_lens
                 )
             else:
                 toks = ctc_greedy_decode(log_probs, self._ctc_blank(), enc_lens)
-            return [self._result_from_tokens(t) for t in toks]
+            return [self._result_from_tokens(t) for t in toks[:n]]
 
         # Transducer path (TDT or RNNT)
         enc = self._encode(self.params, feats_j, lengths)
@@ -230,8 +251,8 @@ class _TranscriberBase:
             boost=boost,
         )
         if opts.timestamps:
-            return [self._result_from_ts(t) for t in res.timestamped]
-        return [self._result_from_tokens(t) for t in res.tokens]
+            return [self._result_from_ts(t) for t in res.timestamped[:n]]
+        return [self._result_from_tokens(t) for t in res.tokens[:n]]
 
     def transcribe_long(
         self,

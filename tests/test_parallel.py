@@ -1,0 +1,50 @@
+"""Mesh data-parallel inference tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+from parakeet_tpu import config as C
+from parakeet_tpu.transcribe import Decoder, Transcriber
+
+
+def tiny_cfg():
+    return C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                                num_layers=1, num_heads=2, ffn_intermediate=32),
+        prediction=C.PredictionConfig(vocab_size=9, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=9),
+        ctc_vocab_size=9,
+    )
+
+
+def test_data_parallel_inference_matches_single_device():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual device mesh")
+    from parakeet_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(11)
+    clips = [rng.randn(8000 + 1600 * i).astype(np.float32) * 0.1 for i in range(5)]
+
+    single = Transcriber(None, None, cfg, seed=13)
+    mesh = make_mesh(4, model_parallel=1)
+    sharded = Transcriber(None, None, cfg, seed=13, mesh=mesh)
+
+    ref = single.transcribe_batch(clips)
+    with mesh:
+        got = sharded.transcribe_batch(clips)  # 5 items padded to 8 over 4 devices
+
+    assert len(got) == 5
+    for r, g in zip(ref, got):
+        assert r.token_ids == g.token_ids
+
+    # TDT path too (decode loop over the sharded encoder output)
+    from parakeet_tpu.transcribe import TranscribeOptions
+
+    ref_t = single.transcribe_batch(clips[:2], TranscribeOptions(Decoder.TDT))
+    with mesh:
+        got_t = sharded.transcribe_batch(clips[:2], TranscribeOptions(Decoder.TDT))
+    for r, g in zip(ref_t, got_t):
+        assert r.token_ids == g.token_ids
