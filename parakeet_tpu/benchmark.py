@@ -99,7 +99,6 @@ def main(argv=None) -> int:
 
     profiler_cm = None
     if args.profile:
-        import contextlib
         import jax
 
         try:
@@ -111,19 +110,20 @@ def main(argv=None) -> int:
             profiler_cm = None
 
     rows = []
-    for model in models:
-        for sec in durations:
-            dt = bench_encoder(model, sec, args.batch, args.dtype, args.iters, args.weights)
-            audio_s = args.batch * sec
-            rows.append((model, sec, dt * 1e3, dt / audio_s, audio_s / dt))
-            print(
-                f"{model:12s} {sec:3d}s batch={args.batch} {args.dtype}: "
-                f"{dt * 1e3:8.1f} ms  RTF {dt / audio_s:.5f}  {audio_s / dt:8.1f}x realtime",
-                file=sys.stderr,
-            )
-
-    if profiler_cm is not None:
-        profiler_cm.__exit__(None, None, None)
+    try:
+        for model in models:
+            for sec in durations:
+                dt = bench_encoder(model, sec, args.batch, args.dtype, args.iters, args.weights)
+                audio_s = args.batch * sec
+                rows.append((model, sec, dt * 1e3, dt / audio_s, audio_s / dt))
+                print(
+                    f"{model:12s} {sec:3d}s batch={args.batch} {args.dtype}: "
+                    f"{dt * 1e3:8.1f} ms  RTF {dt / audio_s:.5f}  {audio_s / dt:8.1f}x realtime",
+                    file=sys.stderr,
+                )
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
 
     if args.markdown:
         print("| Model | Audio | Time (ms) | RTF | Throughput |")

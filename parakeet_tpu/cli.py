@@ -26,7 +26,8 @@ def _stage(label: str, t0: float) -> float:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="parakeet", description=__doc__)
-    ap.add_argument("audio", nargs="+", help="audio file(s): wav/flac/mp3/ogg")
+    ap.add_argument("audio", nargs="*", help="audio file(s): wav/flac/mp3/ogg "
+                                             "(omit when using --features)")
     ap.add_argument("--model", default="tdt-ctc-110m",
                     choices=["tdt-ctc-110m", "tdt-600m", "rnnt-600m", "eou-120m",
                              "nemotron-600m", "sortformer", "diarized"])
@@ -50,6 +51,12 @@ def main(argv=None) -> int:
     ap.add_argument("--random-weights", action="store_true",
                     help="run with random-initialized weights (pipeline smoke test)")
     args = ap.parse_args(argv)
+
+    if args.features and args.audio:
+        print("Error: pass either audio files or --features, not both", file=sys.stderr)
+        return 1
+    if not args.features and not args.audio:
+        ap.error("audio file(s) required (or --features)")
 
     if args.random_weights:
         import os
@@ -108,11 +115,9 @@ def main(argv=None) -> int:
             if args.features:
                 import numpy as _np
 
-                feats = _np.load(args.features)
-                if feats.ndim == 2:
-                    feats = feats[None]
-                results = [tr.transcribe_features(feats, opts)]
-                args.audio = [args.features]
+                out = tr.transcribe_features(_np.load(args.features), opts)
+                results = out if isinstance(out, list) else [out]
+                args.audio = [f"{args.features}[{i}]" for i in range(len(results))]
             else:
                 results = tr.transcribe_batch(args.audio, opts)
             t0 = _stage("transcribe", t0)

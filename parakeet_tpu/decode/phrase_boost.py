@@ -11,9 +11,10 @@ TPU design: the trie compiles to two dense arrays —
   (node 0 = root)
 so the boosted-token mask and the advance step are pure array ops that ride
 inside the jitted transducer while_loop (decode/transducer.py). The boosted
-CTC variants run the same mask/advance arrays in a host loop over the few
-hundred frames (argmax already computed on device is not possible here since
-boost changes the argmax — the full (T, V) log-prob row is consulted).
+CTC variants run a host loop over the few hundred frames, fed by a
+device-side reduction (global argmax/max + candidate columns) — boosting
+with a non-negative score can only flip the argmax TO a trie token, so the
+full (T, V) matrix never leaves the device.
 """
 
 from __future__ import annotations
@@ -177,8 +178,18 @@ def _candidate_tokens(trie: ContextTrie, vocab: int) -> np.ndarray:
     return np.asarray(toks, dtype=np.int64)
 
 
-def _prepare_boosted(log_probs, trie: ContextTrie, lengths):
-    """Device-side reduction: per-frame argmax/max + candidate columns only."""
+def _prepare_boosted(log_probs, trie: ContextTrie, lengths, boost_score: float):
+    """Device-side reduction: per-frame argmax/max + candidate columns only.
+
+    Valid only for boost_score >= 0 (boosting can then only flip the argmax
+    TO a candidate token). Negative scores (phrase suppression) would need
+    the full matrix — rejected explicitly rather than silently misdecoding.
+    """
+    if boost_score < 0:
+        raise ValueError(
+            "boost_score must be >= 0 (negative suppression is not supported "
+            "by the candidate-column reduction)"
+        )
     lp = jnp.asarray(log_probs)
     b, t, v = lp.shape
     cand_tokens = _candidate_tokens(trie, v)
@@ -200,7 +211,7 @@ def ctc_greedy_decode_boosted(
     blank_id: int = 1024,
     lengths=None,
 ) -> list[list[int]]:
-    b, bi, bv, cv, ct, trans, lens = _prepare_boosted(log_probs, trie, lengths)
+    b, bi, bv, cv, ct, trans, lens = _prepare_boosted(log_probs, trie, lengths, boost_score)
     return [
         _boosted_ctc_one(bi[i, : lens[i]], bv[i, : lens[i]], cv[i, : lens[i]],
                          ct, trans, boost_score, blank_id, False)
@@ -215,7 +226,7 @@ def ctc_greedy_decode_with_timestamps_boosted(
     blank_id: int = 1024,
     lengths=None,
 ) -> list[list[TimestampedToken]]:
-    b, bi, bv, cv, ct, trans, lens = _prepare_boosted(log_probs, trie, lengths)
+    b, bi, bv, cv, ct, trans, lens = _prepare_boosted(log_probs, trie, lengths, boost_score)
     return [
         _boosted_ctc_one(bi[i, : lens[i]], bv[i, : lens[i]], cv[i, : lens[i]],
                          ct, trans, boost_score, blank_id, True)

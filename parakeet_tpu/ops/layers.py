@@ -91,52 +91,35 @@ def conv2d(
     stride: tuple[int, int] = (1, 1),
     padding: tuple[int, int] = (0, 0),
     groups: int = 1,
+    layout: str = "NCHW",
 ) -> jnp.ndarray:
-    """x: (B, C_in, H, W) → (B, C_out, H', W'). Weight: (C_out, C_in/g, kh, kw)."""
+    """2-D conv over torch-layout weights (C_out, C_in/g, kh, kw).
+
+    layout selects the activation layout (NCHW or NHWC — the latter is
+    TPU-preferred; measured 18% faster on the subsampling stack, identical
+    numerics)."""
     w = p["weight"]
     y = lax.conv_general_dilated(
         x,
         w,
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=(layout, "OIHW", layout),
         feature_group_count=groups,
         preferred_element_type=_F32,
         precision=lax.Precision.HIGHEST,
     )
     b = p.get("bias")
     if b is not None:
-        y = y + b.astype(_F32)[None, :, None, None]
+        bshape = [1, 1, 1, 1]
+        bshape[layout.index("C")] = -1
+        y = y + b.astype(_F32).reshape(bshape)
     return y.astype(x.dtype)
 
 
-def conv2d_nhwc(
-    p: Params,
-    x: jnp.ndarray,
-    *,
-    stride: tuple[int, int] = (1, 1),
-    padding: tuple[int, int] = (0, 0),
-    groups: int = 1,
-) -> jnp.ndarray:
-    """x: (B, H, W, C_in) → (B, H', W', C_out); weight stays torch OIHW.
-
-    NHWC is the TPU-preferred conv layout (measured 18% faster than NCHW on
-    the subsampling stack); numerics identical."""
-    w = p["weight"]
-    y = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=stride,
-        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
-        dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=_F32,
-        precision=lax.Precision.HIGHEST,
-    )
-    b = p.get("bias")
-    if b is not None:
-        y = y + b.astype(_F32)[None, None, None, :]
-    return y.astype(x.dtype)
+def conv2d_nhwc(p: Params, x: jnp.ndarray, **kw) -> jnp.ndarray:
+    """conv2d with NHWC activations; see conv2d."""
+    return conv2d(p, x, layout="NHWC", **kw)
 
 
 def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -144,4 +127,4 @@ def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return a * jax.nn.sigmoid(b)
 
 
-__all__ = ["linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "glu"]
+__all__ = ["linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]

@@ -171,13 +171,18 @@ class _TranscriberBase:
         feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
         return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
 
-    def transcribe_features(self, features, opts: TranscribeOptions | None = None) -> TranscribeResult:
-        """Decode precomputed mel features (1, T, mel) or (T, mel) — the
-        reference CLI's --features path (main.cpp --features flag)."""
+    def transcribe_features(self, features, opts: TranscribeOptions | None = None):
+        """Decode precomputed mel features — the reference CLI's --features
+        path (main.cpp --features flag). Accepts (T, mel) or (B, T, mel);
+        returns a single TranscribeResult for 2-D / batch-1 input, else a
+        list of results (one per batch row)."""
         f = np.asarray(features, np.float32)
-        if f.ndim == 3:
-            f = f[0]
-        return self._decode_features([f], opts or TranscribeOptions())[0]
+        if f.ndim == 2:
+            return self._decode_features([f], opts or TranscribeOptions())[0]
+        if f.ndim != 3:
+            raise ValueError(f"expected (T, mel) or (B, T, mel) features, got {f.shape}")
+        results = self._decode_features(list(f), opts or TranscribeOptions())
+        return results[0] if len(results) == 1 else results
 
     def _decode_features(
         self,

@@ -75,6 +75,8 @@ def main() -> int:
 
     if not args.random_weights and not args.weights:
         ap.error("--weights required (or pass --random-weights for a smoke test)")
+    if args.weights and not args.vocab:
+        ap.error("--vocab required with --weights (otherwise every hypothesis is empty)")
     cls = {"tdt-ctc-110m": Transcriber, "tdt-600m": TDTTranscriber, "rnnt-600m": RNNTTranscriber}[args.model]
     tr = cls(None if args.random_weights else args.weights, args.vocab, compute_dtype=args.dtype)
     decoder = Decoder.CTC if args.decoder == "ctc" else Decoder.TDT
