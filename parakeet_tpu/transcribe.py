@@ -168,7 +168,15 @@ class _TranscriberBase:
             raise ValueError("this model has no CTC head; use Decoder.TDT")
 
         waves = [self._to_samples(s) for s in sources]
-        feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
+        if len(waves) > 1:
+            # one device call for the whole batch (exact per-clip equality)
+            from parakeet_tpu.audio.frontend import preprocess_audio_batch
+
+            batched, n_frames = preprocess_audio_batch(waves, self._audio_cfg)
+            arr = np.asarray(batched)
+            feats = [arr[i, : n_frames[i]] for i in range(len(waves))]
+        else:
+            feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
         return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
 
     def transcribe_features(self, features, opts: TranscribeOptions | None = None):

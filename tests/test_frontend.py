@@ -228,3 +228,33 @@ def test_streaming_preemphasis_continuity():
     first = np.asarray(pb.process_chunk(x[:2480]))[0]  # consumed = 2480 exactly
     assert first.shape[0] == 14
     np.testing.assert_allclose(first, one[:14], rtol=1e-4, atol=1e-6)
+
+
+def test_batched_frontend_matches_per_clip():
+    """preprocess_audio_batch must equal per-clip preprocess_audio exactly
+    for every valid frame (normalization incl.)."""
+    from parakeet_tpu.audio.frontend import preprocess_audio_batch
+
+    rng = np.random.RandomState(9)
+    waves = [rng.randn(n).astype(np.float32) * 0.2 for n in (16000, 9600, 12345)]
+    batched, n_frames = preprocess_audio_batch(waves)
+    for i, w in enumerate(waves):
+        solo = np.asarray(preprocess_audio(w))[0]
+        assert solo.shape[0] == n_frames[i]
+        np.testing.assert_allclose(
+            np.asarray(batched)[i, : n_frames[i]], solo, rtol=1e-4, atol=1e-5,
+            err_msg=f"clip {i}",
+        )
+
+
+def test_batched_frontend_unnormalized():
+    from parakeet_tpu.audio.frontend import preprocess_audio_batch
+
+    cfg = AudioConfig(normalize=False)
+    rng = np.random.RandomState(10)
+    waves = [rng.randn(8000).astype(np.float32), rng.randn(6400).astype(np.float32)]
+    batched, n_frames = preprocess_audio_batch(waves, cfg)
+    for i, w in enumerate(waves):
+        solo = np.asarray(preprocess_audio(w, cfg))[0]
+        np.testing.assert_allclose(
+            np.asarray(batched)[i, : n_frames[i]], solo, rtol=1e-4, atol=1e-5)
