@@ -81,6 +81,10 @@ class DiarizedTranscriber:
         self.sf_config = sf_config or make_sortformer_117m_config()
         self.sortformer = Sortformer(sortformer_weights, self.sf_config, params=sortformer_params)
 
+    def to_gpu(self) -> None:
+        """API-compatibility no-op (reference: move weights to Metal GPU).
+        JAX places arrays on the default device (the TPU) automatically."""
+
     def transcribe(self, source, decoder: Decoder = Decoder.TDT) -> DiarizedResult:
         if isinstance(source, (str, bytes, bytearray)) or hasattr(source, "__fspath__"):
             samples = read_audio(source, 16000).samples

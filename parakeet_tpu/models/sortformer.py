@@ -132,6 +132,10 @@ class Sortformer:
             )
         self._stream_session: StreamingEncoderSession | None = None
 
+    def to_gpu(self) -> None:
+        """API-compatibility no-op (reference: move weights to Metal GPU).
+        JAX places arrays on the default device (the TPU) automatically."""
+
     def forward(self, features) -> jnp.ndarray:
         return sortformer_forward(self.params, jnp.asarray(features), cfg=self.config)
 

@@ -142,6 +142,11 @@ class _StreamingBase:
     def set_partial_callback(self, cb: PartialResultCallback) -> None:
         self._partial_cb = cb
 
+    def to_gpu(self) -> None:
+        """API-compatibility no-op (reference: move weights to Metal GPU).
+        JAX places arrays on the default device (the TPU) automatically."""
+
+
 
 class StreamingTranscriber(_StreamingBase):
     """EOU-120m streaming transcriber (eou.hpp:101-160)."""

@@ -129,6 +129,10 @@ class _TranscriberBase:
     def _spec(self):
         raise NotImplementedError
 
+    def to_gpu(self) -> None:
+        """API-compatibility no-op (reference: move weights to Metal GPU).
+        JAX places arrays on the default device (the TPU) automatically."""
+
     # ── Input handling ───────────────────────────────────────────────────
 
     def _to_samples(self, source) -> np.ndarray:
