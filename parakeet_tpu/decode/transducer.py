@@ -44,6 +44,7 @@ from parakeet_tpu.models.rnnt import (
     rnnt_joint_precomputed,
     tdt_joint_precomputed,
 )
+from parakeet_tpu.ops.layers import linear
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
@@ -222,6 +223,209 @@ def _decode_loop(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_lstm_layers",
+        "durations",
+        "blank_id",
+        "max_symbols",
+        "max_out",
+        "is_tdt",
+        "joint_prefix",
+        "boost_score",
+        "clamp_end",
+        "window",
+    ),
+)
+def _decode_loop_lookahead(
+    params: dict,
+    enc: jnp.ndarray,  # (B, T, H)
+    enc_len: jnp.ndarray,  # (B,)
+    init_token: jnp.ndarray,  # (B,)
+    init_lstm: jnp.ndarray,  # (L, 2, B, Hp)
+    boost_trans,  # (N, V) int32 or None
+    boost_active0,  # (B, N) bool or None
+    *,
+    num_lstm_layers: int,
+    durations: tuple[int, ...],
+    blank_id: int,
+    max_symbols: int,
+    max_out: int,
+    is_tdt: bool,
+    joint_prefix: str,
+    boost_score: float,
+    clamp_end: bool = True,
+    window: int = 8,
+):
+    """K-frame lookahead variant of `_decode_loop` (bit-identical outputs).
+
+    The per-step loop is straggler-bound: every iteration is one tiny LSTM
+    step + one single-frame joint, and the while_loop runs until the slowest
+    batch element has visited all its frames. Here each iteration instead
+    evaluates the joint over a `window`-frame lookahead (one slightly larger
+    matmul — the streamed weights per iteration are unchanged, so the
+    HBM-bound iteration cost is ~flat) and then chases through blank frames
+    inside the window with statically-unrolled integer ops. Blank stretches
+    advance `window` frames per iteration instead of one, roughly halving
+    iteration count on speech-like emission densities.
+
+    Correctness argument: between two emissions the prediction-LSTM inputs
+    (last_token, lstm_state) are unchanged — the reference recomputes the
+    same prediction output every step and restores state on blank
+    (tdt.cpp:66-105) — so evaluating the joint for several upcoming frames
+    against one prediction output is numerically identical to the per-step
+    schedule. Each iteration commits at most ONE emission per element (an
+    emission changes the prediction input, which requires a fresh LSTM step
+    next iteration). Verified bit-identical against `_decode_loop` and the
+    scalar oracle in tests/test_decode.py.
+    """
+    b, t_max, _ = enc.shape
+    k = window
+    root = Params(params)
+    pred_p = root.sub("prediction_")
+    joint_p = root.sub(joint_prefix)
+    dur_arr = jnp.asarray(durations, dtype=jnp.int32)
+    batch_ix = jnp.arange(b)
+    use_boost = boost_trans is not None
+    label_head = "label_proj_" if is_tdt else "out_proj_"
+
+    enc_pre = joint_encoder_projection(joint_p, enc)  # (B, T, joint_h)
+
+    if use_boost:
+        boost_reach = (boost_trans >= 0).astype(_F32)  # (N, V)
+
+    state = dict(
+        t=jnp.zeros((b,), jnp.int32),
+        token=init_token.astype(jnp.int32),
+        lstm=init_lstm,
+        sym=jnp.zeros((b,), jnp.int32),
+        n_out=jnp.zeros((b,), jnp.int32),
+        out_tok=jnp.zeros((b, max_out), jnp.int32),
+        out_start=jnp.zeros((b, max_out), jnp.int32),
+        out_end=jnp.zeros((b, max_out), jnp.int32),
+        out_conf=jnp.zeros((b, max_out), _F32),
+        boost_active=boost_active0,
+    )
+
+    def cond(s):
+        return jnp.any(s["t"] < enc_len)
+
+    def body(s):
+        t, token, lstm, sym = s["t"], s["token"], s["lstm"], s["sym"]
+
+        # One prediction step per iteration, committed only on emission
+        # (blank steps restore state, tdt.cpp:70 — i.e. never commit).
+        pred, cand_lstm = prediction_step(pred_p, token, lstm, num_lstm_layers)
+        pred_pre = linear(joint_p.sub("pred_proj_"), pred)  # (B, joint_h)
+
+        # Joint over the K-frame lookahead window at per-element offsets.
+        win_ix = jnp.clip(t[:, None] + jnp.arange(k)[None, :], 0, t_max - 1)  # (B, K)
+        enc_w = jnp.take_along_axis(enc_pre, win_ix[:, :, None], axis=1)  # (B, K, J)
+        hidden = jax.nn.relu(enc_w + pred_pre[:, None, :])
+        label_lp = jax.nn.log_softmax(
+            linear(joint_p.sub(label_head), hidden).astype(_F32), axis=-1
+        )  # (B, K, V)
+        if is_tdt:
+            dur_lp = jax.nn.log_softmax(
+                linear(joint_p.sub("duration_proj_"), hidden).astype(_F32), axis=-1
+            )
+            dur_idx = jnp.argmax(dur_lp, axis=-1).astype(jnp.int32)
+            skip_w = dur_arr[jnp.clip(dur_idx, 0, len(durations) - 1)]  # (B, K)
+        else:
+            skip_w = jnp.zeros((b, k), jnp.int32)
+
+        if use_boost:
+            mask = (s["boost_active"].astype(_F32) @ boost_reach) > 0  # (B, V)
+            select_lp = label_lp + boost_score * mask.astype(_F32)[:, None, :]
+        else:
+            select_lp = label_lp
+        tok_w = jnp.argmax(select_lp, axis=-1).astype(jnp.int32)  # (B, K)
+        lp_w = jnp.take_along_axis(label_lp, tok_w[:, :, None], axis=-1)[..., 0]  # unboosted
+        blank_w = tok_w == blank_id
+
+        # Chase through blanks inside the window (statically unrolled: each
+        # blank advances off by max(skip,1) ≥ 1, so K steps always exit).
+        off = jnp.zeros((b,), jnp.int32)
+        found = jnp.zeros((b,), bool)
+        e_off = jnp.zeros((b,), jnp.int32)
+        for _ in range(k):
+            scanning = (off < k) & (t + off < enc_len) & ~found
+            oix = jnp.clip(off, 0, k - 1)[:, None]
+            cur_blank = jnp.take_along_axis(blank_w, oix, axis=1)[:, 0]
+            cur_skip = jnp.take_along_axis(skip_w, oix, axis=1)[:, 0]
+            emit_now = scanning & ~cur_blank
+            found = found | emit_now
+            e_off = jnp.where(emit_now, off, e_off)
+            off = jnp.where(scanning & cur_blank, off + jnp.maximum(cur_skip, 1), off)
+
+        eix = jnp.clip(e_off, 0, k - 1)[:, None]
+        e_tok = jnp.take_along_axis(tok_w, eix, axis=1)[:, 0]
+        e_skip = jnp.take_along_axis(skip_w, eix, axis=1)[:, 0]
+        e_lp = jnp.take_along_axis(lp_w, eix, axis=1)[:, 0]
+        emitted = found
+        e_t = t + e_off  # emission frame
+
+        # Emission effects: sym counts consecutive zero-duration emissions on
+        # one frame; any frame advance (incl. blanks chased before the
+        # emission, i.e. e_off > 0) resets it.
+        zero_dur = emitted & (e_skip == 0)
+        pre_sym = jnp.where(e_off == 0, sym, 0)
+        forced = zero_dur & (pre_sym + 1 >= max_symbols)  # anti-livelock (module doc)
+        new_sym = jnp.where(zero_dur & ~forced, pre_sym + 1, 0)
+
+        adv_emit = jnp.where(e_skip > 0, e_skip, jnp.where(forced, 1, 0))
+        new_t = jnp.where(emitted, e_t + adv_emit, t + off)
+        new_token = jnp.where(emitted, e_tok, token)
+        keep = emitted.astype(lstm.dtype)[None, None, :, None]
+        merged_lstm = cand_lstm * keep + lstm * (1 - keep)
+
+        idx = jnp.clip(s["n_out"], 0, max_out - 1)
+        end_frame = e_t + jnp.maximum(e_skip, 1) - 1
+        if clamp_end:
+            end_frame = jnp.minimum(end_frame, enc_len - 1)
+
+        def wr(buf, val):
+            cur = buf[batch_ix, idx]
+            return buf.at[batch_ix, idx].set(jnp.where(emitted, val, cur))
+
+        new_s = dict(
+            t=new_t,
+            token=new_token,
+            lstm=merged_lstm,
+            sym=new_sym,
+            n_out=s["n_out"] + emitted.astype(jnp.int32),
+            out_tok=wr(s["out_tok"], e_tok),
+            out_start=wr(s["out_start"], e_t),
+            out_end=wr(s["out_end"], end_frame),
+            out_conf=wr(s["out_conf"], jnp.exp(e_lp)),
+            boost_active=s["boost_active"],
+        )
+
+        if use_boost:
+            next_node = boost_trans.T[e_tok]  # (B, N)
+            valid = s["boost_active"] & (next_node >= 0)
+            n_nodes = boost_trans.shape[0]
+            onehot = jax.nn.one_hot(jnp.clip(next_node, 0), n_nodes, dtype=_F32)
+            advanced = jnp.einsum("bn,bnm->bm", valid.astype(_F32), onehot) > 0
+            advanced = advanced.at[:, 0].set(True)
+            new_s["boost_active"] = jnp.where(emitted[:, None], advanced, s["boost_active"])
+
+        return new_s
+
+    final = jax.lax.while_loop(cond, body, state)
+    return (
+        final["out_tok"],
+        final["out_start"],
+        final["out_end"],
+        final["out_conf"],
+        final["n_out"],
+        final["token"],
+        final["lstm"],
+        final["boost_active"],
+    )
+
+
 def transducer_greedy_decode(
     params: dict,
     enc: jnp.ndarray,
@@ -240,10 +444,15 @@ def transducer_greedy_decode(
     frame_offset: int = 0,
     max_out: int | None = None,
     clamp_end: bool = True,
+    impl: str = "lookahead",
+    window: int = 8,
 ) -> TransducerResult:
     """Run the jitted decode and unpack to host lists.
 
     frame_offset shifts reported timestamps (streaming chunks, eou.cpp:80-84).
+    impl: "lookahead" (default, K-frame window — see _decode_loop_lookahead)
+    or "step" (one joint eval per iteration — the semantics oracle). Both
+    produce bit-identical results.
     """
     b, t_max, _ = enc.shape
     if enc_lengths is None:
@@ -262,7 +471,14 @@ def transducer_greedy_decode(
     else:
         trans, active0, boost_score = None, None, 0.0
 
-    out_tok, out_start, out_end, out_conf, n_out, last_token, lstm, boost_active = _decode_loop(
+    if impl == "lookahead":
+        loop_fn = functools.partial(_decode_loop_lookahead, window=max(1, min(window, t_max)))
+    elif impl == "step":
+        loop_fn = _decode_loop
+    else:
+        raise ValueError(f"unknown decode impl {impl!r} (want 'lookahead' or 'step')")
+
+    out_tok, out_start, out_end, out_conf, n_out, last_token, lstm, boost_active = loop_fn(
         params,
         enc,
         enc_lengths,

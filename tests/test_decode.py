@@ -142,7 +142,7 @@ def oracle_decode(
     return out
 
 
-def run_both(seed, is_tdt, lstm_layers=1, trie=None, boost_score=0.0, t_len=25, b=3):
+def run_both(seed, is_tdt, lstm_layers=1, trie=None, boost_score=0.0, t_len=25, b=3, impl="lookahead"):
     joint_prefix = "tdt_joint_" if is_tdt else "joint_"
     params = small_model(seed, is_tdt, lstm_layers)
     rng = np.random.RandomState(seed + 100)
@@ -165,6 +165,7 @@ def run_both(seed, is_tdt, lstm_layers=1, trie=None, boost_score=0.0, t_len=25, 
         joint_prefix=joint_prefix,
         enc_lengths=lengths,
         boost=boost,
+        impl=impl,
     )
 
     for i in range(b):
@@ -205,6 +206,69 @@ def test_tdt_boosted_matches_oracle():
     trie.insert([3, 7, 2])
     trie.insert([5])
     run_both(seed=3, is_tdt=True, trie=trie, boost_score=4.0, t_len=20, b=2)
+
+
+@_pytest.mark.parametrize("seed", [0, 6, 7])
+def test_tdt_decode_step_impl_matches_oracle(seed):
+    run_both(seed=seed, is_tdt=True, impl="step")
+
+
+@_pytest.mark.parametrize("window", [1, 2, 3, 8, 64])
+def test_lookahead_windows_match_step_impl(window):
+    """The K-frame lookahead loop must be bit-identical to the per-step loop
+    for any window size (incl. window > T) — tokens, spans, confidences,
+    and carried streaming state."""
+    params = small_model(seed=11, is_tdt=True)
+    rng = np.random.RandomState(123)
+    b, t_len = 4, 30
+    enc = jnp.asarray(rng.randn(b, t_len, ENC_H).astype(np.float32))
+    lengths = [30, 25, 13, 1]
+    kw = dict(
+        pred_hidden=PRED_H, num_lstm_layers=1, durations=DURATIONS,
+        blank_id=TBLANK, max_symbols=10, is_tdt=True,
+        joint_prefix="tdt_joint_", enc_lengths=lengths,
+    )
+    ref = transducer_greedy_decode(params, enc, impl="step", **kw)
+    got = transducer_greedy_decode(params, enc, impl="lookahead", window=window, **kw)
+    assert got.tokens == ref.tokens
+    for i in range(b):
+        assert [
+            (t.token_id, t.start_frame, t.end_frame, t.confidence) for t in got.timestamped[i]
+        ] == [(t.token_id, t.start_frame, t.end_frame, t.confidence) for t in ref.timestamped[i]]
+    np.testing.assert_array_equal(np.asarray(got.last_token), np.asarray(ref.last_token))
+    np.testing.assert_array_equal(np.asarray(got.lstm_state), np.asarray(ref.lstm_state))
+
+
+def test_lookahead_boosted_matches_step_impl():
+    trie = ContextTrie()
+    trie.insert([3, 4])
+    trie.insert([5])
+    params = small_model(seed=13, is_tdt=True)
+    rng = np.random.RandomState(131)
+    b, t_len = 2, 20
+    enc = jnp.asarray(rng.randn(b, t_len, ENC_H).astype(np.float32))
+    kw = dict(
+        pred_hidden=PRED_H, num_lstm_layers=1, durations=DURATIONS,
+        blank_id=TBLANK, max_symbols=10, is_tdt=True, joint_prefix="tdt_joint_",
+        boost=trie.device_boost(VOCAB, b, 4.0),
+    )
+    ref = transducer_greedy_decode(params, enc, impl="step", **kw)
+    got = transducer_greedy_decode(params, enc, impl="lookahead", **kw)
+    assert got.tokens == ref.tokens
+    np.testing.assert_array_equal(np.asarray(got.boost_active), np.asarray(ref.boost_active))
+
+
+def test_lookahead_rnnt_matches_step_impl():
+    params = small_model(seed=14, is_tdt=False)
+    rng = np.random.RandomState(141)
+    enc = jnp.asarray(rng.randn(3, 18, ENC_H).astype(np.float32))
+    kw = dict(
+        pred_hidden=PRED_H, num_lstm_layers=1, durations=(0,),
+        blank_id=TBLANK, max_symbols=10, is_tdt=False, joint_prefix="joint_",
+    )
+    ref = transducer_greedy_decode(params, enc, impl="step", **kw)
+    got = transducer_greedy_decode(params, enc, impl="lookahead", **kw)
+    assert got.tokens == ref.tokens
 
 
 def test_streaming_chunk_continuation():
