@@ -83,6 +83,38 @@ def subsample_length(t: int) -> int:
     return t
 
 
+def conv_subsampling_stages(
+    p: Params, x: jnp.ndarray, activation: str = "relu"
+) -> dict[str, jnp.ndarray]:
+    """conv_subsampling with named intermediates for the cross-implementation
+    parity bridge (scripts/dump_stages.py). Stage names follow the reference
+    parity scripts (compare_encoder.py:110-113): after_conv1 = first
+    conv+act, after_block1 = dw1+pointwise+act, after_block2 =
+    dw2+pointwise+act. Conv stages are NHWC (our layout); the bridge
+    transposes to the reference's NCHW dump order."""
+    act = jax.nn.relu if activation == "relu" else _silu
+    c = p["conv1_.weight"].shape[0]
+
+    h = x[:, :, :, None]  # (B, T, mel, 1) NHWC
+    h = act(conv2d_nhwc(p.sub("conv1_"), h, stride=(2, 2), padding=(1, 1)))
+    after_conv1 = h
+    h = conv2d_nhwc(p.sub("dw1_"), h, stride=(2, 2), padding=(1, 1), groups=c)
+    h = act(conv2d_nhwc(p.sub("conv2_"), h))
+    after_block1 = h
+    h = conv2d_nhwc(p.sub("dw2_"), h, stride=(2, 2), padding=(1, 1), groups=c)
+    h = act(conv2d_nhwc(p.sub("conv3_"), h))
+    after_block2 = h
+
+    b, t, f, ch = h.shape
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t, ch * f)
+    return {
+        "after_conv1": after_conv1,
+        "after_block1": after_block1,
+        "after_block2": after_block2,
+        "subsampling_out": linear(p.sub("proj_"), h),
+    }
+
+
 def conv_subsampling(p: Params, x: jnp.ndarray, activation: str = "relu") -> jnp.ndarray:
     """(B, T, mel) → (B, T/8, d_model). Reference: encoder.cpp:208-241,
     streaming variant with selectable activation streaming_encoder.cpp:325-346.
@@ -90,19 +122,7 @@ def conv_subsampling(p: Params, x: jnp.ndarray, activation: str = "relu") -> jnp
     Runs in NHWC (TPU-preferred conv layout; 18% faster than NCHW here,
     identical numerics). Flatten stays channel-major (C*F), matching the
     reference's (B, T/8, C·F/8) layout."""
-    act = jax.nn.relu if activation == "relu" else _silu
-    c = p["conv1_.weight"].shape[0]
-
-    h = x[:, :, :, None]  # (B, T, mel, 1) NHWC
-    h = act(conv2d_nhwc(p.sub("conv1_"), h, stride=(2, 2), padding=(1, 1)))
-    h = conv2d_nhwc(p.sub("dw1_"), h, stride=(2, 2), padding=(1, 1), groups=c)
-    h = act(conv2d_nhwc(p.sub("conv2_"), h))
-    h = conv2d_nhwc(p.sub("dw2_"), h, stride=(2, 2), padding=(1, 1), groups=c)
-    h = act(conv2d_nhwc(p.sub("conv3_"), h))
-
-    b, t, f, ch = h.shape
-    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t, ch * f)
-    return linear(p.sub("proj_"), h)
+    return conv_subsampling_stages(p, x, activation)["subsampling_out"]
 
 
 # ─── Conformer block pieces ──────────────────────────────────────────────────
@@ -288,6 +308,7 @@ __all__ = [
     "sinusoidal_position_embedding",
     "subsample_length",
     "conv_subsampling",
+    "conv_subsampling_stages",
     "feed_forward",
     "conv_module",
     "rel_shift",

@@ -2,13 +2,34 @@
 """Stage-by-stage pipeline dumps for cross-implementation parity checks.
 
 The analog of the reference's compare_features.py / compare_encoder.py
-workflow (SURVEY §4 tier 3): dump intermediate tensors to .npy so they can
-be diffed against dumps from the C++ reference (or any other
-implementation) running the same weights + audio.
+workflow (SURVEY §4 tier 3). Three modes:
 
+    # dump our stages to .npy
     python scripts/dump_stages.py audio.wav --weights model.safetensors \
-        --outdir dumps/            # writes features/subsampling/layer0/...
+        --outdir dumps/
+
+    # diff two of our dump dirs
     python scripts/dump_stages.py --compare dumps_a/ dumps_b/
+
+    # diff OUR pipeline directly against the C++ reference's debug dumps
+    # (models/debug_*.bin as consumed by compare_features.py:62-78 and
+    # compare_encoder.py:74-113: headerless little-endian float32, NCHW
+    # layout for the conv stages) — no manual conversion needed:
+    python scripts/dump_stages.py audio.wav --weights model.safetensors \
+        --compare-ref /path/to/reference/models/
+
+The reference stage registry (names are the reference's):
+
+    debug_features_cpp.bin      (1, T, n_mels)      mel features
+    debug_after_conv1.bin       (1, C, T/2, F/2)    conv1 + act   [NCHW]
+    debug_after_block1.bin      (1, C, T/4, F/4)    dw1+pw+act    [NCHW]
+    debug_after_block2.bin      (1, C, T/8, F/8)    dw2+pw+act    [NCHW]
+    debug_subsampling_out.bin   (1, T/8, d_model)   after proj
+    debug_after_layer0.bin      (1, T/8, d_model)   conformer layer 0
+
+.npy reference artifacts (debug_features_py.npy, debug_sub_out_py.npy from
+debug_encoder.py:204-205) are also accepted — the loader dispatches on the
+file extension.
 """
 
 import argparse
@@ -17,10 +38,30 @@ from pathlib import Path
 
 import numpy as np
 
+# our stage name → (reference dump basenames tried in order)
+REF_STAGE_FILES = {
+    "features": ("debug_features_cpp.bin", "debug_features_py.npy"),
+    "after_conv1": ("debug_after_conv1.bin",),
+    "after_block1": ("debug_after_block1.bin",),
+    "after_block2": ("debug_after_block2.bin",),
+    "subsampling_out": ("debug_subsampling_out.bin", "debug_sub_out_py.npy"),
+    "layer0": ("debug_after_layer0.bin",),
+}
 
-def dump(args) -> int:
-    import jax.numpy as jnp
+# stages whose reference dumps are NCHW while ours are NHWC
+_NHWC_STAGES = {"after_conv1", "after_block1", "after_block2"}
 
+
+def load_ref_dump(path: Path) -> np.ndarray:
+    """Flat float32 array from a reference debug artifact (.bin or .npy)."""
+    if path.suffix == ".npy":
+        return np.load(path).astype(np.float32).ravel()
+    return np.fromfile(path, dtype="<f4")
+
+
+def compute_stages(audio_path: str, weights: str | None) -> dict[str, np.ndarray]:
+    """Run our 110m pipeline and return every parity stage, with conv stages
+    pre-transposed to the reference's NCHW dump layout."""
     from parakeet_tpu import config as C
     from parakeet_tpu import params as P
     from parakeet_tpu.audio.frontend import preprocess_audio
@@ -32,29 +73,74 @@ def dump(args) -> int:
 
     cfg = C.make_110m_config()
     spec = P.tdt_ctc_spec(cfg)
-    params = P.load_params(spec, args.weights) if args.weights else P.init_params(spec, seed=0)
+    params = P.load_params(spec, weights) if weights else P.init_params(spec, seed=0)
     root = Params(params)
 
-    out = Path(args.outdir)
-    out.mkdir(parents=True, exist_ok=True)
-
-    audio = read_audio(args.audio)
+    audio = read_audio(audio_path)
     feats = preprocess_audio(audio.samples, AudioConfig(n_mels=cfg.encoder.mel_bins))
-    np.save(out / "features.npy", np.asarray(feats))
 
-    x = E.conv_subsampling(root.sub("encoder_").sub("subsampling_"), feats)
-    np.save(out / "subsampling_out.npy", np.asarray(x))
+    stages: dict[str, np.ndarray] = {"features": np.asarray(feats)}
+    sub = E.conv_subsampling_stages(root.sub("encoder_").sub("subsampling_"), feats)
+    for name in ("after_conv1", "after_block1", "after_block2"):
+        # ours: (B, T, F, C) NHWC → reference dump order (B, C, T, F) NCHW
+        stages[name] = np.transpose(np.asarray(sub[name]), (0, 3, 1, 2))
+    x = sub["subsampling_out"]
+    stages["subsampling_out"] = np.asarray(x)
 
     pos = E.sinusoidal_position_embedding(x.shape[1], cfg.encoder.hidden_size)
     layers = root.sub("encoder_").sub("layers_")
     for i in range(cfg.encoder.num_layers):
         x = E.conformer_block(layers.sub(str(i)), x, pos, cfg.encoder)
         if i in (0, 1, cfg.encoder.num_layers - 1):
-            np.save(out / f"layer{i}.npy", np.asarray(x))
-    np.save(out / "encoder_out.npy", np.asarray(x))
+            stages[f"layer{i}"] = np.asarray(x)
+    stages["encoder_out"] = np.asarray(x)
+    stages["ctc_log_probs"] = np.asarray(ctc_log_probs(root.sub("ctc_decoder_"), x))
+    return stages
 
-    lp = ctc_log_probs(root.sub("ctc_decoder_"), x)
-    np.save(out / "ctc_log_probs.npy", np.asarray(lp))
+
+def report_diff(name: str, ours: np.ndarray, ref_flat: np.ndarray, shape_hint="") -> bool:
+    """Print the reference scripts' max/mean abs diff line; True if compared."""
+    ours_flat = ours.astype(np.float64).ravel()
+    if ours_flat.size != ref_flat.size:
+        print(f"{name}: SIZE MISMATCH ours={ours.shape} ({ours_flat.size}) "
+              f"ref={ref_flat.size} floats{shape_hint}")
+        return False
+    d = np.abs(ours_flat - ref_flat.astype(np.float64))
+    print(f"{name}: max abs diff {d.max():.6e}  mean abs diff {d.mean():.6e}  "
+          f"(ours shape {ours.shape})")
+    return True
+
+
+def compare_ref(args) -> int:
+    ref_dir = Path(args.compare_ref)
+    stages = compute_stages(args.audio, args.weights)
+    if args.outdir:
+        out = Path(args.outdir)
+        out.mkdir(parents=True, exist_ok=True)
+        for name, arr in stages.items():
+            np.save(out / f"{name}.npy", arr)
+
+    status, compared = 0, 0
+    for name, candidates in REF_STAGE_FILES.items():
+        path = next((ref_dir / c for c in candidates if (ref_dir / c).exists()), None)
+        if path is None:
+            print(f"{name}: no reference dump in {ref_dir} (tried {', '.join(candidates)})")
+            continue
+        hint = " [ref layout NCHW]" if name in _NHWC_STAGES else ""
+        if not report_diff(name, stages[name], load_ref_dump(path), hint):
+            status = 1
+        compared += 1
+    if compared == 0:
+        print(f"no debug_*.bin/.npy reference dumps found in {ref_dir}")
+        return 1
+    return status
+
+
+def dump(args) -> int:
+    out = Path(args.outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    for name, arr in compute_stages(args.audio, args.weights).items():
+        np.save(out / f"{name}.npy", arr)
     print(f"wrote stage dumps to {out}/")
     return 0
 
@@ -82,13 +168,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("audio", nargs="?", help="audio file to run")
     ap.add_argument("--weights", default=None)
-    ap.add_argument("--outdir", default="dumps")
+    ap.add_argument("--outdir", default=None)
     ap.add_argument("--compare", nargs=2, metavar=("DIR_A", "DIR_B"))
+    ap.add_argument(
+        "--compare-ref", metavar="REF_DIR",
+        help="directory holding the C++ reference's models/debug_*.bin dumps",
+    )
     args = ap.parse_args()
     if args.compare:
         return compare(*args.compare)
     if not args.audio:
         ap.error("audio file required unless --compare")
+    if args.compare_ref:
+        return compare_ref(args)
+    if args.outdir is None:
+        args.outdir = "dumps"
     return dump(args)
 
 
