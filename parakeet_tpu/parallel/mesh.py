@@ -15,6 +15,7 @@ warranted at these model sizes and sequence lengths (SURVEY §5.7).
 from __future__ import annotations
 
 import re
+import warnings
 
 import numpy as np
 import jax
@@ -74,7 +75,12 @@ def param_sharding_rules(key: str, mesh: Mesh) -> NamedSharding:
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    """Place a flat param dict onto the mesh (TP split where rules apply)."""
+    """Place a flat param dict onto the mesh (TP split where rules apply).
+
+    A TP rule whose sharded dim doesn't divide mesh['model'] falls back to
+    replication — with a warning, so a silent rule regression can't pass as
+    "sharded" (every current test would otherwise stay green if the rules
+    stopped matching)."""
     tp = mesh.shape["model"]
     out = {}
     for k, v in params.items():
@@ -85,6 +91,12 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
         for dim, name in enumerate(spec):
             if name == "model" and v.shape[dim] % tp != 0:
                 ok = False
+        if not ok:
+            warnings.warn(
+                f"TP rule for {k!r} ({spec}) skipped: shape {tuple(v.shape)} "
+                f"does not divide model_parallel={tp}; replicating",
+                stacklevel=2,
+            )
         out[k] = jax.device_put(v, sh if ok else NamedSharding(mesh, PS()))
     return out
 
