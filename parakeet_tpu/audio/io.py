@@ -145,7 +145,10 @@ def _decode_with_backend(data: bytes, fmt: str):
     import io as _io
 
     # Native/system decoders first; on failure fall through to the python
-    # backends below, which may handle streams these decoders can't.
+    # backends below, which may handle streams these decoders can't. The
+    # native failure is preserved and chained so a corrupt file surfaces its
+    # real cause, not just "no decoder available".
+    native_err: Exception | None = None
     try:
         if fmt == AudioFormat.FLAC:
             from parakeet_tpu import native
@@ -163,8 +166,8 @@ def _decode_with_backend(data: bytes, fmt: str):
 
             if ogg_available():
                 return ogg_decode(data)
-    except (ValueError, RuntimeError):
-        pass
+    except (ValueError, RuntimeError) as e:
+        native_err = e
 
     try:
         import soundfile  # type: ignore
@@ -182,6 +185,10 @@ def _decode_with_backend(data: bytes, fmt: str):
         return x.T.reshape(-1).astype(np.float32), int(sr), x.shape[0]
     except ImportError:
         pass
+    if native_err is not None:
+        raise RuntimeError(
+            f"Decoding {fmt} failed: {native_err} (no python fallback backend available)"
+        ) from native_err
     raise RuntimeError(
         f"No decoder available for {fmt} (install soundfile or librosa); "
         "WAV decoding is always available"
@@ -316,9 +323,70 @@ def read_audio(
     )
 
 
+def _flac_streaminfo_duration(data: bytes) -> float | None:
+    """Duration from the FLAC STREAMINFO metadata block (no decode).
+
+    Mirrors the reference's drflac header path (audio_io.cpp:553-562):
+    totalPCMFrameCount / sampleRate, both read from STREAMINFO. Returns None
+    when the header is unparsable or the total-samples field is 0
+    ("unknown" per the FLAC spec) — caller falls back to full decode."""
+    if len(data) < 4 or data[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        (length,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + length]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 18:
+                return None
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            total = (
+                ((body[13] & 0x0F) << 32)
+                | (body[14] << 24)
+                | (body[15] << 16)
+                | (body[16] << 8)
+                | body[17]
+            )
+            if sr == 0 or total == 0:
+                return None
+            return total / sr
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+        pos += 4 + length
+    return None
+
+
+def _ogg_granule_duration(data: bytes) -> float | None:
+    """Duration from OGG page headers (no decode): sample rate from the
+    Vorbis identification header, total samples from the last page's
+    granule position — the stb_vorbis stream_length_in_samples approach the
+    reference uses (audio_io.cpp:568-582)."""
+    if len(data) < 27 or data[:4] != b"OggS":
+        return None
+    # Vorbis id header packet: \x01vorbis | version u32 | channels u8 | rate u32
+    ident = data.find(b"\x01vorbis", 0, 4096)
+    if ident < 0 or ident + 16 > len(data):
+        return None
+    (sr,) = struct.unpack("<I", data[ident + 12 : ident + 16])
+    if sr == 0:
+        return None
+    # Last page with a valid granulepos (bytes 6..14 of the page header).
+    pos = len(data)
+    while True:
+        pos = data.rfind(b"OggS", 0, pos)
+        if pos < 0:
+            return None
+        if pos + 14 <= len(data):
+            (granule,) = struct.unpack("<q", data[pos + 6 : pos + 14])
+            if granule >= 0:
+                return granule / sr
+
+
 def get_audio_duration(path: str | Path) -> float:
-    """Header-only duration for WAV; full decode fallback otherwise
-    (audio_io.cpp:527-586)."""
+    """Header-only duration for WAV/FLAC/OGG; full decode fallback for MP3
+    and unparsable headers (audio_io.cpp:527-586)."""
     path = Path(path)
     data = path.read_bytes()
     fmt = detect_format_by_extension(path)
@@ -327,6 +395,14 @@ def get_audio_duration(path: str | Path) -> float:
     if fmt == AudioFormat.WAV:
         x, sr, ch = _parse_wav(data)
         return len(x) / ch / sr
+    if fmt == AudioFormat.FLAC:
+        d = _flac_streaminfo_duration(data)
+        if d is not None:
+            return d
+    elif fmt == AudioFormat.OGG:
+        d = _ogg_granule_duration(data)
+        if d is not None:
+            return d
     audio = read_audio(data, target_sample_rate=16000, format_hint=fmt)
     return audio.duration
 
