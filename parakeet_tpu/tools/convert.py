@@ -267,20 +267,94 @@ def convert(
     return out
 
 
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    val = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def parse_sentencepiece_model(data: bytes) -> list[str]:
+    """Extract pieces from a SentencePiece `.model` file (ModelProto) with a
+    minimal protobuf walk — no sentencepiece dependency.
+
+    ModelProto layout (sentencepiece_model.proto): repeated field 1 =
+    SentencePiece message, whose field 1 is the piece string. All other
+    fields/wire types are skipped. Piece order is vocab-id order."""
+    pieces: list[str] = []
+    pos = 0
+    while pos < len(data):
+        tag, pos = _read_varint(data, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            _, pos = _read_varint(data, pos)
+        elif wire == 1:
+            pos += 8
+        elif wire == 5:
+            pos += 4
+        elif wire == 2:
+            ln, pos = _read_varint(data, pos)
+            body = data[pos : pos + ln]
+            pos += ln
+            if field != 1:
+                continue
+            p, piece = 0, None
+            while p < len(body):
+                t2, p = _read_varint(body, p)
+                f2, w2 = t2 >> 3, t2 & 7
+                if w2 == 0:
+                    _, p = _read_varint(body, p)
+                elif w2 == 1:
+                    p += 8
+                elif w2 == 5:
+                    p += 4
+                elif w2 == 2:
+                    l2, p = _read_varint(body, p)
+                    if f2 == 1:
+                        piece = body[p : p + l2].decode("utf-8", errors="surrogateescape")
+                    p += l2
+                else:
+                    raise ValueError(f"unsupported protobuf wire type {w2}")
+            if piece is not None:
+                pieces.append(piece)
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+    return pieces
+
+
 def extract_vocab(nemo_path: str | Path, output_path: str | Path) -> int:
-    """Pull the SentencePiece vocab out of a .nemo tar; one piece per line."""
+    """Pull the SentencePiece vocab out of a .nemo tar; one piece per line.
+
+    Prefers a `tokenizer.vocab`/`vocab.txt` member (reference
+    scripts/extract_vocab.py:18-49); archives shipping only the
+    `tokenizer.model` sentencepiece protobuf are handled by parsing the
+    ModelProto pieces directly."""
     with tarfile.open(nemo_path) as tar:
+        members = tar.getmembers()
         member = next(
-            (m for m in tar.getmembers()
+            (m for m in members
              if m.name.endswith(".vocab") or m.name.endswith("vocab.txt")), None
         )
-        if member is None:
-            # fall back to the sentencepiece .model + its vocab dump
-            raise FileNotFoundError("no vocab file found inside .nemo archive")
-        data = tar.extractfile(member).read().decode("utf-8", errors="surrogateescape")
-    lines = [l.split("\t")[0] for l in data.splitlines() if l]
+        if member is not None:
+            data = tar.extractfile(member).read().decode("utf-8", errors="surrogateescape")
+            lines = [l.split("\t")[0] for l in data.splitlines() if l]
+        else:
+            model = next((m for m in members if m.name.endswith(".model")), None)
+            if model is None:
+                raise FileNotFoundError(
+                    "no tokenizer.vocab / vocab.txt / tokenizer.model inside .nemo archive"
+                )
+            lines = parse_sentencepiece_model(tar.extractfile(model).read())
+            if not lines:
+                raise ValueError(f"{model.name}: no pieces parsed from sentencepiece model")
     Path(output_path).write_text("\n".join(lines) + "\n", encoding="utf-8", errors="surrogateescape")
     return len(lines)
 
 
-__all__ = ["PRESETS", "build_mapping", "convert", "extract_vocab"]
+__all__ = ["PRESETS", "build_mapping", "convert", "extract_vocab", "parse_sentencepiece_model"]

@@ -209,3 +209,87 @@ def test_nemo_tar_roundtrip(tmp_path):
 
     tok = Tokenizer(tmp_path / "vocab.txt")
     assert tok.decode([0, 1]) == "hello world"
+
+
+# ─── extract_vocab from sentencepiece .model (no .vocab in archive) ──────────
+
+
+def _spm_model_bytes(pieces):
+    """Hand-encode a sentencepiece ModelProto: repeated field 1 =
+    SentencePiece{1: piece(str), 2: score(f32), 3: type(varint)}."""
+    import struct
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    blob = b""
+    for i, piece in enumerate(pieces):
+        raw = piece.encode("utf-8")
+        sub = b"\x0a" + varint(len(raw)) + raw          # field 1, wire 2
+        sub += b"\x15" + struct.pack("<f", -float(i))   # field 2, wire 5
+        sub += b"\x18" + varint(1)                      # field 3, varint
+        blob += b"\x0a" + varint(len(sub)) + sub        # ModelProto field 1
+    # trailing normalizer spec (field 4, wire 2) — must be skipped cleanly
+    blob += b"\x22" + varint(3) + b"abc"
+    return blob
+
+
+def test_parse_sentencepiece_model():
+    from parakeet_tpu.tools.convert import parse_sentencepiece_model
+
+    pieces = ["<unk>", "▁hello", "▁wor", "ld", "▁"]
+    assert parse_sentencepiece_model(_spm_model_bytes(pieces)) == pieces
+
+
+def test_extract_vocab_from_model_member(tmp_path):
+    """Archive with only tokenizer.model: pieces come from the protobuf
+    (reference gap: scripts/extract_vocab.py requires the .vocab dump)."""
+    import tarfile
+
+    from parakeet_tpu.tools.convert import extract_vocab
+
+    model = tmp_path / "tokenizer.model"
+    model.write_bytes(_spm_model_bytes(["<unk>", "▁hi", "▁there", "!"]))
+    nemo = tmp_path / "model.nemo"
+    with tarfile.open(nemo, "w") as tar:
+        tar.add(model, arcname="abc123_tokenizer.model")
+
+    n = extract_vocab(nemo, tmp_path / "vocab.txt")
+    assert n == 4
+    assert (tmp_path / "vocab.txt").read_text().splitlines() == ["<unk>", "▁hi", "▁there", "!"]
+
+
+def test_extract_vocab_prefers_vocab_over_model(tmp_path):
+    import tarfile
+
+    from parakeet_tpu.tools.convert import extract_vocab
+
+    (tmp_path / "t.vocab").write_text("▁a\t-1.0\n▁b\t-2.0\n")
+    (tmp_path / "t.model").write_bytes(_spm_model_bytes(["x", "y", "z"]))
+    nemo = tmp_path / "m.nemo"
+    with tarfile.open(nemo, "w") as tar:
+        tar.add(tmp_path / "t.vocab", arcname="tokenizer.vocab")
+        tar.add(tmp_path / "t.model", arcname="tokenizer.model")
+
+    assert extract_vocab(nemo, tmp_path / "v.txt") == 2
+    assert (tmp_path / "v.txt").read_text().splitlines() == ["▁a", "▁b"]
+
+
+def test_extract_vocab_neither_raises(tmp_path):
+    import tarfile
+
+    from parakeet_tpu.tools.convert import extract_vocab
+
+    (tmp_path / "readme.txt").write_text("nothing here")
+    nemo = tmp_path / "m.nemo"
+    with tarfile.open(nemo, "w") as tar:
+        tar.add(tmp_path / "readme.txt", arcname="readme.txt")
+
+    with pytest.raises(FileNotFoundError):
+        extract_vocab(nemo, tmp_path / "v.txt")
