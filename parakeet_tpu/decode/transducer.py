@@ -444,15 +444,19 @@ def transducer_greedy_decode(
     frame_offset: int = 0,
     max_out: int | None = None,
     clamp_end: bool = True,
-    impl: str = "lookahead",
+    impl: str = "step",
     window: int = 8,
 ) -> TransducerResult:
     """Run the jitted decode and unpack to host lists.
 
     frame_offset shifts reported timestamps (streaming chunks, eou.cpp:80-84).
-    impl: "lookahead" (default, K-frame window — see _decode_loop_lookahead)
-    or "step" (one joint eval per iteration — the semantics oracle). Both
-    produce bit-identical results.
+    impl: "step" (default — one joint eval per while-iteration) or
+    "lookahead" (K-frame joint window per iteration; see
+    _decode_loop_lookahead). Both produce bit-identical results. Measured
+    (TUNING.md "TDT decode"): the step loop is latency-bound and essentially
+    flat in iteration count on this TPU; lookahead wins only ~5-8% on
+    blank-dominant audio and loses up to 2x at dense emission rates, so
+    step is the default and lookahead is opt-in for silence-heavy streams.
     """
     b, t_max, _ = enc.shape
     if enc_lengths is None:
