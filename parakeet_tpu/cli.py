@@ -36,7 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("--sortformer-weights", default="models/sortformer.safetensors")
     ap.add_argument("--ctc", action="store_true", help="use CTC head (tdt-ctc only)")
     ap.add_argument("--tdt", action="store_true", help="use TDT head (default)")
-    ap.add_argument("--timestamps", action="store_true")
+    ap.add_argument("--timestamps", nargs="?", const="words", default=None,
+                    choices=["words", "sentences"], metavar="MODE",
+                    help="emit timestamps; MODE = words (default) or sentences "
+                         "(merge at ./?/! — timestamp.cpp Sentences mode)")
     ap.add_argument("--boost", default="", help="comma-separated boost phrases")
     ap.add_argument("--boost-score", type=float, default=5.0)
     ap.add_argument("--latency", type=int, default=0, choices=[0, 1, 6, 13],
@@ -111,7 +114,15 @@ def main(argv=None) -> int:
 
             from parakeet_tpu.transcribe import TranscribeOptions
 
-            opts = TranscribeOptions(decoder, args.timestamps, boost, args.boost_score)
+            from parakeet_tpu.decode.timestamp import TimestampMode
+
+            opts = TranscribeOptions(
+                decoder,
+                args.timestamps is not None,
+                boost,
+                args.boost_score,
+                TimestampMode(args.timestamps or "words"),
+            )
             if args.features:
                 import numpy as _np
 

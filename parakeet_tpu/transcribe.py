@@ -33,7 +33,12 @@ from parakeet_tpu.decode.phrase_boost import (
     ctc_greedy_decode_boosted,
     ctc_greedy_decode_with_timestamps_boosted,
 )
-from parakeet_tpu.decode.timestamp import TimestampedToken, WordTimestamp, group_timestamps
+from parakeet_tpu.decode.timestamp import (
+    TimestampedToken,
+    TimestampMode,
+    WordTimestamp,
+    group_timestamps,
+)
 from parakeet_tpu.decode.transducer import transducer_greedy_decode
 from parakeet_tpu.models.ctc import (
     ctc_greedy_decode,
@@ -64,6 +69,9 @@ class TranscribeOptions:
     timestamps: bool = False
     boost_phrases: list[str] = field(default_factory=list)
     boost_score: float = DEFAULT_BOOST_SCORE
+    # word grouping granularity (timestamp.hpp TimestampMode; Sentences
+    # merges words at ./?/! — timestamp.cpp:84-111)
+    timestamp_mode: TimestampMode = TimestampMode.WORDS
 
 
 def _dtype_of(name: str):
@@ -152,8 +160,11 @@ class _TranscriberBase:
         *,
         boost_phrases: list[str] | None = None,
         boost_score: float = DEFAULT_BOOST_SCORE,
+        timestamp_mode: TimestampMode = TimestampMode.WORDS,
     ) -> TranscribeResult:
-        opts = TranscribeOptions(decoder, timestamps, list(boost_phrases or []), boost_score)
+        opts = TranscribeOptions(
+            decoder, timestamps, list(boost_phrases or []), boost_score, timestamp_mode
+        )
         return self.transcribe_batch([source], opts)[0]
 
     def transcribe_batch(
@@ -243,7 +254,7 @@ class _TranscriberBase:
                     )
                 else:
                     ts = ctc_greedy_decode_with_timestamps(log_probs, self._ctc_blank(), enc_lens)
-                return [self._result_from_ts(t) for t in ts[:n]]
+                return [self._result_from_ts(t, opts.timestamp_mode) for t in ts[:n]]
             if trie is not None:
                 toks = ctc_greedy_decode_boosted(
                     log_probs, trie, opts.boost_score, self._ctc_blank(), enc_lens
@@ -268,7 +279,7 @@ class _TranscriberBase:
             boost=boost,
         )
         if opts.timestamps:
-            return [self._result_from_ts(t) for t in res.timestamped[:n]]
+            return [self._result_from_ts(t, opts.timestamp_mode) for t in res.timestamped[:n]]
         return [self._result_from_tokens(t) for t in res.tokens[:n]]
 
     def transcribe_long(
@@ -280,6 +291,7 @@ class _TranscriberBase:
         overlap_s: float = 10.0,
         boost_phrases: list[str] | None = None,
         boost_score: float = DEFAULT_BOOST_SCORE,
+        timestamp_mode: TimestampMode = TimestampMode.WORDS,
     ) -> TranscribeResult:
         """Long-form transcription via overlapping windows + timestamp merge.
 
@@ -298,10 +310,17 @@ class _TranscriberBase:
             return self.transcribe(
                 samples, decoder, timestamps=True,
                 boost_phrases=boost_phrases, boost_score=boost_score,
+                timestamp_mode=timestamp_mode,
             )
 
         starts = list(range(0, len(samples), hop))
-        merged: list[TimestampedToken] = []
+        # ownership is WORD-level: a window owns every word whose start falls
+        # in its exclusive half of the overlap, and contributes that word's
+        # tokens wholesale — a word straddling the seam can't be split across
+        # two windows' (possibly disagreeing) decodes. Without a tokenizer,
+        # every token is its own "word" (token-level ownership).
+        pieces = self.tokenizer.pieces if self.tokenizer.loaded else None
+        owned_words: list[list[TimestampedToken]] = []
         opts = TranscribeOptions(decoder, True, list(boost_phrases or []), boost_score)
         for wi, s0 in enumerate(starts):
             chunk = samples[s0 : s0 + win]
@@ -317,20 +336,33 @@ class _TranscriberBase:
                 else offset_s + window_s - overlap_s / 2.0
             )
             frame_off = int(round(offset_s / 0.08))
+
+            words: list[list[TimestampedToken]] = []
             for t in res.timestamped_tokens:
-                abs_start_s = (t.start_frame + frame_off) * 0.08
+                shifted = TimestampedToken(
+                    t.token_id,
+                    t.start_frame + frame_off,
+                    t.end_frame + frame_off,
+                    t.confidence,
+                )
+                word_start = (
+                    pieces is None
+                    or not words
+                    or (t.token_id < len(pieces) and pieces[t.token_id].startswith("▁"))
+                )
+                if word_start:
+                    words.append([shifted])
+                else:
+                    words[-1].append(shifted)
+            for word in words:
+                abs_start_s = word[0].start_frame * 0.08
                 if keep_lo <= abs_start_s < keep_hi:
-                    merged.append(
-                        TimestampedToken(
-                            t.token_id,
-                            t.start_frame + frame_off,
-                            t.end_frame + frame_off,
-                            t.confidence,
-                        )
-                    )
+                    owned_words.append(word)
             if s0 + win >= len(samples):
                 break
-        return self._result_from_ts(merged)
+        owned_words.sort(key=lambda w: w[0].start_frame)
+        merged = [t for w in owned_words for t in w]
+        return self._result_from_ts(merged, timestamp_mode)
 
     # ── Result assembly ──────────────────────────────────────────────────
 
@@ -343,13 +375,15 @@ class _TranscriberBase:
             r.text = self.tokenizer.decode(token_ids)
         return r
 
-    def _result_from_ts(self, ts: list[TimestampedToken]) -> TranscribeResult:
+    def _result_from_ts(
+        self, ts: list[TimestampedToken], mode: TimestampMode = TimestampMode.WORDS
+    ) -> TranscribeResult:
         r = TranscribeResult(
             token_ids=[t.token_id for t in ts], timestamped_tokens=ts
         )
         if self.tokenizer.loaded:
             r.text = self.tokenizer.decode(r.token_ids)
-            r.word_timestamps = group_timestamps(ts, self.tokenizer.pieces)
+            r.word_timestamps = group_timestamps(ts, self.tokenizer.pieces, mode)
         return r
 
 
