@@ -1,6 +1,13 @@
 # Convenience targets (reference has an equivalent Makefile wrapper).
 
-.PHONY: install test bench native clean
+.PHONY: install test bench native clean format format-check
+
+# Format gate (reference CI enforces clang-format; Makefile:48-52 there).
+format:
+	python scripts/lint.py --fix
+
+format-check:
+	python scripts/lint.py
 
 install:
 	pip install -e . --no-build-isolation
