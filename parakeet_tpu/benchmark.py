@@ -53,17 +53,18 @@ def bench_encoder(model: str, seconds: int, batch: int, dtype_name: str, iters: 
     if dtype_name == "bfloat16":
         params = cast_params(params, dtype)
 
-    from jax import lax
-
     # Chain the iterations on device and fetch one scalar: on some remote
     # backends block_until_ready acks before execution (see bench.py).
+    # UNROLLED python loop, NOT fori_loop: a pallas_call inside a loop
+    # closure trips this jax version's cached lowering (TUNING.md), and the
+    # fused Pallas attention may be enabled when this runs.
     @jax.jit
     def chained(p, feats):
-        def body(i, acc):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
             out = fwd(p, feats + (acc * 1e-12).astype(feats.dtype))
-            return jnp.sum(out).astype(jnp.float32)
-
-        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+            acc = jnp.sum(out).astype(jnp.float32)
+        return acc
 
     feats = jnp.asarray(
         np.random.RandomState(0).randn(batch, seconds * 100, enc_cfg.mel_bins), dtype=dtype

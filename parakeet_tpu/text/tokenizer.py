@@ -89,8 +89,8 @@ class Tokenizer:
         table: dict[str, int] = {}
         max_len = 0
         for i, piece in enumerate(self._pieces):
-            # First occurrence wins (matches unordered_map insert-once... the
-            # reference overwrites on duplicates; keep last to match operator[]).
+            # Duplicates: LAST occurrence wins, matching the reference's
+            # `map[piece] = id` assignment semantics (vocab.cpp operator[]).
             table[piece] = i
             if len(piece) > max_len:
                 max_len = len(piece)

@@ -95,17 +95,21 @@ def _oracle_streaming_attention(a: Params, chunks, pos_table, num_heads, left, r
     return outs
 
 
-def test_static_cache_attention_matches_dynamic_oracle(tiny):
+@pytest.mark.parametrize("right", [0, 1, 6, 13])  # the four Nemotron latency modes
+@pytest.mark.parametrize("chunk", [2, 20])
+def test_static_cache_attention_matches_dynamic_oracle(tiny, right, chunk):
     """Fixed-shape right-aligned KV cache == reference dynamic cache, chunk
-    by chunk, including warmup."""
+    by chunk, including warmup — across every latency mode's right context
+    (nemotron.hpp:27-29) and both the tiny and the production chunk size
+    (eou.hpp chunk_size=20). The static position-bias mapping is
+    load-bearing (models/streaming_encoder.py docstring)."""
     from parakeet_tpu.models.streaming_encoder import _streaming_attention
 
     cfg, params = tiny
     a = Params(params).sub("encoder_").sub("layers_").sub("0").sub("attn_")
     rng = np.random.RandomState(3)
-    d, H, left, right = 16, 2, cfg.att_context_left, cfg.att_context_right
-    chunk = 2
-    n_chunks = 6  # warms up past the left-context size (6 frames)
+    d, H, left = 16, 2, cfg.att_context_left
+    n_chunks = max(2, (left * 2) // chunk + 2)  # warms past the left context
     chunks = [rng.randn(chunk, d).astype(np.float32) * 0.5 for _ in range(n_chunks)]
 
     tc = left + chunk
@@ -124,7 +128,7 @@ def test_static_cache_attention_matches_dynamic_oracle(tiny):
         valid = jnp.minimum(valid + chunk, left)
         np.testing.assert_allclose(
             np.asarray(out)[0], oracle[i], rtol=2e-4, atol=1e-5,
-            err_msg=f"chunk {i}",
+            err_msg=f"chunk {i} (right={right}, chunk={chunk})",
         )
 
 
@@ -230,6 +234,35 @@ def test_nemotron_transcriber_construct():
     out = nt.transcribe_chunk(np.zeros(4000, np.float32))
     assert isinstance(out, str)
     assert nt.config.encoder.att_context_right == 6
+
+
+def test_nemotron_e2e_latency_13():
+    """Full Nemotron chunk loop at the highest-latency mode (right=13,
+    nemotron.hpp:27-29): deterministic accumulation and reset reproduce."""
+    from parakeet_tpu.streaming import NemotronTranscriber
+
+    cfg = C.NemotronConfig(
+        encoder=tiny_streaming_cfg(att_context_right=13, chunk_size=2),
+        prediction=C.PredictionConfig(vocab_size=11, pred_hidden=8, num_lstm_layers=2),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=11),
+        latency_frames=13,
+    )
+    nt = NemotronTranscriber(None, None, cfg, seed=9)
+    rng = np.random.RandomState(19)
+    audio = (rng.randn(12800) * 0.1).astype(np.float32)
+
+    for s in range(0, len(audio), 2560):
+        nt.transcribe_chunk(audio[s : s + 2560])
+    toks1 = nt.get_tokens()
+    ts = nt.get_timestamped_tokens()
+    assert len(ts) == len(toks1)
+    starts = [t.start_frame for t in ts]
+    assert starts == sorted(starts)
+
+    nt.reset()
+    for s in range(0, len(audio), 2560):
+        nt.transcribe_chunk(audio[s : s + 2560])
+    assert nt.get_tokens() == toks1
 
 
 def test_streaming_batch_transcriber_slots():
