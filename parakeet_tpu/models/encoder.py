@@ -25,8 +25,6 @@ import jax.numpy as jnp
 
 from parakeet_tpu.config import EncoderConfig
 from parakeet_tpu.ops.layers import (
-    batch_norm_1d,
-    conv1d,
     conv2d_nhwc,
     glu,
     layer_norm,
@@ -136,6 +134,20 @@ def feed_forward(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return x + 0.5 * h
 
 
+def _pointwise_as_matmul(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """k=1 Conv1d over feature-minor (B, T, C) activations as one matmul.
+    Weight: torch Conv1d layout (C_out, C_in, 1)."""
+    w = p["weight"][:, :, 0]  # (C_out, C_in)
+    y = jax.lax.dot_general(
+        x, w, (((2,), (1,)), ((), ())),
+        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST,
+    )
+    b = p.get("bias")
+    if b is not None:
+        y = y + b.astype(_F32)
+    return y.astype(x.dtype)
+
+
 def conv_module(
     p: Params,
     x: jnp.ndarray,
@@ -146,22 +158,44 @@ def conv_module(
     """Pointwise→GLU→depthwise→BN(inference)→SiLU→pointwise, residual
     (encoder.cpp:59-75).
 
+    TPU layout: everything stays feature-minor (B, T, C) — the pointwise
+    convs are plain matmuls, the depthwise conv runs in NHC with
+    feature_group_count=d, and BatchNorm broadcasts over the minor axis.
+    The reference's (B, C, T) permute-convolve-permute dance (and our r1
+    port of it) pays two full activation transposes per layer for no
+    arithmetic benefit on this hardware.
+
     pad_mask: optional (B, T) bool, True = padding. Padded positions are
     zero-filled before the depthwise conv (NeMo batching semantics) so pad
     garbage can't bleed into valid frames. The reference is batch-1 and
     never pads, so this is a no-op on its path."""
     d = x.shape[-1]
     h = layer_norm(p.sub("norm_"), x, eps)
-    h = jnp.swapaxes(h, 1, 2)  # (B, d, T)
-    h = conv1d(p.sub("pointwise_conv1_"), h)
-    h = glu(h, axis=1)
+    h = _pointwise_as_matmul(p.sub("pointwise_conv1_"), h)  # (B, T, 2d)
+    h = glu(h, axis=-1)
     if pad_mask is not None:
-        h = jnp.where(pad_mask[:, None, :], 0.0, h)
-    h = conv1d(p.sub("depthwise_conv_"), h, padding=(kernel_size - 1) // 2, groups=d)
-    h = batch_norm_1d(p.sub("batch_norm_"), h)
+        h = jnp.where(pad_mask[:, :, None], 0.0, h)
+    # depthwise conv over time, feature-minor: rhs (k, 1, d) "HIO"
+    wd = jnp.transpose(p["depthwise_conv_.weight"], (2, 1, 0))
+    pad = (kernel_size - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        h, wd, window_strides=(1,), padding=[(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=d,
+        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST,
+    )
+    bd = p.get("depthwise_conv_.bias")
+    if bd is not None:
+        y = y + bd.astype(_F32)
+    h = y  # (B, T, d) f32
+    bn = p.sub("batch_norm_")
+    mean = bn["running_mean"].astype(_F32)
+    var = bn["running_var"].astype(_F32)
+    # torch BatchNorm1d default eps (matches batch_norm_1d / the reference)
+    h = (h - mean) * jax.lax.rsqrt(var + 1e-5) * bn["weight"].astype(_F32) + bn["bias"].astype(_F32)
+    h = h.astype(x.dtype)
     h = _silu(h)
-    h = conv1d(p.sub("pointwise_conv2_"), h)
-    return x + jnp.swapaxes(h, 1, 2)
+    h = _pointwise_as_matmul(p.sub("pointwise_conv2_"), h)
+    return x + h
 
 
 def rel_shift(x: jnp.ndarray) -> jnp.ndarray:

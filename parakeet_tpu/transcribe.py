@@ -184,14 +184,23 @@ class _TranscriberBase:
 
         waves = [self._to_samples(s) for s in sources]
         if len(waves) > 1:
-            # one device call for the whole batch (exact per-clip equality)
+            # one device call for the whole batch (exact per-clip equality);
+            # features STAY on device — normalized pad frames are exactly 0
+            # (masked normalization), identical to host zero-padding, so no
+            # device→host→device round trip is needed
             from parakeet_tpu.audio.frontend import preprocess_audio_batch
 
             batched, n_frames = preprocess_audio_batch(waves, self._audio_cfg)
-            arr = np.asarray(batched)
-            feats = [arr[i, : n_frames[i]] for i in range(len(waves))]
-        else:
-            feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
+            if not self._audio_cfg.normalize:
+                # unnormalized pad frames are log-guard values, not 0 —
+                # re-pad on host (not hit by the ASR facades)
+                arr = np.asarray(batched)
+                feats = [arr[i, : n_frames[i]] for i in range(len(waves))]
+                return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
+            return self._decode_padded(
+                batched, list(n_frames), opts, pad_to_multiple=pad_to_multiple
+            )
+        feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
         return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
 
     def transcribe_features(self, features, opts: TranscribeOptions | None = None):
@@ -218,15 +227,31 @@ class _TranscriberBase:
         t_max = max(mel_lens)
         if pad_to_multiple:
             t_max = -(-t_max // pad_to_multiple) * pad_to_multiple
-        n = len(feats)
+        batch = np.zeros((len(feats), t_max, self._audio_cfg.n_mels), np.float32)
+        for i, f in enumerate(feats):
+            batch[i, : f.shape[0]] = f
+        return self._decode_padded(batch, mel_lens, opts)
+
+    def _decode_padded(
+        self,
+        batch,  # (B, T, mel) np or device array, zero-padded per item
+        mel_lens: list[int],
+        opts: TranscribeOptions,
+        *,
+        pad_to_multiple: int | None = None,
+    ) -> list[TranscribeResult]:
+        n = len(mel_lens)
+        t_max = batch.shape[1]
+        pad_t = 0
+        if pad_to_multiple:
+            pad_t = -(-t_max // pad_to_multiple) * pad_to_multiple - t_max
         pad_items = 0
         if self.mesh is not None:
             # batch must divide over the 'data' axis; pad with empty items
             dp = self.mesh.shape["data"]
             pad_items = (-n) % dp
-        batch = np.zeros((n + pad_items, t_max, self._audio_cfg.n_mels), np.float32)
-        for i, f in enumerate(feats):
-            batch[i, : f.shape[0]] = f
+        if pad_t or pad_items:
+            batch = jnp.pad(batch, ((0, pad_items), (0, pad_t), (0, 0)))
         lengths = jnp.asarray(mel_lens + [1] * pad_items, jnp.int32)
         feats_j = jnp.asarray(batch)
         if self.mesh is not None:
