@@ -29,6 +29,7 @@ from parakeet_tpu.ops.layers import (
     glu,
     layer_norm,
     linear,
+    matmul_precision,
 )
 from parakeet_tpu.params import Params
 
@@ -140,7 +141,7 @@ def _pointwise_as_matmul(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     w = p["weight"][:, :, 0]  # (C_out, C_in)
     y = jax.lax.dot_general(
         x, w, (((2,), (1,)), ((), ())),
-        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=_F32, precision=matmul_precision(x.dtype),
     )
     b = p.get("bias")
     if b is not None:
@@ -181,7 +182,7 @@ def conv_module(
     y = jax.lax.conv_general_dilated(
         h, wd, window_strides=(1,), padding=[(pad, pad)],
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=d,
-        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=_F32, precision=matmul_precision(h.dtype),
     )
     bd = p.get("depthwise_conv_.bias")
     if bd is not None:
@@ -250,12 +251,12 @@ def rel_position_attention(
 
     # (B,H,T,hd) @ (B,H,hd,T) → (B,H,T,T)
     content = jnp.einsum("bhtd,bhsd->bhts", q + bias_u, k,
-                         preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST)
+                         preferred_element_type=_F32, precision=matmul_precision(x.dtype))
 
     pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
     pos = jnp.transpose(pos.reshape(-1, num_heads, head_dim), (1, 0, 2))  # (H,2T-1,hd)
     pos_score = jnp.einsum("bhtd,hsd->bhts", q + bias_v, pos,
-                           preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST)
+                           preferred_element_type=_F32, precision=matmul_precision(x.dtype))
     pos_score = rel_shift(pos_score)
 
     scores = (content + pos_score) * scale
@@ -264,7 +265,7 @@ def rel_position_attention(
     attn = jax.nn.softmax(scores.astype(_F32), axis=-1).astype(x.dtype)
 
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v,
-                     preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+                     preferred_element_type=_F32, precision=matmul_precision(x.dtype)).astype(x.dtype)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
     return linear(mha.sub("out_proj"), out)
 

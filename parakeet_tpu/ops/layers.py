@@ -20,13 +20,28 @@ from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
 
+# f32 contractions NEED Precision.HIGHEST on this XLA (default silently
+# truncates to bf16-like passes — CLAUDE.md / TUNING.md); bf16 operands hit
+# the MXU natively and HIGHEST would only ask XLA to upcast. Precision is
+# therefore chosen per-operand-dtype. set_bf16_precision exists for A/B.
+_BF16_PRECISION = lax.Precision.DEFAULT
+
+
+def set_bf16_precision(p) -> None:
+    global _BF16_PRECISION
+    _BF16_PRECISION = p
+
+
+def matmul_precision(dtype) -> lax.Precision:
+    return lax.Precision.HIGHEST if dtype == _F32 else _BF16_PRECISION
+
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W.T (+ b). W: (out, in); x: (..., in)."""
     w = p["weight"]
     y = jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=_F32, precision=lax.Precision.HIGHEST,
+        preferred_element_type=_F32, precision=matmul_precision(x.dtype),
     )
     b = p.get("bias")
     if b is not None:
@@ -76,7 +91,7 @@ def conv1d(
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
         preferred_element_type=_F32,
-        precision=lax.Precision.HIGHEST,
+        precision=matmul_precision(x.dtype),
     )
     b = p.get("bias")
     if b is not None:
@@ -107,7 +122,7 @@ def conv2d(
         dimension_numbers=(layout, "OIHW", layout),
         feature_group_count=groups,
         preferred_element_type=_F32,
-        precision=lax.Precision.HIGHEST,
+        precision=matmul_precision(x.dtype),
     )
     b = p.get("bias")
     if b is not None:
@@ -127,4 +142,4 @@ def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return a * jax.nn.sigmoid(b)
 
 
-__all__ = ["linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]
+__all__ = ["matmul_precision", "set_bf16_precision", "linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]

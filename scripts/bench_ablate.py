@@ -22,6 +22,8 @@ def main() -> int:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fused", action="store_true", help="fused Pallas attention")
     ap.add_argument("--skip", default="none,attention,conv,ffn,subsampling")
+    ap.add_argument("--bf16-precision", default="default", choices=["default", "highest"],
+                    help="matmul precision for bf16 operands (A/B the r1 HIGHEST choice)")
     args = ap.parse_args()
 
     import numpy as np
@@ -35,6 +37,10 @@ def main() -> int:
 
     if args.fused:
         E.set_fused_attention(True)
+    if args.bf16_precision == "highest":
+        from parakeet_tpu.ops.layers import set_bf16_precision
+
+        set_bf16_precision(jax.lax.Precision.HIGHEST)
 
     cfg = C.make_110m_config().encoder
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
