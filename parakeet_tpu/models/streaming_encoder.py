@@ -41,7 +41,7 @@ from parakeet_tpu.models.encoder import (
     feed_forward,
     sinusoidal_position_embedding,
 )
-from parakeet_tpu.ops.layers import batch_norm_1d, conv1d, glu, layer_norm, linear
+from parakeet_tpu.ops.layers import batch_norm_1d, conv1d, glu, layer_norm, linear, matmul_precision
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
@@ -98,14 +98,14 @@ def _streaming_attention(
 
     content = jnp.einsum(
         "bhtd,bhsd->bhts", q + bias_u, k_full,
-        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=_F32, precision=matmul_precision(x.dtype),
     )
     # Query-independent position bias (see module docstring): (B,H,chunk,tc)
     pproj = linear(p.sub("pos_proj_"), pos_tail.astype(x.dtype))  # (tc, d)
     pproj = jnp.transpose(pproj.reshape(tc, num_heads, hd), (1, 0, 2))  # (H,tc,hd)
     pos_score = jnp.einsum(
         "bhtd,hsd->bhts", q + bias_v, pproj,
-        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=_F32, precision=matmul_precision(x.dtype),
     )
 
     scores = (content + pos_score) * scale
@@ -122,7 +122,7 @@ def _streaming_attention(
     attn = jax.nn.softmax(scores.astype(_F32), axis=-1).astype(x.dtype)
     out = jnp.einsum(
         "bhts,bhsd->bhtd", attn, v_full,
-        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=_F32, precision=matmul_precision(x.dtype),
     ).astype(x.dtype)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, chunk, d)
     return linear(mha.sub("out_proj"), out), new_k_cache, new_v_cache

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from parakeet_tpu.config import TransformerConfig
-from parakeet_tpu.ops.layers import layer_norm, linear
+from parakeet_tpu.ops.layers import layer_norm, linear, matmul_precision
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
@@ -41,14 +41,14 @@ def transformer_block(
 
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", q, k, preferred_element_type=_F32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=matmul_precision(x.dtype),
     ) * scale
     if mask is not None:
         scores = jnp.where(mask, _NEG_INF, scores)
     attn = jax.nn.softmax(scores.astype(_F32), axis=-1).astype(x.dtype)
     out = jnp.einsum(
         "bhts,bhsd->bhtd", attn, v, preferred_element_type=_F32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=matmul_precision(x.dtype),
     ).astype(x.dtype)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
     out = linear(mha.sub("out_proj"), out)
