@@ -44,12 +44,22 @@ _NEG_INF = -1e9
 
 # Fused Pallas attention (ops/pallas_attention.py). Off by default; enable
 # with set_fused_attention(True) on TPU for the unmasked batched path.
-_FUSED_ATTENTION = False
+# Modes: False/"off" = XLA path; True/"v1" = fused scores/shift/softmax/AV
+# (grid (B,H), projections in XLA); "block" = additionally fuses the
+# QKV/out projections (grid (B,), weights VMEM-resident).
+_FUSED_ATTENTION: str | bool = False
 
 
-def set_fused_attention(enabled: bool) -> None:
+def set_fused_attention(mode) -> None:
     global _FUSED_ATTENTION
-    _FUSED_ATTENTION = bool(enabled)
+    if mode in (False, "off", None):
+        _FUSED_ATTENTION = False
+    elif mode in (True, "v1"):
+        _FUSED_ATTENTION = "v1"
+    elif mode == "block":
+        _FUSED_ATTENTION = "block"
+    else:
+        raise ValueError(f"unknown fused attention mode {mode!r}")
 
 
 # ─── Sinusoidal relative position embedding (encoder.cpp:9-30) ──────────────
@@ -149,6 +159,17 @@ def _pointwise_as_matmul(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+# conv-module activation layout: "nhc" = feature-minor (pointwise convs as
+# matmuls, NHC depthwise) or "nch" = r1's transpose-convolve-transpose.
+_CONV_LAYOUT = "nch"
+
+
+def set_conv_layout(layout: str) -> None:
+    global _CONV_LAYOUT
+    assert layout in ("nhc", "nch"), layout
+    _CONV_LAYOUT = layout
+
+
 def conv_module(
     p: Params,
     x: jnp.ndarray,
@@ -159,18 +180,31 @@ def conv_module(
     """Pointwise→GLU→depthwise→BN(inference)→SiLU→pointwise, residual
     (encoder.cpp:59-75).
 
-    TPU layout: everything stays feature-minor (B, T, C) — the pointwise
-    convs are plain matmuls, the depthwise conv runs in NHC with
-    feature_group_count=d, and BatchNorm broadcasts over the minor axis.
-    The reference's (B, C, T) permute-convolve-permute dance (and our r1
-    port of it) pays two full activation transposes per layer for no
-    arithmetic benefit on this hardware.
+    Two equivalent layouts (set_conv_layout): "nhc" keeps activations
+    feature-minor (pointwise convs as matmuls, depthwise in NHC, BN on the
+    minor axis); "nch" is the reference-shaped (B, C, T)
+    permute-convolve-permute. Numerics match (torch-oracle pinned); which
+    is faster is backend-dependent — measured per TUNING.md.
 
     pad_mask: optional (B, T) bool, True = padding. Padded positions are
     zero-filled before the depthwise conv (NeMo batching semantics) so pad
     garbage can't bleed into valid frames. The reference is batch-1 and
     never pads, so this is a no-op on its path."""
     d = x.shape[-1]
+    if _CONV_LAYOUT == "nch":
+        from parakeet_tpu.ops.layers import batch_norm_1d, conv1d
+
+        h = layer_norm(p.sub("norm_"), x, eps)
+        h = jnp.swapaxes(h, 1, 2)  # (B, d, T)
+        h = conv1d(p.sub("pointwise_conv1_"), h)
+        h = glu(h, axis=1)
+        if pad_mask is not None:
+            h = jnp.where(pad_mask[:, None, :], 0.0, h)
+        h = conv1d(p.sub("depthwise_conv_"), h, padding=(kernel_size - 1) // 2, groups=d)
+        h = batch_norm_1d(p.sub("batch_norm_"), h)
+        h = _silu(h)
+        h = conv1d(p.sub("pointwise_conv2_"), h)
+        return x + jnp.swapaxes(h, 1, 2)
     h = layer_norm(p.sub("norm_"), x, eps)
     h = _pointwise_as_matmul(p.sub("pointwise_conv1_"), h)  # (B, T, 2d)
     h = glu(h, axis=-1)
@@ -233,6 +267,23 @@ def rel_position_attention(
     scale = 1.0 / math.sqrt(head_dim)
 
     mha = p.sub("mha_")
+
+    if _FUSED_ATTENTION == "block" and (mask is None or lengths is not None):
+        from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
+
+        pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
+        pos = jnp.transpose(pos.reshape(-1, num_heads, head_dim), (1, 0, 2))
+        return fused_rel_attention_block(
+            x,
+            mha["q_proj.weight"], mha["q_proj.bias"],
+            mha["k_proj.weight"], mha["k_proj.bias"],
+            mha["v_proj.weight"], mha["v_proj.bias"],
+            p["pos_bias_u_"].astype(x.dtype), p["pos_bias_v_"].astype(x.dtype),
+            pos,
+            mha["out_proj.weight"], mha["out_proj.bias"],
+            lengths=lengths,
+        )
+
     q = _split_heads(linear(mha.sub("q_proj"), x), num_heads)
     k = _split_heads(linear(mha.sub("k_proj"), x), num_heads)
     v = _split_heads(linear(mha.sub("v_proj"), x), num_heads)
@@ -240,7 +291,7 @@ def rel_position_attention(
     bias_u = p["pos_bias_u_"].astype(x.dtype)[None, :, None, :]  # (1,H,1,hd)
     bias_v = p["pos_bias_v_"].astype(x.dtype)[None, :, None, :]
 
-    if _FUSED_ATTENTION and (mask is None or lengths is not None):
+    if _FUSED_ATTENTION == "v1" and (mask is None or lengths is not None):
         from parakeet_tpu.ops.pallas_attention import fused_rel_attention
 
         pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
@@ -346,6 +397,7 @@ __all__ = [
     "conv_subsampling_stages",
     "feed_forward",
     "conv_module",
+    "set_conv_layout",
     "rel_shift",
     "rel_position_attention",
     "conformer_block",

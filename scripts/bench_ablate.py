@@ -24,6 +24,8 @@ def main() -> int:
     ap.add_argument("--skip", default="none,attention,conv,ffn,subsampling")
     ap.add_argument("--bf16-precision", default="default", choices=["default", "highest"],
                     help="matmul precision for bf16 operands (A/B the r1 HIGHEST choice)")
+    ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch"],
+                    help="conv-module activation layout A/B")
     args = ap.parse_args()
 
     import numpy as np
@@ -41,6 +43,8 @@ def main() -> int:
         from parakeet_tpu.ops.layers import set_bf16_precision
 
         set_bf16_precision(jax.lax.Precision.HIGHEST)
+    if args.conv_layout:
+        E.set_conv_layout(args.conv_layout)
 
     cfg = C.make_110m_config().encoder
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -105,3 +105,56 @@ def test_fused_masked_matches_xla_lengths(monkeypatch):
     t_valid = E.subsample_length(64)
     np.testing.assert_allclose(fused[0, :t_valid], ref[0, :t_valid], rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(fused[1], ref[1], rtol=1e-3, atol=1e-5)
+
+
+def _interp_block(monkeypatch):
+    import parakeet_tpu.ops.pallas_attention as PA
+
+    orig = PA.fused_rel_attention_block
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(PA, "fused_rel_attention_block", interp)
+
+
+def test_block_kernel_end_to_end_interpret(monkeypatch):
+    """Whole-block fused attention (QKV/out projections inside the kernel)
+    == XLA path through the full encoder."""
+    _interp_block(monkeypatch)
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                          num_layers=2, num_heads=2, ffn_intermediate=32)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=6)
+    root = Params(params).sub("encoder_")
+    x = jnp.asarray(np.random.RandomState(8).randn(2, 48, 80).astype(np.float32))
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, x))
+    E.set_fused_attention("block")
+    try:
+        fused = np.asarray(E.fastconformer_encode(root, cfg, x))
+    finally:
+        E.set_fused_attention(False)
+    np.testing.assert_allclose(fused, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_block_kernel_masked_lengths(monkeypatch):
+    _interp_block(monkeypatch)
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                          num_layers=1, num_heads=2, ffn_intermediate=32)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=10)
+    root = Params(params).sub("encoder_")
+    mel = np.zeros((2, 80, 80), np.float32)
+    mel[0, :64] = np.random.RandomState(4).randn(64, 80)
+    mel[1, :80] = np.random.RandomState(5).randn(80, 80)
+    lengths = jnp.asarray([64, 80])
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    E.set_fused_attention("block")
+    try:
+        fused = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    finally:
+        E.set_fused_attention(False)
+    t_valid = E.subsample_length(64)
+    np.testing.assert_allclose(fused[0, :t_valid], ref[0, :t_valid], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(fused[1], ref[1], rtol=1e-3, atol=1e-5)
