@@ -145,6 +145,9 @@ def main() -> int:
     ap.add_argument("--full", action="store_true", help="include CTC head")
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused Pallas attention kernel")
+    ap.add_argument("--fused-mode", default="v1", choices=["v1", "block"],
+                    help="fused attention kernel variant (see encoder.set_fused_attention)")
+    ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch"])
     ap.add_argument("--no-e2e", action="store_true",
                     help="skip the end-to-end audio→text measurement")
     ap.add_argument("--e2e-json", action="store_true",
@@ -166,7 +169,11 @@ def main() -> int:
     if not args.no_fused:
         from parakeet_tpu.models.encoder import set_fused_attention
 
-        set_fused_attention(True)
+        set_fused_attention(args.fused_mode)
+    if args.conv_layout:
+        from parakeet_tpu.models.encoder import set_conv_layout
+
+        set_conv_layout(args.conv_layout)
 
     cfg = C.make_110m_config()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
