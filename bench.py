@@ -147,7 +147,7 @@ def main() -> int:
                     help="disable the fused Pallas attention kernel")
     ap.add_argument("--fused-mode", default="v1", choices=["v1", "block"],
                     help="fused attention kernel variant (see encoder.set_fused_attention)")
-    ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch"])
+    ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
     ap.add_argument("--no-e2e", action="store_true",
                     help="skip the end-to-end audio→text measurement")
     ap.add_argument("--e2e-json", action="store_true",

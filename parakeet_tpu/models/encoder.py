@@ -160,13 +160,14 @@ def _pointwise_as_matmul(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # conv-module activation layout: "nhc" = feature-minor (pointwise convs as
-# matmuls, NHC depthwise) or "nch" = r1's transpose-convolve-transpose.
+# matmuls, NHC depthwise), "nch" = r1's transpose-convolve-transpose,
+# "pallas" = single fused VMEM kernel (ops/pallas_conv.py).
 _CONV_LAYOUT = "nch"
 
 
 def set_conv_layout(layout: str) -> None:
     global _CONV_LAYOUT
-    assert layout in ("nhc", "nch"), layout
+    assert layout in ("nhc", "nch", "pallas"), layout
     _CONV_LAYOUT = layout
 
 
@@ -191,6 +192,22 @@ def conv_module(
     garbage can't bleed into valid frames. The reference is batch-1 and
     never pads, so this is a no-op on its path."""
     d = x.shape[-1]
+    if _CONV_LAYOUT == "pallas":
+        from parakeet_tpu.ops.pallas_conv import fused_conv_module
+
+        lengths = None
+        if pad_mask is not None:
+            lengths = (~pad_mask).sum(axis=1).astype(jnp.int32)
+        return fused_conv_module(
+            x,
+            p["norm_.weight"], p["norm_.bias"],
+            p["pointwise_conv1_.weight"], p["pointwise_conv1_.bias"],
+            p["depthwise_conv_.weight"], p["depthwise_conv_.bias"],
+            p["batch_norm_.weight"], p["batch_norm_.bias"],
+            p["batch_norm_.running_mean"], p["batch_norm_.running_var"],
+            p["pointwise_conv2_.weight"], p["pointwise_conv2_.bias"],
+            lengths=lengths, eps=eps,
+        )
     if _CONV_LAYOUT == "nch":
         from parakeet_tpu.ops.layers import batch_norm_1d, conv1d
 

@@ -20,11 +20,12 @@ def main() -> int:
     ap.add_argument("--secs", type=int, default=10)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--fused", action="store_true", help="fused Pallas attention")
+    ap.add_argument("--fused", action="store_true", help="fused Pallas attention (v1)")
+    ap.add_argument("--fused-mode", default=None, choices=["v1", "block"])
     ap.add_argument("--skip", default="none,attention,conv,ffn,subsampling")
     ap.add_argument("--bf16-precision", default="default", choices=["default", "highest"],
                     help="matmul precision for bf16 operands (A/B the r1 HIGHEST choice)")
-    ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch"],
+    ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"],
                     help="conv-module activation layout A/B")
     args = ap.parse_args()
 
@@ -37,8 +38,8 @@ def main() -> int:
     from parakeet_tpu.models import encoder as E
     from parakeet_tpu.params import Params, cast_params
 
-    if args.fused:
-        E.set_fused_attention(True)
+    if args.fused or args.fused_mode:
+        E.set_fused_attention(args.fused_mode or "v1")
     if args.bf16_precision == "highest":
         from parakeet_tpu.ops.layers import set_bf16_precision
 

@@ -19,7 +19,7 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-DEBUGGER_TOKENS = ("pdb.set_trace(", "breakpoint()")
+DEBUGGER_TOKENS = ("pdb." + "set_trace(", "breakpoint" + "()")  # split so this file passes its own gate
 
 
 def tracked_py_files() -> list[Path]:
