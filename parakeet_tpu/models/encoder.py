@@ -137,12 +137,39 @@ def conv_subsampling(p: Params, x: jnp.ndarray, activation: str = "relu") -> jnp
 # ─── Conformer block pieces ──────────────────────────────────────────────────
 
 
+# Fused macaron-FFN Pallas kernel (ops/pallas_ffn.py); opt-in like the
+# other kernels. When on, the block's final LayerNorm fuses into ffn2.
+_FUSED_FFN = False
+
+
+def set_fused_ffn(enabled: bool) -> None:
+    global _FUSED_FFN
+    _FUSED_FFN = bool(enabled)
+
+
 def feed_forward(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Macaron FFN with 0.5 half-step residual (encoder.cpp:39-46)."""
+    if _FUSED_FFN:
+        return _feed_forward_fused(p, x, eps)
     h = layer_norm(p.sub("norm_"), x, eps)
     h = _silu(linear(p.sub("fc1_"), h))
     h = linear(p.sub("fc2_"), h)
     return x + 0.5 * h
+
+
+def _feed_forward_fused(p: Params, x: jnp.ndarray, eps: float, final: Params | None = None):
+    from parakeet_tpu.ops.pallas_ffn import fused_feed_forward
+
+    kw = {}
+    if final is not None:
+        kw = dict(final_norm_w=final["weight"], final_norm_b=final["bias"])
+    return fused_feed_forward(
+        x,
+        p["norm_.weight"], p["norm_.bias"],
+        p["fc1_.weight"], p["fc1_.bias"],
+        p["fc2_.weight"], p["fc2_.bias"],
+        eps=eps, **kw,
+    )
 
 
 def _pointwise_as_matmul(p: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -353,6 +380,9 @@ def conformer_block(
     attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
     x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
     x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask)
+    if _FUSED_FFN:
+        # final LayerNorm rides in ffn2's kernel epilogue (one less round trip)
+        return _feed_forward_fused(p.sub("ffn2_"), x, eps, final=p.sub("final_norm_"))
     x = feed_forward(p.sub("ffn2_"), x, eps)
     return layer_norm(p.sub("final_norm_"), x, eps)
 

@@ -67,7 +67,10 @@ def _conv_module_kernel(
     ) + b1_ref[0].astype(_F32)
     y = y.astype(x.dtype)
     a, g = y[:, :d], y[:, d:]
-    h = a * jax.nn.sigmoid(g)  # GLU (lane split at d — 128-aligned)
+    # GLU (lane split at d — 128-aligned). Sigmoid computed in f32: Mosaic
+    # mislowers bf16 `logistic` (vector.broadcast f32→bf16 verify error).
+    gate = 1.0 / (1.0 + jnp.exp(-g.astype(_F32)))
+    h = (a.astype(_F32) * gate).astype(x.dtype)
 
     # zero invalid rows so depthwise taps can't smear pad garbage into the
     # valid region (the XLA path has no pad rows / masks them)
@@ -84,10 +87,12 @@ def _conv_module_kernel(
         acc = acc + hp[k : k + tp, :] * wd_ref[k][None, :].astype(_F32)
     acc = acc + bd_ref[0].astype(_F32)
 
-    # inference BN folded to scale/bias, then SiLU
+    # inference BN folded to scale/bias, then SiLU. The XLA path casts the
+    # BN output to x.dtype before SiLU; mirror that rounding, but keep the
+    # sigmoid itself in f32 (Mosaic bf16-logistic bug, see GLU above).
     acc = acc * bnw_ref[0].astype(_F32) + bnb_ref[0].astype(_F32)
-    acc = acc.astype(x.dtype)
-    acc = acc * jax.nn.sigmoid(acc)
+    accd = acc.astype(x.dtype)
+    acc = (accd.astype(_F32) * (1.0 / (1.0 + jnp.exp(-accd.astype(_F32))))).astype(x.dtype)
 
     # pointwise d → d, residual
     o = jax.lax.dot_general(
