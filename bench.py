@@ -148,6 +148,8 @@ def main() -> int:
     ap.add_argument("--fused-mode", default="v1", choices=["v1", "block"],
                     help="fused attention kernel variant (see encoder.set_fused_attention)")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
+    ap.add_argument("--fused-ffn", action="store_true",
+                    help="fused Pallas macaron-FFN kernel (encoder.set_fused_ffn)")
     ap.add_argument("--no-e2e", action="store_true",
                     help="skip the end-to-end audio→text measurement")
     ap.add_argument("--e2e-json", action="store_true",
@@ -174,6 +176,10 @@ def main() -> int:
         from parakeet_tpu.models.encoder import set_conv_layout
 
         set_conv_layout(args.conv_layout)
+    if args.fused_ffn:
+        from parakeet_tpu.models.encoder import set_fused_ffn
+
+        set_fused_ffn(True)
 
     cfg = C.make_110m_config()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
