@@ -147,9 +147,20 @@ def set_fused_ffn(enabled: bool) -> None:
     _FUSED_FFN = bool(enabled)
 
 
+def _ffn_fusable(p: Params, x: jnp.ndarray) -> bool:
+    """Kernel guard: the chunk must be long enough that padding T to 128
+    lanes isn't waste (streaming chunks are 2-20 frames), and both FFN
+    weight matrices must fit VMEM alongside activations (600m's 1024x4096
+    pair is 16 MB bf16 — too big)."""
+    if x.shape[1] < 64:
+        return False
+    w1 = p["fc1_.weight"]
+    return 2 * w1.size * w1.dtype.itemsize <= 8 * 1024 * 1024
+
+
 def feed_forward(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Macaron FFN with 0.5 half-step residual (encoder.cpp:39-46)."""
-    if _FUSED_FFN:
+    if _FUSED_FFN and _ffn_fusable(p, x):
         return _feed_forward_fused(p, x, eps)
     h = layer_norm(p.sub("norm_"), x, eps)
     h = _silu(linear(p.sub("fc1_"), h))
@@ -380,7 +391,7 @@ def conformer_block(
     attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
     x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
     x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask)
-    if _FUSED_FFN:
+    if _FUSED_FFN and _ffn_fusable(p.sub("ffn2_"), x):
         # final LayerNorm rides in ffn2's kernel epilogue (one less round trip)
         return _feed_forward_fused(p.sub("ffn2_"), x, eps, final=p.sub("final_norm_"))
     x = feed_forward(p.sub("ffn2_"), x, eps)

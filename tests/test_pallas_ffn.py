@@ -34,7 +34,7 @@ def test_fused_ffn_matches_xla(tiny, monkeypatch):
     _interp(monkeypatch)
     cfg, root = tiny
     p = root.sub("layers_").sub("0").sub("ffn1_")
-    x = jnp.asarray(np.random.RandomState(7).randn(2, 20, 16).astype(np.float32))
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 64, 16).astype(np.float32))  # T >= 64: kernel guard
     ref = np.asarray(E.feed_forward(p, x, 1e-5))
     E.set_fused_ffn(True)
     try:
@@ -48,7 +48,7 @@ def test_full_encoder_fused_ffn(tiny, monkeypatch):
     """Whole encoder with fused FFNs (incl. final-norm fusion into ffn2)."""
     _interp(monkeypatch)
     cfg, root = tiny
-    x = jnp.asarray(np.random.RandomState(9).randn(2, 48, 80).astype(np.float32))
+    x = jnp.asarray(np.random.RandomState(9).randn(2, 520, 80).astype(np.float32))  # T'=65 >= 64
     ref = np.asarray(E.fastconformer_encode(root, cfg, x))
     E.set_fused_ffn(True)
     try:
@@ -56,3 +56,24 @@ def test_full_encoder_fused_ffn(tiny, monkeypatch):
     finally:
         E.set_fused_ffn(False)
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_fused_ffn_guard_small_chunks(tiny, monkeypatch):
+    """Streaming-sized chunks (T < 64) bypass the kernel (pad waste)."""
+    called = []
+    import parakeet_tpu.ops.pallas_ffn as PF
+
+    def boom(*a, **k):
+        called.append(1)
+        raise AssertionError("kernel must not run for tiny chunks")
+
+    monkeypatch.setattr(PF, "fused_feed_forward", boom)
+    cfg, root = tiny
+    p = root.sub("layers_").sub("0").sub("ffn1_")
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 8, 16).astype(np.float32))
+    E.set_fused_ffn(True)
+    try:
+        E.feed_forward(p, x, 1e-5)
+    finally:
+        E.set_fused_ffn(False)
+    assert not called
