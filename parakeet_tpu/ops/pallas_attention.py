@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 _F32 = jnp.float32
 _NEG_INF = -1e9
 
+# timing probe for the block kernel: skip the rel_shift rolls entirely
+# (WRONG numerics; only for isolating the shift's cost in benchmarks)
+_DEBUG_SKIP_SHIFT = False
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -189,11 +193,12 @@ def _attn_block_kernel(
 
         # rel_shift via binary decomposition (see _attn_kernel)
         mat = raw
-        bit = 1
-        while bit < t_real:
-            rolled = pltpu.roll(mat, plen - bit, 1)
-            mat = jnp.where((shifts & bit) > 0, rolled, mat)
-            bit <<= 1
+        if not _DEBUG_SKIP_SHIFT:  # timing probe; wrong numerics when True
+            bit = 1
+            while bit < t_real:
+                rolled = pltpu.roll(mat, plen - bit, 1)
+                mat = jnp.where((shifts & bit) > 0, rolled, mat)
+                bit <<= 1
         scores = (content + mat[:, :tp]) * scale
         scores = jnp.where(col >= kv_len, _NEG_INF, scores)
         m = jnp.max(scores, axis=-1, keepdims=True)
