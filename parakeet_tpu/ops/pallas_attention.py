@@ -191,15 +191,20 @@ def _attn_block_kernel(
             qv, p_ref[h], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
         )  # (TP, PLEN)
 
-        # rel_shift via binary decomposition (see _attn_kernel)
-        mat = raw
+        # rel_shift via binary decomposition (see _attn_kernel). The roll
+        # rounds are VMEM-bandwidth-bound (measured 4.8 ms of the 30 ms
+        # B=64 forward at f32); on the bf16 path we roll in bf16 — the
+        # operands entering the matmul were bf16 anyway, so the position
+        # scores lose only the f32 accumulation tail (|err| ~ 2e-3 · |score|
+        # pre-softmax), and traffic halves. f32 inputs keep exact f32 rolls.
+        mat = raw if x.dtype == _F32 else raw.astype(x.dtype)
         if not _DEBUG_SKIP_SHIFT:  # timing probe; wrong numerics when True
             bit = 1
             while bit < t_real:
                 rolled = pltpu.roll(mat, plen - bit, 1)
                 mat = jnp.where((shifts & bit) > 0, rolled, mat)
                 bit <<= 1
-        scores = (content + mat[:, :tp]) * scale
+        scores = (content + mat[:, :tp].astype(_F32)) * scale
         scores = jnp.where(col >= kv_len, _NEG_INF, scores)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
