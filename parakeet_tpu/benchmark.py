@@ -88,12 +88,25 @@ def main(argv=None) -> int:
                     help="capture a jax.profiler trace of the bench into DIR")
     ap.add_argument("--weights", default=None,
                     help="bench with real weights (timing-identical to random init)")
+    ap.add_argument("--fused-attention", default=None, choices=["v1", "block"],
+                    help="fused Pallas attention kernel (TUNING.md)")
+    ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
+    ap.add_argument("--fused-ffn", action="store_true")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    from parakeet_tpu.models import encoder as _enc
+
+    if args.fused_attention:
+        _enc.set_fused_attention(args.fused_attention)
+    if args.conv_layout:
+        _enc.set_conv_layout(args.conv_layout)
+    if args.fused_ffn:
+        _enc.set_fused_ffn(True)
 
     models = [m.strip() for m in args.models.split(",")]
     durations = [int(d) for d in args.durations.split(",")]
