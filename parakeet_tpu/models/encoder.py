@@ -326,15 +326,13 @@ def rel_position_attention(
     if _FUSED_ATTENTION == "block" and (mask is None or lengths is not None):
         from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
 
-        pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
-        pos = jnp.transpose(pos.reshape(-1, num_heads, head_dim), (1, 0, 2))
         return fused_rel_attention_block(
             x,
             mha["q_proj.weight"], mha["q_proj.bias"],
             mha["k_proj.weight"], mha["k_proj.bias"],
             mha["v_proj.weight"], mha["v_proj.bias"],
             p["pos_bias_u_"].astype(x.dtype), p["pos_bias_v_"].astype(x.dtype),
-            pos,
+            p["pos_proj_.weight"],
             mha["out_proj.weight"], mha["out_proj.bias"],
             lengths=lengths,
         )

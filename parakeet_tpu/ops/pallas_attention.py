@@ -149,7 +149,8 @@ def _attn_block_kernel(
     wq_ref, wk_ref, wv_ref,  # (H, hd, D) per-head projection blocks
     bq_ref, bk_ref, bv_ref,  # (H, hd) per-head bias blocks
     u_ref, v_ref,            # (H, hd) rel-pos biases
-    p_ref,                   # (H, PLEN, hd) projected position table
+    wpos_ref,                # (H, hd, D) pos-proj blocks, pe-components permuted sin|cos
+    sin_ref, cos_ref,        # (TP, D/2) sin(t·ω_k) / cos(t·ω_k) tables
     wo_ref,                  # (H, hd, D) out-proj blocks (out = Σ_h av_h @ wo_h)
     bo_ref,                  # (1, D)
     out_ref,                 # (1, TP, D)
@@ -161,13 +162,13 @@ def _attn_block_kernel(
 ):
     x = x_ref[0]  # (TP, D)
     tp = x.shape[0]
-    plen = p_ref.shape[1]
+    d2 = sin_ref.shape[1]
     hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
 
     kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tp, plen), 0)
-    shifts = jnp.where(rows < t_real, t_real - 1 - rows, 0)
+    sin_t = sin_ref[...].astype(_F32)
+    cos_t = cos_ref[...].astype(_F32)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for h in range(heads):  # static loop; all temporaries stay in VMEM/regs
@@ -187,24 +188,35 @@ def _attn_block_kernel(
         content = jax.lax.dot_general(
             qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
         )  # (TP, TP)
-        raw = jax.lax.dot_general(
-            qv, p_ref[h], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-        )  # (TP, PLEN)
 
-        # rel_shift via binary decomposition (see _attn_kernel). The roll
-        # rounds are VMEM-bandwidth-bound (measured 4.8 ms of the 30 ms
-        # B=64 forward at f32); on the bf16 path we roll in bf16 — the
-        # operands entering the matmul were bf16 anyway, so the position
-        # scores lose only the f32 accumulation tail (|err| ~ 2e-3 · |score|
-        # pre-softmax), and traffic halves. f32 inputs keep exact f32 rolls.
-        mat = raw if x.dtype == _F32 else raw.astype(x.dtype)
-        if not _DEBUG_SKIP_SHIFT:  # timing probe; wrong numerics when True
-            bit = 1
-            while bit < t_real:
-                rolled = pltpu.roll(mat, plen - bit, 1)
-                mat = jnp.where((shifts & bit) > 0, rolled, mat)
-                bit <<= 1
-        scores = (content + mat[:, :tp].astype(_F32)) * scale
+        # Roll-free rel-pos scores. pos_score[t,s] = (Q+v)[t]·W_p·pe(t−s)
+        # (the pad-reshape rel_shift's index algebra: r = t−s). pe is
+        # sinusoidal, so the angle-addition identity factors pe(t−s) into a
+        # per-row 2×2 rotation times per-column basis vectors:
+        #     pos[t,s] = ṽa[t]·cos(sω) + ṽb[t]·sin(sω)
+        #     ṽa = va·sin(tω) + vb·cos(tω),  ṽb = vb·sin(tω) − va·cos(tω)
+        # where (va|vb) = qv @ W_p[head]ᵀ with pe components PERMUTED to
+        # sin-block|cos-block layout (done host-side on the weight), so the
+        # pairwise mixing is two 128-aligned lane halves — no strided lanes,
+        # no rolls. This replaced the binary-decomposition roll rounds,
+        # which were VMEM-bandwidth-bound (measured 4.8 ms of the 30 ms
+        # B=64 forward).
+        vproj = jax.lax.dot_general(
+            qv, wpos_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32, precision=hi,
+        )  # (TP, D) — wpos block is (hd, D)
+        va, vb = vproj[:, :d2], vproj[:, d2:]
+        tva = (va * sin_t + vb * cos_t).astype(x.dtype)
+        tvb = (vb * sin_t - va * cos_t).astype(x.dtype)
+        pos_score = jax.lax.dot_general(
+            tva, cos_t.astype(x.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32, precision=hi,
+        ) + jax.lax.dot_general(
+            tvb, sin_t.astype(x.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32, precision=hi,
+        )  # (TP, TP)
+
+        scores = (content + pos_score) * scale
         scores = jnp.where(col >= kv_len, _NEG_INF, scores)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
@@ -221,13 +233,25 @@ def _attn_block_kernel(
     out_ref[0] = (acc_ref[...] + bo_ref[0].astype(_F32)).astype(out_ref.dtype)
 
 
+@functools.lru_cache(maxsize=16)
+def _trig_tables_np(tp: int, d: int):
+    """sin(t·ω_k), cos(t·ω_k) for t=0..TP-1, k=0..d/2-1 — the frequencies of
+    sinusoidal_position_embedding (f64 construction, f32 storage)."""
+    import numpy as np
+
+    k = np.arange(0, d, 2, dtype=np.float64)
+    omega = np.exp(k * (-math.log(10000.0) / d))[None, :]
+    t = np.arange(tp, dtype=np.float64)[:, None]
+    return np.sin(t * omega).astype("float32"), np.cos(t * omega).astype("float32")
+
+
 def fused_rel_attention_block(
     x: jnp.ndarray,  # (B, T, D) post-norm attention input
     wq: jnp.ndarray, bq: jnp.ndarray,  # torch Linear layouts (D, D) / (D,)
     wk: jnp.ndarray, bk: jnp.ndarray,
     wv: jnp.ndarray, bv: jnp.ndarray,
     bias_u: jnp.ndarray, bias_v: jnp.ndarray,  # (H, hd)
-    p: jnp.ndarray,   # (H, 2T-1, hd) projected position table
+    pos_w: jnp.ndarray,  # pos_proj weight, torch layout (D, D), bias-free
     wo: jnp.ndarray, bo: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
     interpret: bool = False,
@@ -236,24 +260,22 @@ def fused_rel_attention_block(
     out projection in ONE kernel, grid over batch only.
 
     vs `fused_rel_attention` (grid (B,H), projections outside): the q/k/v/
-    out intermediates never touch HBM, and every weight block's index map is
-    constant along the single grid axis, so Mosaic keeps all projection
-    weights resident in VMEM across programs — HBM traffic per layer is one
-    read of x and one write of the output. Heads are a static in-kernel
-    loop; per-head weight blocks (H, hd, D) avoid lane-dim slicing of
-    activations. VMEM high-water: ~3 MB for 110m (D=512), ~10 MB for 600m
-    (D=1024)."""
+    out intermediates never touch HBM, every weight block's index map is
+    constant along the single grid axis so Mosaic keeps all weights
+    VMEM-resident across programs, and the rel_shift is ROLL-FREE — the
+    sinusoidal position table factors through the angle-addition identity
+    (see the kernel comment), turning the shift into one elementwise
+    rotation + two matmuls. HBM traffic per layer is one read of x and one
+    write of the output. VMEM high-water: ~3.5 MB for 110m (D=512)."""
     b, t, d = x.shape
-    heads, hd = p.shape[0], bias_u.shape[1]
+    heads, hd = bias_u.shape[0], bias_u.shape[1]
     scale = 1.0 / math.sqrt(hd)
     tp = _round_up(t, 128)
-    plen = _round_up(2 * t - 1, 128)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
     lengths = lengths.astype(jnp.int32).reshape(b, 1)
 
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
-    p = jnp.pad(p, ((0, 0), (0, plen - (2 * t - 1)), (0, 0)))
 
     def head_blocks(w):  # torch (D_out, D_in) → (H, hd, D_in)
         return w.reshape(heads, hd, d)
@@ -261,6 +283,15 @@ def fused_rel_attention_block(
     wq_b, wk_b, wv_b = head_blocks(wq), head_blocks(wk), head_blocks(wv)
     # out = concat_h(av_h) @ wo.T = Σ_h av_h @ wo[:, h*hd:(h+1)*hd].T
     wo_b = jnp.transpose(wo.reshape(d, heads, hd), (1, 2, 0))  # (H, hd, D)
+
+    # pos-proj blocks with the pe-component (input) axis permuted to
+    # sin-block|cos-block order, so the kernel's pairwise rotation works on
+    # two aligned lane halves instead of interleaved lanes
+    perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
+    wpos_b = head_blocks(pos_w[:, perm])  # (H, hd, D)
+
+    sin_np, cos_np = _trig_tables_np(tp, d)
+    sin_t, cos_t = jnp.asarray(sin_np), jnp.asarray(cos_np)
 
     kernel = functools.partial(
         _attn_block_kernel, scale=scale, t_real=t, heads=heads
@@ -280,14 +311,15 @@ def fused_rel_attention_block(
             whole(wq_b), whole(wk_b), whole(wv_b),
             whole(bq2), whole(bk2), whole(bv2),
             whole(bias_u), whole(bias_v),
-            whole(p),
+            whole(wpos_b), whole(sin_t), whole(cos_t),
             whole(wo_b), whole(bo2),
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((tp, d), _F32)],
         interpret=interpret,
-    )(lengths, x, wq_b, wk_b, wv_b, bq2, bk2, bv2, bias_u, bias_v, p, wo_b, bo2)
+    )(lengths, x, wq_b, wk_b, wv_b, bq2, bk2, bv2, bias_u, bias_v,
+      wpos_b, sin_t, cos_t, wo_b, bo2)
     return out[:, :t, :]
 
 
