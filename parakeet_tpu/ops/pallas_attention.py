@@ -32,10 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 _F32 = jnp.float32
 _NEG_INF = -1e9
 
-# timing probe for the block kernel: skip the rel_shift rolls entirely
-# (WRONG numerics; only for isolating the shift's cost in benchmarks)
-_DEBUG_SKIP_SHIFT = False
-
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m

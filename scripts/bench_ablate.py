@@ -23,8 +23,6 @@ def main() -> int:
     ap.add_argument("--fused", action="store_true", help="fused Pallas attention (v1)")
     ap.add_argument("--fused-mode", default=None, choices=["v1", "block"])
     ap.add_argument("--fused-ffn", action="store_true")
-    ap.add_argument("--attn-noshift", action="store_true",
-                    help="TIMING PROBE: skip rel_shift rolls in the block kernel (wrong numerics)")
     ap.add_argument("--skip", default="none,attention,conv,ffn,subsampling")
     ap.add_argument("--bf16-precision", default="default", choices=["default", "highest"],
                     help="matmul precision for bf16 operands (A/B the r1 HIGHEST choice)")
@@ -51,10 +49,6 @@ def main() -> int:
         E.set_conv_layout(args.conv_layout)
     if args.fused_ffn:
         E.set_fused_ffn(True)
-    if args.attn_noshift:
-        import parakeet_tpu.ops.pallas_attention as PA
-
-        PA._DEBUG_SKIP_SHIFT = True
 
     cfg = C.make_110m_config().encoder
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
