@@ -147,6 +147,15 @@ def set_fused_ffn(enabled: bool) -> None:
     _FUSED_FFN = bool(enabled)
 
 
+# Fused conv+ffn2+final-norm second-half kernel (ops/pallas_block.py).
+_FUSED_BLOCK2 = False
+
+
+def set_fused_block2(enabled: bool) -> None:
+    global _FUSED_BLOCK2
+    _FUSED_BLOCK2 = bool(enabled)
+
+
 def _ffn_fusable(p: Params, x: jnp.ndarray) -> bool:
     """Kernel guard: the chunk must be long enough that padding T to 128
     lanes isn't waste (streaming chunks are 2-20 frames), and both FFN
@@ -388,6 +397,35 @@ def conformer_block(
     x = feed_forward(p.sub("ffn1_"), x, eps)
     attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
     x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
+    if _FUSED_BLOCK2 and _ffn_fusable(p.sub("ffn2_"), x):
+        # one kernel for the whole non-attention second half
+        from parakeet_tpu.ops.pallas_block import fused_conv_ffn_final
+
+        c = p.sub("conv_")
+        f = p.sub("ffn2_")
+        kern_lengths = lengths
+        if kern_lengths is None and pad_mask is not None:
+            kern_lengths = (~pad_mask).sum(axis=1).astype(jnp.int32)
+        return fused_conv_ffn_final(
+            x,
+            conv=dict(
+                norm_w=c["norm_.weight"], norm_b=c["norm_.bias"],
+                w1=c["pointwise_conv1_.weight"], b1=c["pointwise_conv1_.bias"],
+                wd=c["depthwise_conv_.weight"], bd=c["depthwise_conv_.bias"],
+                bn_w=c["batch_norm_.weight"], bn_b=c["batch_norm_.bias"],
+                bn_mean=c["batch_norm_.running_mean"], bn_var=c["batch_norm_.running_var"],
+                w2=c["pointwise_conv2_.weight"], b2=c["pointwise_conv2_.bias"],
+            ),
+            ffn=dict(
+                norm_w=f["norm_.weight"], norm_b=f["norm_.bias"],
+                fc1_w=f["fc1_.weight"], fc1_b=f["fc1_.bias"],
+                fc2_w=f["fc2_.weight"], fc2_b=f["fc2_.bias"],
+            ),
+            final_w=p["final_norm_.weight"], final_b=p["final_norm_.bias"],
+            kernel_size=cfg.conv_kernel_size,
+            lengths=kern_lengths,
+            eps=eps,
+        )
     x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask)
     if _FUSED_FFN and _ffn_fusable(p.sub("ffn2_"), x):
         # final LayerNorm rides in ffn2's kernel epilogue (one less round trip)

@@ -1,0 +1,175 @@
+"""Fused conformer-block-second-half Pallas kernel: conv module + ffn2 +
+final LayerNorm in ONE kernel per batch element.
+
+Measured motivation (TUNING.md r2): with the roll-free block attention
+kernel the encoder spends ~11 ms of 26 ms in the conv module, ffn2 and the
+per-layer glue between them — separate pallas calls for conv and FFN were
+individually neutral-to-worse because each call re-fetches weights and
+breaks XLA fusion at its boundary. Fusing the whole non-attention second
+half eliminates two activation round trips and all intermediate
+materialization:
+
+    x ── conv module (LN → pw1 → GLU → depthwise → BN → SiLU → pw2 → +x)
+      ── macaron FFN (LN → fc1 → SiLU → fc2 → + 0.5·)
+      ── final LayerNorm
+
+VMEM: conv weights ~3 MB + ffn 4.2 MB (110m bf16) + activations ~2 MB.
+Weights' index maps are constant along the (B,) grid → fetched once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _ln(x, w, b, eps):
+    xf = x.astype(_F32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(_F32) + b.astype(_F32)).astype(x.dtype)
+
+
+def _sigmoid_f32(x):
+    # Mosaic mislowers bf16 logistic; always compute in f32
+    return 1.0 / (1.0 + jnp.exp(-x.astype(_F32)))
+
+
+def _matmul_t(x, w, b, hi):
+    """y = x @ wᵀ (+ b), f32 accumulate, cast back to x.dtype."""
+    y = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    )
+    if b is not None:
+        y = y + b.astype(_F32)
+    return y.astype(x.dtype)
+
+
+def _conv_ffn_kernel(
+    len_ref,                     # SMEM (B, 1)
+    x_ref,                       # (1, TP, D)
+    cnw_ref, cnb_ref,            # conv LN (1, D)
+    w1_ref, b1_ref,              # pw1 (2D, D), (1, 2D)
+    wd_ref, bd_ref,              # depthwise (K8, D), (1, D)
+    bnw_ref, bnb_ref,            # folded BN (1, D)
+    w2_ref, b2_ref,              # pw2 (D, D), (1, D)
+    fnw_ref, fnb_ref,            # ffn LN (1, D)
+    f1_ref, g1_ref,              # fc1 (F, D), (1, F)
+    f2_ref, g2_ref,              # fc2 (D, F), (1, D)
+    onw_ref, onb_ref,            # final LN (1, D)
+    out_ref,                     # (1, TP, D)
+    *,
+    eps: float,
+    kernel_size: int,
+    t_real: int,
+):
+    x = x_ref[0]
+    tp, d = x.shape
+    hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
+
+    # ── conv module ──
+    h = _ln(x, cnw_ref[0], cnb_ref[0], eps)
+    y = _matmul_t(h, w1_ref[...], b1_ref[0], hi)  # (TP, 2D)
+    a, g = y[:, :d], y[:, d:]
+    h = (a.astype(_F32) * _sigmoid_f32(g)).astype(x.dtype)  # GLU
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (tp, d), 0)
+    valid = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
+    h = jnp.where(row < valid, h, jnp.zeros_like(h))
+
+    pad = (kernel_size - 1) // 2
+    hp = jnp.pad(h.astype(_F32), ((pad, pad), (0, 0)))
+    acc = jnp.zeros((tp, d), _F32)
+    for k in range(kernel_size):
+        acc = acc + hp[k : k + tp, :] * wd_ref[k][None, :].astype(_F32)
+    acc = acc + bd_ref[0].astype(_F32)
+    acc = acc * bnw_ref[0].astype(_F32) + bnb_ref[0].astype(_F32)
+    accd = acc.astype(x.dtype)
+    acc = (accd.astype(_F32) * _sigmoid_f32(accd)).astype(x.dtype)  # SiLU
+    o = _matmul_t(acc, w2_ref[...], b2_ref[0], hi)
+    x2 = (x.astype(_F32) + o.astype(_F32)).astype(x.dtype)  # conv residual
+
+    # ── macaron FFN 2 ──
+    h = _ln(x2, fnw_ref[0], fnb_ref[0], eps)
+    h = _matmul_t(h, f1_ref[...], g1_ref[0], hi)
+    h = (h.astype(_F32) * _sigmoid_f32(h)).astype(x.dtype)  # SiLU
+    yf = jax.lax.dot_general(
+        h, f2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    ) + g2_ref[0].astype(_F32)
+    x3 = (x2.astype(_F32) + 0.5 * yf).astype(x.dtype)
+
+    # ── final LayerNorm ──
+    out_ref[0] = _ln(x3, onw_ref[0], onb_ref[0], eps).astype(out_ref.dtype)
+
+
+def fused_conv_ffn_final(
+    x: jnp.ndarray,  # (B, T, D)
+    conv: dict,      # conv-module params: norm_w/b, w1/b1, wd/bd, bn_w/b/mean/var, w2/b2
+    ffn: dict,       # norm_w/b, fc1_w/b, fc2_w/b
+    final_w, final_b,
+    kernel_size: int,
+    lengths: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, t, d = x.shape
+    f = ffn["fc1_w"].shape[0]
+    tp = _round_up(t, 128)
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    lengths = lengths.astype(jnp.int32).reshape(b, 1)
+    xpad = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
+    inv = jax.lax.rsqrt(conv["bn_var"].astype(_F32) + 1e-5)
+    bnw = (conv["bn_w"].astype(_F32) * inv).reshape(1, d)
+    bnb = (conv["bn_b"].astype(_F32)
+           - conv["bn_mean"].astype(_F32) * inv * conv["bn_w"].astype(_F32)).reshape(1, d)
+
+    k = kernel_size
+    k8 = _round_up(k, 8)
+    wd_t = jnp.pad(jnp.transpose(conv["wd"][:, 0, :], (1, 0)), ((0, k8 - k), (0, 0)))
+
+    kern = functools.partial(_conv_ffn_kernel, eps=eps, kernel_size=k, t_real=t)
+
+    def whole(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    args = (
+        lengths, xpad,
+        conv["norm_w"].reshape(1, d), conv["norm_b"].reshape(1, d),
+        conv["w1"][:, :, 0], conv["b1"].reshape(1, 2 * d),
+        wd_t, conv["bd"].reshape(1, d),
+        bnw.astype(x.dtype), bnb.astype(x.dtype),
+        conv["w2"][:, :, 0], conv["b2"].reshape(1, d),
+        ffn["norm_w"].reshape(1, d), ffn["norm_b"].reshape(1, d),
+        ffn["fc1_w"], ffn["fc1_b"].reshape(1, f),
+        ffn["fc2_w"], ffn["fc2_b"].reshape(1, d),
+        final_w.reshape(1, d), final_b.reshape(1, d),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[whole(a) for a in args[2:]],
+        ],
+        out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:, :t, :]
+
+
+__all__ = ["fused_conv_ffn_final"]

@@ -23,6 +23,7 @@ def main() -> int:
     ap.add_argument("--fused", action="store_true", help="fused Pallas attention (v1)")
     ap.add_argument("--fused-mode", default=None, choices=["v1", "block"])
     ap.add_argument("--fused-ffn", action="store_true")
+    ap.add_argument("--fused-block2", action="store_true")
     ap.add_argument("--skip", default="none,attention,conv,ffn,subsampling")
     ap.add_argument("--bf16-precision", default="default", choices=["default", "highest"],
                     help="matmul precision for bf16 operands (A/B the r1 HIGHEST choice)")
@@ -49,6 +50,8 @@ def main() -> int:
         E.set_conv_layout(args.conv_layout)
     if args.fused_ffn:
         E.set_fused_ffn(True)
+    if args.fused_block2:
+        E.set_fused_block2(True)
 
     cfg = C.make_110m_config().encoder
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
