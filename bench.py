@@ -150,6 +150,8 @@ def main() -> int:
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
     ap.add_argument("--fused-ffn", action="store_true",
                     help="fused Pallas macaron-FFN kernel (encoder.set_fused_ffn)")
+    ap.add_argument("--fused-block2", action="store_true",
+                    help="fused conv+ffn2+final-norm kernel (encoder.set_fused_block2)")
     ap.add_argument("--no-e2e", action="store_true",
                     help="skip the end-to-end audio→text measurement")
     ap.add_argument("--e2e-json", action="store_true",
@@ -180,6 +182,10 @@ def main() -> int:
         from parakeet_tpu.models.encoder import set_fused_ffn
 
         set_fused_ffn(True)
+    if args.fused_block2:
+        from parakeet_tpu.models.encoder import set_fused_block2
+
+        set_fused_block2(True)
 
     cfg = C.make_110m_config()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
