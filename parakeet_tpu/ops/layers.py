@@ -26,10 +26,20 @@ _F32 = jnp.float32
 # therefore chosen per-operand-dtype. set_bf16_precision exists for A/B.
 _BF16_PRECISION = lax.Precision.DEFAULT
 
+# When True, bf16 matmuls request bf16 outputs (bias added in bf16) instead
+# of materializing f32 and casting — the MXU still accumulates in f32
+# internally; this only changes the output buffer dtype and bias rounding.
+_BF16_OUTPUT = False
+
 
 def set_bf16_precision(p) -> None:
     global _BF16_PRECISION
     _BF16_PRECISION = p
+
+
+def set_bf16_matmul_output(enabled: bool) -> None:
+    global _BF16_OUTPUT
+    _BF16_OUTPUT = bool(enabled)
 
 
 def matmul_precision(dtype) -> lax.Precision:
@@ -39,13 +49,14 @@ def matmul_precision(dtype) -> lax.Precision:
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W.T (+ b). W: (out, in); x: (..., in)."""
     w = p["weight"]
+    pref = x.dtype if (_BF16_OUTPUT and x.dtype != _F32) else _F32
     y = jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=_F32, precision=matmul_precision(x.dtype),
+        preferred_element_type=pref, precision=matmul_precision(x.dtype),
     )
     b = p.get("bias")
     if b is not None:
-        y = y + b.astype(_F32)
+        y = y + b.astype(pref)
     return y.astype(x.dtype)
 
 

@@ -24,6 +24,8 @@ def main() -> int:
     ap.add_argument("--fused-mode", default=None, choices=["v1", "block"])
     ap.add_argument("--fused-ffn", action="store_true")
     ap.add_argument("--fused-block2", action="store_true")
+    ap.add_argument("--bf16-out", action="store_true",
+                    help="bf16 matmul outputs in ops.layers.linear (skip f32 materialization)")
     ap.add_argument("--skip", default="none,attention,conv,ffn,subsampling")
     ap.add_argument("--bf16-precision", default="default", choices=["default", "highest"],
                     help="matmul precision for bf16 operands (A/B the r1 HIGHEST choice)")
@@ -52,6 +54,10 @@ def main() -> int:
         E.set_fused_ffn(True)
     if args.fused_block2:
         E.set_fused_block2(True)
+    if args.bf16_out:
+        from parakeet_tpu.ops.layers import set_bf16_matmul_output
+
+        set_bf16_matmul_output(True)
 
     cfg = C.make_110m_config().encoder
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -88,7 +94,8 @@ def main() -> int:
                 h = E.conv_module(lp.sub("conv_"), h, cfg.conv_kernel_size, eps)
             if skip != "ffn":
                 h = E.feed_forward(lp.sub("ffn2_"), h, eps)
-            h = E.layer_norm(lp.sub("final_norm_"), h, eps)
+            if skip != "finalnorm":
+                h = E.layer_norm(lp.sub("final_norm_"), h, eps)
         return h
 
     results = {}
