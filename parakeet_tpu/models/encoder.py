@@ -56,8 +56,9 @@ def set_fused_attention(mode) -> None:
         _FUSED_ATTENTION = False
     elif mode in (True, "v1"):
         _FUSED_ATTENTION = "v1"
-    elif mode == "block":
-        _FUSED_ATTENTION = "block"
+    elif mode in ("block", "mega"):
+        # "mega" = block kernel with the macaron ffn1 fused in as a prologue
+        _FUSED_ATTENTION = mode
     else:
         raise ValueError(f"unknown fused attention mode {mode!r}")
 
@@ -394,9 +395,36 @@ def conformer_block(
 ) -> jnp.ndarray:
     """ffn1 → attn → conv → ffn2 → final LayerNorm (encoder.cpp:196-204)."""
     eps = cfg.layer_norm_eps
-    x = feed_forward(p.sub("ffn1_"), x, eps)
-    attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
-    x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
+    if (
+        _FUSED_ATTENTION == "mega"
+        and (mask is None or lengths is not None)
+        and _ffn_fusable(p.sub("ffn1_"), x)
+    ):
+        from parakeet_tpu.ops.pallas_attention import fused_ffn_attention
+
+        a = p.sub("attn_")
+        mha = a.sub("mha_")
+        f = p.sub("ffn1_")
+        x = fused_ffn_attention(
+            x,
+            ffn=dict(
+                norm_w=f["norm_.weight"], norm_b=f["norm_.bias"],
+                fc1_w=f["fc1_.weight"], fc1_b=f["fc1_.bias"],
+                fc2_w=f["fc2_.weight"], fc2_b=f["fc2_.bias"],
+            ),
+            attn_norm_w=a["norm_.weight"], attn_norm_b=a["norm_.bias"],
+            wq=mha["q_proj.weight"], bq=mha["q_proj.bias"],
+            wk=mha["k_proj.weight"], bk=mha["k_proj.bias"],
+            wv=mha["v_proj.weight"], bv=mha["v_proj.bias"],
+            bias_u=a["pos_bias_u_"].astype(x.dtype), bias_v=a["pos_bias_v_"].astype(x.dtype),
+            pos_w=a["pos_proj_.weight"],
+            wo=mha["out_proj.weight"], bo=mha["out_proj.bias"],
+            lengths=lengths, eps=eps,
+        )
+    else:
+        x = feed_forward(p.sub("ffn1_"), x, eps)
+        attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
+        x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
     if _FUSED_BLOCK2 and _ffn_fusable(p.sub("ffn2_"), x):
         # one kernel for the whole non-attention second half
         from parakeet_tpu.ops.pallas_block import fused_conv_ffn_final

@@ -139,9 +139,9 @@ def fused_rel_attention(
     return out[:, :, :t, :]
 
 
-def _attn_block_kernel(
-    len_ref,  # SMEM (B, 1)
-    x_ref,    # (1, TP, D) post-norm attention input
+def _attention_core(
+    x,                       # (TP, D) post-norm attention input (VALUE, not ref)
+    kv_len,                  # scalar valid key count
     wq_ref, wk_ref, wv_ref,  # (H, hd, D) per-head projection blocks
     bq_ref, bk_ref, bv_ref,  # (H, hd) per-head bias blocks
     u_ref, v_ref,            # (H, hd) rel-pos biases
@@ -149,19 +149,17 @@ def _attn_block_kernel(
     sin_ref, cos_ref,        # (TP, D/2) sin(t·ω_k) / cos(t·ω_k) tables
     wo_ref,                  # (H, hd, D) out-proj blocks (out = Σ_h av_h @ wo_h)
     bo_ref,                  # (1, D)
-    out_ref,                 # (1, TP, D)
     acc_ref,                 # VMEM scratch (TP, D) f32
     *,
     scale: float,
     t_real: int,
     heads: int,
 ):
-    x = x_ref[0]  # (TP, D)
+    """Shared attention body for the fused kernels; returns (TP, D) f32."""
     tp = x.shape[0]
     d2 = sin_ref.shape[1]
     hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
 
-    kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     sin_t = sin_ref[...].astype(_F32)
     cos_t = cos_ref[...].astype(_F32)
@@ -226,7 +224,85 @@ def _attn_block_kernel(
             preferred_element_type=_F32, precision=hi,
         )
 
-    out_ref[0] = (acc_ref[...] + bo_ref[0].astype(_F32)).astype(out_ref.dtype)
+    return acc_ref[...] + bo_ref[0].astype(_F32)
+
+
+def _attn_block_kernel(
+    len_ref,  # SMEM (B, 1)
+    x_ref,    # (1, TP, D) post-norm attention input
+    wq_ref, wk_ref, wv_ref,
+    bq_ref, bk_ref, bv_ref,
+    u_ref, v_ref,
+    wpos_ref, sin_ref, cos_ref,
+    wo_ref, bo_ref,
+    out_ref,                 # (1, TP, D)
+    acc_ref,                 # VMEM scratch (TP, D) f32
+    *,
+    scale: float,
+    t_real: int,
+    heads: int,
+):
+    x = x_ref[0]
+    kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
+    att = _attention_core(
+        x, kv_len, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+        u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
+        scale=scale, t_real=t_real, heads=heads,
+    )
+    out_ref[0] = att.astype(out_ref.dtype)
+
+
+def _ln_kernelside(x, w, b, eps):
+    xf = x.astype(_F32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(_F32) + b.astype(_F32)).astype(x.dtype)
+
+
+def _ffn_attn_kernel(
+    len_ref,  # SMEM (B, 1)
+    x_ref,    # (1, TP, D) BLOCK INPUT (pre-ffn1)
+    fnw_ref, fnb_ref,        # ffn1 LN (1, D)
+    f1_ref, g1_ref,          # fc1 (F, D), (1, F)
+    f2_ref, g2_ref,          # fc2 (D, F), (1, D)
+    anw_ref, anb_ref,        # attention pre-LN (1, D)
+    wq_ref, wk_ref, wv_ref,
+    bq_ref, bk_ref, bv_ref,
+    u_ref, v_ref,
+    wpos_ref, sin_ref, cos_ref,
+    wo_ref, bo_ref,
+    out_ref,                 # (1, TP, D): x + 0.5·ffn1 + attention
+    acc_ref,                 # VMEM scratch (TP, D) f32
+    *,
+    eps: float,
+    scale: float,
+    t_real: int,
+    heads: int,
+):
+    x = x_ref[0]
+    hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
+
+    # macaron FFN 1 (LN → fc1 → SiLU → fc2 → +0.5·)
+    h = _ln_kernelside(x, fnw_ref[0], fnb_ref[0], eps)
+    h = jax.lax.dot_general(
+        h, f1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    ) + g1_ref[0].astype(_F32)
+    h = h.astype(x.dtype)
+    h = (h.astype(_F32) * (1.0 / (1.0 + jnp.exp(-h.astype(_F32))))).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, f2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    ) + g2_ref[0].astype(_F32)
+    x2 = (x.astype(_F32) + 0.5 * y).astype(x.dtype)
+
+    attn_in = _ln_kernelside(x2, anw_ref[0], anb_ref[0], eps)
+    kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
+    att = _attention_core(
+        attn_in, kv_len, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+        u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
+        scale=scale, t_real=t_real, heads=heads,
+    )
+    out_ref[0] = (x2.astype(_F32) + att).astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=16)
@@ -319,4 +395,78 @@ def fused_rel_attention_block(
     return out[:, :t, :]
 
 
-__all__ = ["fused_rel_attention", "fused_rel_attention_block"]
+def fused_ffn_attention(
+    x: jnp.ndarray,  # (B, T, D) BLOCK INPUT (pre-ffn1)
+    ffn: dict,       # norm_w/b, fc1_w/b, fc2_w/b (torch layouts)
+    attn_norm_w, attn_norm_b,
+    wq: jnp.ndarray, bq: jnp.ndarray,
+    wk: jnp.ndarray, bk: jnp.ndarray,
+    wv: jnp.ndarray, bv: jnp.ndarray,
+    bias_u: jnp.ndarray, bias_v: jnp.ndarray,
+    pos_w: jnp.ndarray,
+    wo: jnp.ndarray, bo: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """fused_rel_attention_block extended with the macaron ffn1 prologue:
+    out = x2 + attention(LN(x2)) where x2 = x + 0.5·ffn1(x). Same launch
+    count as the attention-only kernel, ~4 ms of XLA ffn1 work folded in.
+    VMEM adds the ffn weights (~4.2 MB for 110m); callers guard model size
+    (encoder._ffn_fusable)."""
+    b, t, d = x.shape
+    f = ffn["fc1_w"].shape[0]
+    heads, hd = bias_u.shape[0], bias_u.shape[1]
+    scale = 1.0 / math.sqrt(hd)
+    tp = _round_up(t, 128)
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    lengths = lengths.astype(jnp.int32).reshape(b, 1)
+
+    x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
+    def head_blocks(w):
+        return w.reshape(heads, hd, d)
+
+    wq_b, wk_b, wv_b = head_blocks(wq), head_blocks(wk), head_blocks(wv)
+    wo_b = jnp.transpose(wo.reshape(d, heads, hd), (1, 2, 0))
+    perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
+    wpos_b = head_blocks(pos_w[:, perm])
+    sin_np, cos_np = _trig_tables_np(tp, d)
+    sin_t, cos_t = jnp.asarray(sin_np), jnp.asarray(cos_np)
+
+    kernel = functools.partial(
+        _ffn_attn_kernel, eps=eps, scale=scale, t_real=t, heads=heads
+    )
+
+    def whole(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    bq2, bk2, bv2 = (z.reshape(heads, hd) for z in (bq, bk, bv))
+    bo2 = bo.reshape(1, d)
+    args = (
+        lengths, x,
+        ffn["norm_w"].reshape(1, d), ffn["norm_b"].reshape(1, d),
+        ffn["fc1_w"], ffn["fc1_b"].reshape(1, f),
+        ffn["fc2_w"], ffn["fc2_b"].reshape(1, d),
+        attn_norm_w.reshape(1, d), attn_norm_b.reshape(1, d),
+        wq_b, wk_b, wv_b, bq2, bk2, bv2, bias_u, bias_v,
+        wpos_b, sin_t, cos_t, wo_b, bo2,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[whole(a) for a in args[2:]],
+        ],
+        out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tp, d), _F32)],
+        interpret=interpret,
+    )(*args)
+    return out[:, :t, :]
+
+
+__all__ = ["fused_rel_attention", "fused_rel_attention_block", "fused_ffn_attention"]

@@ -21,7 +21,7 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fused", action="store_true", help="fused Pallas attention (v1)")
-    ap.add_argument("--fused-mode", default=None, choices=["v1", "block"])
+    ap.add_argument("--fused-mode", default=None, choices=["v1", "block", "mega"])
     ap.add_argument("--fused-ffn", action="store_true")
     ap.add_argument("--fused-block2", action="store_true")
     ap.add_argument("--bf16-out", action="store_true",

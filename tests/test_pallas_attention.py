@@ -158,3 +158,61 @@ def test_block_kernel_masked_lengths(monkeypatch):
     t_valid = E.subsample_length(64)
     np.testing.assert_allclose(fused[0, :t_valid], ref[0, :t_valid], rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(fused[1], ref[1], rtol=1e-3, atol=1e-5)
+
+
+def test_mega_kernel_end_to_end_interpret(monkeypatch):
+    """ffn1+attention mega kernel == XLA path through the full encoder."""
+    import parakeet_tpu.ops.pallas_attention as PA
+
+    orig = PA.fused_ffn_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(PA, "fused_ffn_attention", interp)
+
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                          num_layers=2, num_heads=2, ffn_intermediate=32)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=17)
+    root = Params(params).sub("encoder_")
+    x = jnp.asarray(np.random.RandomState(15).randn(2, 520, 80).astype(np.float32))
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, x))
+    E.set_fused_attention("mega")
+    try:
+        fused = np.asarray(E.fastconformer_encode(root, cfg, x))
+    finally:
+        E.set_fused_attention(False)
+    np.testing.assert_allclose(fused, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_mega_kernel_masked_lengths(monkeypatch):
+    import parakeet_tpu.ops.pallas_attention as PA
+
+    orig = PA.fused_ffn_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(PA, "fused_ffn_attention", interp)
+
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                          num_layers=1, num_heads=2, ffn_intermediate=32)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=19)
+    root = Params(params).sub("encoder_")
+    mel = np.zeros((2, 560, 80), np.float32)
+    mel[0, :520] = np.random.RandomState(6).randn(520, 80)
+    mel[1, :560] = np.random.RandomState(7).randn(560, 80)
+    lengths = jnp.asarray([520, 560])
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    E.set_fused_attention("mega")
+    try:
+        fused = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    finally:
+        E.set_fused_attention(False)
+    t_valid = E.subsample_length(520)
+    np.testing.assert_allclose(fused[0, :t_valid], ref[0, :t_valid], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(fused[1], ref[1], rtol=1e-3, atol=1e-5)
