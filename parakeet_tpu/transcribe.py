@@ -95,13 +95,26 @@ class _TranscriberBase:
         compute_dtype: str = "float32",
         seed: int = 0,
         mesh=None,
+        kernels: str | bool | None = None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — batched
         inference shards the batch over it (data parallelism; weights are
-        replicated). Build one with parakeet_tpu.parallel.make_mesh()."""
+        replicated). Build one with parakeet_tpu.parallel.make_mesh().
+
+        kernels: opt into the fused Pallas encoder kernels ("block" is the
+        measured-best TPU config, +23% encoder throughput; see TUNING.md).
+        NOTE: sets process-global encoder state (models.encoder.
+        set_fused_attention) — it affects every model in this process.
+        Default off: the XLA path is the bit-stable reference-parity path;
+        the kernels match it to ~1e-3 (tolerance-tested), which can flip
+        near-tie argmax decisions on pathological inputs."""
         self.config = config
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        if kernels:
+            from parakeet_tpu.models.encoder import set_fused_attention
+
+            set_fused_attention("block" if kernels is True else kernels)
         spec = self._spec()
         if params is not None:
             self.params = dict(params)

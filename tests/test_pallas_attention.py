@@ -216,3 +216,39 @@ def test_mega_kernel_masked_lengths(monkeypatch):
     t_valid = E.subsample_length(520)
     np.testing.assert_allclose(fused[0, :t_valid], ref[0, :t_valid], rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(fused[1], ref[1], rtol=1e-3, atol=1e-5)
+
+
+def test_transcriber_kernels_param(monkeypatch):
+    """Transcriber(kernels='block') routes through the fused kernel and
+    (in interpret mode) produces the same tokens as the XLA path."""
+    import parakeet_tpu.ops.pallas_attention as PA
+    from parakeet_tpu import config as CC
+    from parakeet_tpu.models import encoder as EE
+    from parakeet_tpu.transcribe import Decoder, Transcriber
+
+    orig = PA.fused_rel_attention_block
+    calls = []
+
+    def interp(*args, **kw):
+        calls.append(1)
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(PA, "fused_rel_attention_block", interp)
+
+    cfg = CC.TDTCTCConfig(
+        encoder=CC.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                                 num_layers=1, num_heads=2, ffn_intermediate=32),
+        prediction=CC.PredictionConfig(vocab_size=9, pred_hidden=8, num_lstm_layers=1),
+        joint=CC.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=9),
+        ctc_vocab_size=9,
+    )
+    audio = np.random.RandomState(3).randn(16000).astype(np.float32) * 0.1
+    ref = Transcriber(None, None, cfg, seed=5).transcribe(audio, Decoder.CTC)
+    try:
+        tr = Transcriber(None, None, cfg, seed=5, kernels="block")
+        got = tr.transcribe(audio, Decoder.CTC)
+    finally:
+        EE.set_fused_attention(False)
+    assert calls, "fused kernel was not invoked"
+    assert got.token_ids == ref.token_ids
