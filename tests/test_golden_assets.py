@@ -97,3 +97,34 @@ def test_diarized_e2e():
         assert w.start >= last - 1e-6
         assert w.speaker_id >= -1
         last = w.start
+
+
+def test_reference_dump_parity_bridge():
+    """When the C++ reference's debug dumps are present alongside the
+    assets, run the cross-implementation parity bridge end-to-end (SURVEY
+    §4 tier 3 — the primary acceptance test once real artifacts exist)."""
+    weights, _, clip_path = require_assets(
+        "model.safetensors", "vocab.txt", "2086-149220-0033.wav"
+    )
+    dump = asset("debug_features_cpp.bin")
+    if not dump.exists():
+        pytest.skip("no reference debug dumps under models/")
+
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_stages", Path(__file__).resolve().parent.parent / "scripts" / "dump_stages.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    stages = mod.compute_stages(str(clip_path), str(weights))
+    ref_flat = mod.load_ref_dump(dump)
+    assert stages["features"].size == ref_flat.size, (
+        f"feature dump size mismatch: ours {stages['features'].shape}, ref {ref_flat.size}"
+    )
+    import numpy as np
+
+    diff = np.abs(stages["features"].astype(np.float64).ravel() - ref_flat)
+    assert diff.max() < 1e-3, f"mel features diverge from the C++ dump: max {diff.max():.2e}"
