@@ -36,10 +36,15 @@ def main(argv=None) -> int:
     ap.add_argument("--sortformer-weights", default="models/sortformer.safetensors")
     ap.add_argument("--ctc", action="store_true", help="use CTC head (tdt-ctc only)")
     ap.add_argument("--tdt", action="store_true", help="use TDT head (default)")
-    ap.add_argument("--timestamps", nargs="?", const="words", default=None,
-                    choices=["words", "sentences"], metavar="MODE",
-                    help="emit timestamps; MODE = words (default) or sentences "
-                         "(merge at ./?/! — timestamp.cpp Sentences mode)")
+    # NOTE: --timestamps must stay a plain flag (nargs='?' makes argparse
+    # swallow a following positional audio path as the mode value)
+    ap.add_argument("--timestamps", action="store_true",
+                    help="emit word timestamps")
+    ap.add_argument("--timestamp-mode", default="words",
+                    choices=["words", "sentences"],
+                    help="timestamp grouping: words (default) or sentences "
+                         "(merge at ./?/! — timestamp.cpp Sentences mode); "
+                         "implies --timestamps")
     ap.add_argument("--boost", default="", help="comma-separated boost phrases")
     ap.add_argument("--boost-score", type=float, default=5.0)
     ap.add_argument("--latency", type=int, default=0, choices=[0, 1, 6, 13],
@@ -54,6 +59,8 @@ def main(argv=None) -> int:
     ap.add_argument("--random-weights", action="store_true",
                     help="run with random-initialized weights (pipeline smoke test)")
     args = ap.parse_args(argv)
+    if args.timestamp_mode != "words":
+        args.timestamps = True  # --timestamp-mode implies --timestamps
 
     if args.features and args.audio:
         print("Error: pass either audio files or --features, not both", file=sys.stderr)
@@ -118,10 +125,10 @@ def main(argv=None) -> int:
 
             opts = TranscribeOptions(
                 decoder,
-                args.timestamps is not None,
+                args.timestamps,
                 boost,
                 args.boost_score,
-                TimestampMode(args.timestamps or "words"),
+                TimestampMode(args.timestamp_mode),
             )
             if args.features:
                 import numpy as _np

@@ -314,6 +314,22 @@ def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return jnp.transpose(x.reshape(b, t, num_heads, d // num_heads), (0, 2, 1, 3))
 
 
+def _attn_block_fusable(p: Params, x: jnp.ndarray) -> bool:
+    """VMEM guard for the block/mega attention kernels: the per-program live
+    set (two (TP,TP) f32 score buffers, the (TP,D) f32 rotation product and
+    accumulator) plus the resident weight blocks must fit. Verified fits:
+    110m T=125 (~3.8 MB) and 600m T=125 (~12.7 MB); long offline clips
+    (T' in the thousands) must fall back — a (3456,3456) f32 score buffer
+    alone is ~47 MB."""
+    t = x.shape[1]
+    tp = -(-t // 128) * 128
+    d = x.shape[-1]
+    itemsize = x.dtype.itemsize
+    weights = 5 * d * d * itemsize  # q/k/v/out/pos head blocks
+    live = 2 * tp * tp * 4 + 3 * tp * d * 4 + 2 * tp * d * itemsize
+    return weights + live <= 14 * 1024 * 1024
+
+
 def rel_position_attention(
     p: Params,
     x: jnp.ndarray,
@@ -333,7 +349,11 @@ def rel_position_attention(
 
     mha = p.sub("mha_")
 
-    if _FUSED_ATTENTION == "block" and (mask is None or lengths is not None):
+    if (
+        _FUSED_ATTENTION in ("block", "mega")  # mega degrades to block here
+        and (mask is None or lengths is not None)
+        and _attn_block_fusable(p, x)
+    ):
         from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
 
         return fused_rel_attention_block(
@@ -354,7 +374,10 @@ def rel_position_attention(
     bias_u = p["pos_bias_u_"].astype(x.dtype)[None, :, None, :]  # (1,H,1,hd)
     bias_v = p["pos_bias_v_"].astype(x.dtype)[None, :, None, :]
 
-    if _FUSED_ATTENTION == "v1" and (mask is None or lengths is not None):
+    if _FUSED_ATTENTION and (mask is None or lengths is not None) and t <= 768:
+        # v1 path; also the fallback when the block kernel's guard rejects.
+        # Its own per-(b,h) buffers are ~12·TP² bytes → cap T (beyond that,
+        # plain XLA attention handles long clips).
         from parakeet_tpu.ops.pallas_attention import fused_rel_attention
 
         pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)
@@ -399,6 +422,7 @@ def conformer_block(
         _FUSED_ATTENTION == "mega"
         and (mask is None or lengths is not None)
         and _ffn_fusable(p.sub("ffn1_"), x)
+        and _attn_block_fusable(p.sub("attn_"), x)
     ):
         from parakeet_tpu.ops.pallas_attention import fused_ffn_attention
 

@@ -29,11 +29,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from parakeet_tpu.ops.pallas_utils import (
+    depthwise_taps,
+    fold_batch_norm,
+    kernel_layer_norm,
+    kernel_precision,
+    round_up,
+    sigmoid_f32,
+    silu_kernelside,
+    whole_block,
+)
+
 _F32 = jnp.float32
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _conv_module_kernel(
@@ -114,7 +121,7 @@ def fused_conv_module(
 ) -> jnp.ndarray:
     b, t, d = x.shape
     k = wd.shape[-1]
-    tp = _round_up(t, 128)
+    tp = round_up(t, 128)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
     lengths = lengths.astype(jnp.int32).reshape(b, 1)
@@ -128,7 +135,7 @@ def fused_conv_module(
     bnb = (bn_b.astype(_F32) - bn_mean.astype(_F32) * inv * bn_w.astype(_F32)).reshape(1, d)
 
     # time-major depthwise taps, k padded to a sublane-friendly multiple
-    k8 = _round_up(k, 8)
+    k8 = round_up(k, 8)
     wd_t = jnp.pad(jnp.transpose(wd[:, 0, :], (1, 0)), ((0, k8 - k), (0, 0)))  # (K8, D)
 
     kernel = functools.partial(

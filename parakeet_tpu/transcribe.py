@@ -104,14 +104,16 @@ class _TranscriberBase:
         kernels: opt into the fused Pallas encoder kernels ("block" is the
         measured-best TPU config, +23% encoder throughput; see TUNING.md).
         NOTE: sets process-global encoder state (models.encoder.
-        set_fused_attention) — it affects every model in this process.
-        Default off: the XLA path is the bit-stable reference-parity path;
-        the kernels match it to ~1e-3 (tolerance-tested), which can flip
-        near-tie argmax decisions on pathological inputs."""
+        set_fused_attention) — it affects every model in this process; pass
+        kernels=False to restore the XLA path globally, or None (default)
+        to leave the current global setting untouched. The XLA path is the
+        bit-stable reference-parity path; the kernels match it to ~1e-3
+        (tolerance-tested), which can flip near-tie argmax decisions on
+        pathological inputs."""
         self.config = config
         self.compute_dtype = compute_dtype
         self.mesh = mesh
-        if kernels:
+        if kernels is not None:
             from parakeet_tpu.models.encoder import set_fused_attention
 
             set_fused_attention("block" if kernels is True else kernels)

@@ -4,7 +4,8 @@ class skipped across all layers, on the real TPU with the honest chained
 methodology (bench.py). The difference full - ablated = that submodule's
 true in-situ cost (overlap/fusion included), unlike isolated microbenches.
 
-    python scripts/bench_ablate.py --batch 64 [--skip attention,conv,ffn,subsampling,norms]
+    python scripts/bench_ablate.py --batch 64 \
+        [--skip none,attention,conv,ffn,subsampling,finalnorm]
 """
 
 from __future__ import annotations
@@ -42,6 +43,12 @@ def main() -> int:
     from parakeet_tpu.models import encoder as E
     from parakeet_tpu.params import Params, cast_params
 
+    if args.fused_mode == "mega":
+        # this harness re-implements the block inline (to support --skip),
+        # which bypasses conformer_block's mega path — refuse rather than
+        # silently benchmark the wrong thing
+        ap.error("--fused-mode mega is only wired through conformer_block; "
+                 "use bench.py --fused-mode mega instead")
     if args.fused or args.fused_mode:
         E.set_fused_attention(args.fused_mode or "v1")
     if args.bf16_precision == "highest":
