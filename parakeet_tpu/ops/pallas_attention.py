@@ -29,12 +29,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from parakeet_tpu.ops.pallas_utils import (
+    kernel_layer_norm,
+    round_up,
+    silu_kernelside,
+    whole_block,
+)
+
 _F32 = jnp.float32
 _NEG_INF = -1e9
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _attn_kernel(
@@ -102,8 +105,8 @@ def fused_rel_attention(
 ) -> jnp.ndarray:
     b, h, t, hd = q_u.shape
     scale = 1.0 / math.sqrt(hd)
-    tp = _round_up(t, 128)
-    plen = _round_up(2 * t - 1, 128)
+    tp = round_up(t, 128)
+    plen = round_up(2 * t - 1, 128)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
     lengths = lengths.astype(jnp.int32).reshape(b, 1)  # SMEM scalars are 2D
@@ -252,14 +255,6 @@ def _attn_block_kernel(
     out_ref[0] = att.astype(out_ref.dtype)
 
 
-def _ln_kernelside(x, w, b, eps):
-    xf = x.astype(_F32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * w.astype(_F32) + b.astype(_F32)).astype(x.dtype)
-
-
 def _ffn_attn_kernel(
     len_ref,  # SMEM (B, 1)
     x_ref,    # (1, TP, D) BLOCK INPUT (pre-ffn1)
@@ -284,18 +279,17 @@ def _ffn_attn_kernel(
     hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
 
     # macaron FFN 1 (LN → fc1 → SiLU → fc2 → +0.5·)
-    h = _ln_kernelside(x, fnw_ref[0], fnb_ref[0], eps)
+    h = kernel_layer_norm(x, fnw_ref[0], fnb_ref[0], eps)
     h = jax.lax.dot_general(
         h, f1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     ) + g1_ref[0].astype(_F32)
-    h = h.astype(x.dtype)
-    h = (h.astype(_F32) * (1.0 / (1.0 + jnp.exp(-h.astype(_F32))))).astype(x.dtype)
+    h = silu_kernelside(h.astype(x.dtype))
     y = jax.lax.dot_general(
         h, f2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     ) + g2_ref[0].astype(_F32)
     x2 = (x.astype(_F32) + 0.5 * y).astype(x.dtype)
 
-    attn_in = _ln_kernelside(x2, anw_ref[0], anb_ref[0], eps)
+    attn_in = kernel_layer_norm(x2, anw_ref[0], anb_ref[0], eps)
     kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
     att = _attention_core(
         attn_in, kv_len, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
@@ -342,7 +336,7 @@ def fused_rel_attention_block(
     b, t, d = x.shape
     heads, hd = bias_u.shape[0], bias_u.shape[1]
     scale = 1.0 / math.sqrt(hd)
-    tp = _round_up(t, 128)
+    tp = round_up(t, 128)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
     lengths = lengths.astype(jnp.int32).reshape(b, 1)
@@ -369,9 +363,6 @@ def fused_rel_attention_block(
         _attn_block_kernel, scale=scale, t_real=t, heads=heads
     )
 
-    def whole(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
-
     bq2, bk2, bv2 = (z.reshape(heads, hd) for z in (bq, bk, bv))
     bo2 = bo.reshape(1, d)
     out = pl.pallas_call(
@@ -380,11 +371,11 @@ def fused_rel_attention_block(
         in_specs=[
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            whole(wq_b), whole(wk_b), whole(wv_b),
-            whole(bq2), whole(bk2), whole(bv2),
-            whole(bias_u), whole(bias_v),
-            whole(wpos_b), whole(sin_t), whole(cos_t),
-            whole(wo_b), whole(bo2),
+            whole_block(wq_b), whole_block(wk_b), whole_block(wv_b),
+            whole_block(bq2), whole_block(bk2), whole_block(bv2),
+            whole_block(bias_u), whole_block(bias_v),
+            whole_block(wpos_b), whole_block(sin_t), whole_block(cos_t),
+            whole_block(wo_b), whole_block(bo2),
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
@@ -418,7 +409,7 @@ def fused_ffn_attention(
     f = ffn["fc1_w"].shape[0]
     heads, hd = bias_u.shape[0], bias_u.shape[1]
     scale = 1.0 / math.sqrt(hd)
-    tp = _round_up(t, 128)
+    tp = round_up(t, 128)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
     lengths = lengths.astype(jnp.int32).reshape(b, 1)
@@ -439,9 +430,6 @@ def fused_ffn_attention(
         _ffn_attn_kernel, eps=eps, scale=scale, t_real=t, heads=heads
     )
 
-    def whole(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
-
     bq2, bk2, bv2 = (z.reshape(heads, hd) for z in (bq, bk, bv))
     bo2 = bo.reshape(1, d)
     args = (
@@ -459,7 +447,7 @@ def fused_ffn_attention(
         in_specs=[
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *[whole(a) for a in args[2:]],
+            *[whole_block(a) for a in args[2:]],
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),

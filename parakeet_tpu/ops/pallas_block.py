@@ -26,24 +26,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from parakeet_tpu.ops.pallas_utils import (
+    depthwise_taps,
+    fold_batch_norm,
+    kernel_layer_norm,
+    kernel_precision,
+    round_up,
+    sigmoid_f32,
+    silu_kernelside,
+    whole_block,
+)
+
 _F32 = jnp.float32
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _ln(x, w, b, eps):
-    xf = x.astype(_F32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * w.astype(_F32) + b.astype(_F32)).astype(x.dtype)
-
-
-def _sigmoid_f32(x):
-    # Mosaic mislowers bf16 logistic; always compute in f32
-    return 1.0 / (1.0 + jnp.exp(-x.astype(_F32)))
 
 
 def _matmul_t(x, w, b, hi):
@@ -76,13 +70,13 @@ def _conv_ffn_kernel(
 ):
     x = x_ref[0]
     tp, d = x.shape
-    hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
+    hi = kernel_precision(x.dtype)
 
     # ── conv module ──
-    h = _ln(x, cnw_ref[0], cnb_ref[0], eps)
+    h = kernel_layer_norm(x, cnw_ref[0], cnb_ref[0], eps)
     y = _matmul_t(h, w1_ref[...], b1_ref[0], hi)  # (TP, 2D)
     a, g = y[:, :d], y[:, d:]
-    h = (a.astype(_F32) * _sigmoid_f32(g)).astype(x.dtype)  # GLU
+    h = (a.astype(_F32) * sigmoid_f32(g)).astype(x.dtype)  # GLU
 
     row = jax.lax.broadcasted_iota(jnp.int32, (tp, d), 0)
     valid = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
@@ -95,22 +89,21 @@ def _conv_ffn_kernel(
         acc = acc + hp[k : k + tp, :] * wd_ref[k][None, :].astype(_F32)
     acc = acc + bd_ref[0].astype(_F32)
     acc = acc * bnw_ref[0].astype(_F32) + bnb_ref[0].astype(_F32)
-    accd = acc.astype(x.dtype)
-    acc = (accd.astype(_F32) * _sigmoid_f32(accd)).astype(x.dtype)  # SiLU
+    acc = silu_kernelside(acc.astype(x.dtype))
     o = _matmul_t(acc, w2_ref[...], b2_ref[0], hi)
     x2 = (x.astype(_F32) + o.astype(_F32)).astype(x.dtype)  # conv residual
 
     # ── macaron FFN 2 ──
-    h = _ln(x2, fnw_ref[0], fnb_ref[0], eps)
+    h = kernel_layer_norm(x2, fnw_ref[0], fnb_ref[0], eps)
     h = _matmul_t(h, f1_ref[...], g1_ref[0], hi)
-    h = (h.astype(_F32) * _sigmoid_f32(h)).astype(x.dtype)  # SiLU
+    h = (h.astype(_F32) * sigmoid_f32(h)).astype(x.dtype)  # SiLU
     yf = jax.lax.dot_general(
         h, f2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     ) + g2_ref[0].astype(_F32)
     x3 = (x2.astype(_F32) + 0.5 * yf).astype(x.dtype)
 
     # ── final LayerNorm ──
-    out_ref[0] = _ln(x3, onw_ref[0], onb_ref[0], eps).astype(out_ref.dtype)
+    out_ref[0] = kernel_layer_norm(x3, onw_ref[0], onb_ref[0], eps).astype(out_ref.dtype)
 
 
 def fused_conv_ffn_final(
@@ -125,32 +118,26 @@ def fused_conv_ffn_final(
 ) -> jnp.ndarray:
     b, t, d = x.shape
     f = ffn["fc1_w"].shape[0]
-    tp = _round_up(t, 128)
+    tp = round_up(t, 128)
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
     lengths = lengths.astype(jnp.int32).reshape(b, 1)
     xpad = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
-    inv = jax.lax.rsqrt(conv["bn_var"].astype(_F32) + 1e-5)
-    bnw = (conv["bn_w"].astype(_F32) * inv).reshape(1, d)
-    bnb = (conv["bn_b"].astype(_F32)
-           - conv["bn_mean"].astype(_F32) * inv * conv["bn_w"].astype(_F32)).reshape(1, d)
-
+    bnw, bnb = fold_batch_norm(
+        conv["bn_w"], conv["bn_b"], conv["bn_mean"], conv["bn_var"], d, x.dtype
+    )
     k = kernel_size
-    k8 = _round_up(k, 8)
-    wd_t = jnp.pad(jnp.transpose(conv["wd"][:, 0, :], (1, 0)), ((0, k8 - k), (0, 0)))
+    wd_t = depthwise_taps(conv["wd"], k)
 
     kern = functools.partial(_conv_ffn_kernel, eps=eps, kernel_size=k, t_real=t)
-
-    def whole(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
     args = (
         lengths, xpad,
         conv["norm_w"].reshape(1, d), conv["norm_b"].reshape(1, d),
         conv["w1"][:, :, 0], conv["b1"].reshape(1, 2 * d),
         wd_t, conv["bd"].reshape(1, d),
-        bnw.astype(x.dtype), bnb.astype(x.dtype),
+        bnw, bnb,
         conv["w2"][:, :, 0], conv["b2"].reshape(1, d),
         ffn["norm_w"].reshape(1, d), ffn["norm_b"].reshape(1, d),
         ffn["fc1_w"], ffn["fc1_b"].reshape(1, f),
@@ -163,7 +150,7 @@ def fused_conv_ffn_final(
         in_specs=[
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *[whole(a) for a in args[2:]],
+            *[whole_block(a) for a in args[2:]],
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),

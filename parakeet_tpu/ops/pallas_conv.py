@@ -59,14 +59,9 @@ def _conv_module_kernel(
 ):
     x = x_ref[0]  # (TP, D)
     tp, d = x.shape
-    hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
+    hi = kernel_precision(x.dtype)
 
-    # LayerNorm (f32 math, mirroring ops.layers.layer_norm)
-    xf = x.astype(_F32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    h = (xf - mean) * jax.lax.rsqrt(var + eps)
-    h = (h * nw_ref[0].astype(_F32) + nb_ref[0].astype(_F32)).astype(x.dtype)
+    h = kernel_layer_norm(x, nw_ref[0], nb_ref[0], eps)
 
     # pointwise d → 2d (y = h @ W1.T + b1)
     y = jax.lax.dot_general(
@@ -74,10 +69,8 @@ def _conv_module_kernel(
     ) + b1_ref[0].astype(_F32)
     y = y.astype(x.dtype)
     a, g = y[:, :d], y[:, d:]
-    # GLU (lane split at d — 128-aligned). Sigmoid computed in f32: Mosaic
-    # mislowers bf16 `logistic` (vector.broadcast f32→bf16 verify error).
-    gate = 1.0 / (1.0 + jnp.exp(-g.astype(_F32)))
-    h = (a.astype(_F32) * gate).astype(x.dtype)
+    # GLU (lane split at d — 128-aligned); sigmoid in f32 (pallas_utils)
+    h = (a.astype(_F32) * sigmoid_f32(g)).astype(x.dtype)
 
     # zero invalid rows so depthwise taps can't smear pad garbage into the
     # valid region (the XLA path has no pad rows / masks them)
@@ -98,8 +91,7 @@ def _conv_module_kernel(
     # BN output to x.dtype before SiLU; mirror that rounding, but keep the
     # sigmoid itself in f32 (Mosaic bf16-logistic bug, see GLU above).
     acc = acc * bnw_ref[0].astype(_F32) + bnb_ref[0].astype(_F32)
-    accd = acc.astype(x.dtype)
-    acc = (accd.astype(_F32) * (1.0 / (1.0 + jnp.exp(-accd.astype(_F32))))).astype(x.dtype)
+    acc = silu_kernelside(acc.astype(x.dtype))
 
     # pointwise d → d, residual
     o = jax.lax.dot_general(
@@ -128,22 +120,12 @@ def fused_conv_module(
 
     xpad = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
-    # Fold running stats into scale/bias: y = (v - mean)*rsqrt(var+eps)*w + b
-    # (BatchNorm1d inference; torch default eps 1e-5, matching ops.layers)
-    inv = jax.lax.rsqrt(bn_var.astype(_F32) + 1e-5)
-    bnw = (bn_w.astype(_F32) * inv).reshape(1, d)
-    bnb = (bn_b.astype(_F32) - bn_mean.astype(_F32) * inv * bn_w.astype(_F32)).reshape(1, d)
-
-    # time-major depthwise taps, k padded to a sublane-friendly multiple
-    k8 = round_up(k, 8)
-    wd_t = jnp.pad(jnp.transpose(wd[:, 0, :], (1, 0)), ((0, k8 - k), (0, 0)))  # (K8, D)
+    bnw, bnb = fold_batch_norm(bn_w, bn_b, bn_mean, bn_var, d, x.dtype)
+    wd_t = depthwise_taps(wd, k)  # (K8, D)
 
     kernel = functools.partial(
         _conv_module_kernel, eps=eps, kernel_size=k, t_real=t
     )
-
-    def whole(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
     args = (
         lengths,
@@ -151,7 +133,7 @@ def fused_conv_module(
         norm_w.reshape(1, d), norm_b.reshape(1, d),
         w1[:, :, 0], b1.reshape(1, 2 * d),
         wd_t, bd.reshape(1, d),
-        bnw.astype(x.dtype), bnb.astype(x.dtype),
+        bnw, bnb,
         w2[:, :, 0], b2.reshape(1, d),
     )
     out = pl.pallas_call(
@@ -160,7 +142,7 @@ def fused_conv_module(
         in_specs=[
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *[whole(a) for a in args[2:]],
+            *[whole_block(a) for a in args[2:]],
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),

@@ -28,19 +28,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from parakeet_tpu.ops.pallas_utils import (
+    kernel_layer_norm,
+    kernel_precision,
+    round_up,
+    silu_kernelside,
+    whole_block,
+)
+
 _F32 = jnp.float32
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _ln(x, w, b, eps):
-    xf = x.astype(_F32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * w.astype(_F32) + b.astype(_F32)).astype(x.dtype)
 
 
 def _ffn_kernel(
@@ -55,21 +51,19 @@ def _ffn_kernel(
     final_norm: bool,
 ):
     x = x_ref[0]
-    hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
+    hi = kernel_precision(x.dtype)
 
-    h = _ln(x, nw_ref[0], nb_ref[0], eps)
+    h = kernel_layer_norm(x, nw_ref[0], nb_ref[0], eps)
     h = jax.lax.dot_general(
         h, w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     ) + b1_ref[0].astype(_F32)
-    h = h.astype(x.dtype)
-    # SiLU with the sigmoid in f32 (Mosaic mislowers bf16 logistic)
-    h = (h.astype(_F32) * (1.0 / (1.0 + jnp.exp(-h.astype(_F32))))).astype(x.dtype)
+    h = silu_kernelside(h.astype(x.dtype))
     y = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     ) + b2_ref[0].astype(_F32)
     out = (x.astype(_F32) + 0.5 * y).astype(x.dtype)
     if final_norm:
-        out = _ln(out, fw_ref[0], fb_ref[0], eps)
+        out = kernel_layer_norm(out, fw_ref[0], fb_ref[0], eps)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -84,16 +78,13 @@ def fused_feed_forward(
 ) -> jnp.ndarray:
     b, t, d = x.shape
     f = w1.shape[0]
-    tp = _round_up(t, 128)
+    tp = round_up(t, 128)
     xpad = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
     final = final_norm_w is not None
     fw = (final_norm_w if final else norm_w).reshape(1, d)
     fb = (final_norm_b if final else norm_b).reshape(1, d)
 
     kernel = functools.partial(_ffn_kernel, eps=eps, final_norm=final)
-
-    def whole(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
     args = (
         xpad,
@@ -107,7 +98,7 @@ def fused_feed_forward(
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *[whole(a) for a in args[1:]],
+            *[whole_block(a) for a in args[1:]],
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
