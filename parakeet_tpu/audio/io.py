@@ -373,12 +373,15 @@ def _ogg_granule_duration(data: bytes) -> float | None:
     if sr == 0:
         return None
     # Last page with a valid granulepos (bytes 6..14 of the page header).
+    # 'OggS' is not escaped inside page payloads, so a raw byte match can be
+    # a false sync — validate the stream-structure version byte (must be 0)
+    # and the header-type flags (only bits 0..2 defined) before trusting it.
     pos = len(data)
     while True:
         pos = data.rfind(b"OggS", 0, pos)
         if pos < 0:
             return None
-        if pos + 14 <= len(data):
+        if pos + 27 <= len(data) and data[pos + 4] == 0 and data[pos + 5] <= 0x07:
             (granule,) = struct.unpack("<q", data[pos + 6 : pos + 14])
             if granule >= 0:
                 return granule / sr

@@ -83,3 +83,19 @@ def test_corrupt_flac_error_names_cause(tmp_path):
         pass
     with pytest.raises(RuntimeError, match="Decoding flac failed"):
         aio.read_audio(p)
+
+
+@pytest.mark.skipif(not ogg_encoder_available(), reason="no vorbis encoder libs")
+def test_ogg_duration_rejects_false_sync(tmp_path, no_decode):
+    """'OggS' bytes inside a payload must not be read as a page header
+    (Ogg does not escape the capture pattern in payloads)."""
+    t = np.arange(8000) / 16000
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    data = bytearray(encode_ogg(x, 16000))
+    # forge a false sync AFTER the real last page header: append trailing
+    # junk containing 'OggS' + nonzero version byte + absurd granulepos
+    data += b"OggS" + bytes([7]) + bytes([0xFF]) + (2**40).to_bytes(8, "little") + b"\x00" * 16
+    p = tmp_path / "c.ogg"
+    p.write_bytes(bytes(data))
+    d = get_audio_duration(p)
+    assert abs(d - 0.5) < 0.05, f"false sync accepted: {d}"
