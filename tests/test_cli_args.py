@@ -1,0 +1,25 @@
+"""CLI argument-parsing regression tests (no model execution)."""
+
+import pytest
+
+from parakeet_tpu.cli import main
+
+
+def test_timestamps_flag_before_positional():
+    """--timestamps must not swallow a following audio path (regression:
+    nargs='?' made argparse consume the positional as the mode value,
+    exit 2). Reaching the audio-vs-features error (exit 1) proves parsing
+    succeeded."""
+    rc = main(["--timestamps", "clip.wav", "--features", "f.npy"])
+    assert rc == 1
+
+
+def test_timestamp_mode_implies_timestamps():
+    # hit the early audio-vs-features exit; parsing must accept the combo
+    rc = main(["--timestamp-mode", "sentences", "clip.wav", "--features", "f.npy"])
+    assert rc == 1
+
+
+def test_bad_timestamp_mode_rejected():
+    with pytest.raises(SystemExit):
+        main(["--timestamp-mode", "bogus", "clip.wav"])
