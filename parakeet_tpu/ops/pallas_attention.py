@@ -145,9 +145,9 @@ def fused_rel_attention(
 def _attention_core(
     x,                       # (TP, D) post-norm attention input (VALUE, not ref)
     kv_len,                  # scalar valid key count
-    wq_ref, wk_ref, wv_ref,  # (H, hd, D) per-head projection blocks
-    bq_ref, bk_ref, bv_ref,  # (H, hd) per-head bias blocks
-    u_ref, v_ref,            # (H, hd) rel-pos biases
+    wq_ref, wk_ref, wv_ref,  # (D, D) full projection weights (torch layout)
+    bq_ref, bk_ref, bv_ref,  # (1, D) biases
+    u_ref, v_ref,            # (1, D) rel-pos biases flattened head-major
     wpos_ref,                # (H, hd, D) pos-proj blocks, pe-components permuted sin|cos
     sin_ref, cos_ref,        # (TP, D/2) sin(t·ω_k) / cos(t·ω_k) tables
     wo_ref,                  # (H, hd, D) out-proj blocks (out = Σ_h av_h @ wo_h)
@@ -158,8 +158,14 @@ def _attention_core(
     t_real: int,
     heads: int,
 ):
-    """Shared attention body for the fused kernels; returns (TP, D) f32."""
-    tp = x.shape[0]
+    """Shared attention body for the fused kernels; returns (TP, D) f32.
+
+    QKV are projected at full width — (TP,D)@(D,D) runs the MXU at full
+    N instead of eight 64-wide per-head matmuls — and heads are taken as
+    STATIC lane slices of the results (hd-aligned static slices are fine;
+    only dynamic lane slicing needs 128 alignment)."""
+    tp, d = x.shape
+    hd = d // heads
     d2 = sin_ref.shape[1]
     hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
 
@@ -167,20 +173,23 @@ def _attention_core(
     sin_t = sin_ref[...].astype(_F32)
     cos_t = cos_ref[...].astype(_F32)
 
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            x, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32, precision=hi,
+        ) + b_ref[0].astype(_F32)
+        return y.astype(x.dtype)  # mirror the XLA path's per-op cast
+
+    q_full = proj(wq_ref, bq_ref)  # (TP, D)
+    k_full = proj(wk_ref, bk_ref)
+    v_full = proj(wv_ref, bv_ref)
+    qu_full = q_full + u_ref[0].astype(x.dtype)
+    qv_full = q_full + v_ref[0].astype(x.dtype)
+
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for h in range(heads):  # static loop; all temporaries stay in VMEM/regs
-        def proj(w_ref, b_ref):
-            y = jax.lax.dot_general(
-                x, w_ref[h], (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32, precision=hi,
-            ) + b_ref[h][None, :].astype(_F32)
-            return y.astype(x.dtype)  # mirror the XLA path's per-op cast
-
-        q = proj(wq_ref, bq_ref)  # (TP, hd)
-        k = proj(wk_ref, bk_ref)
-        v = proj(wv_ref, bv_ref)
-        qu = q + u_ref[h][None, :].astype(x.dtype)
-        qv = q + v_ref[h][None, :].astype(x.dtype)
+        sl = slice(h * hd, (h + 1) * hd)
+        qu, qv, k, v = qu_full[:, sl], qv_full[:, sl], k_full[:, sl], v_full[:, sl]
 
         content = jax.lax.dot_general(
             qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
@@ -343,10 +352,6 @@ def fused_rel_attention_block(
 
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
-    def head_blocks(w):  # torch (D_out, D_in) → (H, hd, D_in)
-        return w.reshape(heads, hd, d)
-
-    wq_b, wk_b, wv_b = head_blocks(wq), head_blocks(wk), head_blocks(wv)
     # out = concat_h(av_h) @ wo.T = Σ_h av_h @ wo[:, h*hd:(h+1)*hd].T
     wo_b = jnp.transpose(wo.reshape(d, heads, hd), (1, 2, 0))  # (H, hd, D)
 
@@ -354,7 +359,7 @@ def fused_rel_attention_block(
     # sin-block|cos-block order, so the kernel's pairwise rotation works on
     # two aligned lane halves instead of interleaved lanes
     perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
-    wpos_b = head_blocks(pos_w[:, perm])  # (H, hd, D)
+    wpos_b = pos_w[:, perm].reshape(heads, hd, d)  # (H, hd, D)
 
     sin_np, cos_np = _trig_tables_np(tp, d)
     sin_t, cos_t = jnp.asarray(sin_np), jnp.asarray(cos_np)
@@ -363,7 +368,8 @@ def fused_rel_attention_block(
         _attn_block_kernel, scale=scale, t_real=t, heads=heads
     )
 
-    bq2, bk2, bv2 = (z.reshape(heads, hd) for z in (bq, bk, bv))
+    bq2, bk2, bv2 = (z.reshape(1, d) for z in (bq, bk, bv))
+    u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)
     bo2 = bo.reshape(1, d)
     out = pl.pallas_call(
         kernel,
@@ -371,9 +377,9 @@ def fused_rel_attention_block(
         in_specs=[
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            whole_block(wq_b), whole_block(wk_b), whole_block(wv_b),
+            whole_block(wq), whole_block(wk), whole_block(wv),
             whole_block(bq2), whole_block(bk2), whole_block(bv2),
-            whole_block(bias_u), whole_block(bias_v),
+            whole_block(u2), whole_block(v2),
             whole_block(wpos_b), whole_block(sin_t), whole_block(cos_t),
             whole_block(wo_b), whole_block(bo2),
         ],
@@ -381,7 +387,7 @@ def fused_rel_attention_block(
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((tp, d), _F32)],
         interpret=interpret,
-    )(lengths, x, wq_b, wk_b, wv_b, bq2, bk2, bv2, bias_u, bias_v,
+    )(lengths, x, wq, wk, wv, bq2, bk2, bv2, u2, v2,
       wpos_b, sin_t, cos_t, wo_b, bo2)
     return out[:, :t, :]
 
@@ -416,13 +422,9 @@ def fused_ffn_attention(
 
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
-    def head_blocks(w):
-        return w.reshape(heads, hd, d)
-
-    wq_b, wk_b, wv_b = head_blocks(wq), head_blocks(wk), head_blocks(wv)
     wo_b = jnp.transpose(wo.reshape(d, heads, hd), (1, 2, 0))
     perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
-    wpos_b = head_blocks(pos_w[:, perm])
+    wpos_b = pos_w[:, perm].reshape(heads, hd, d)
     sin_np, cos_np = _trig_tables_np(tp, d)
     sin_t, cos_t = jnp.asarray(sin_np), jnp.asarray(cos_np)
 
@@ -430,7 +432,8 @@ def fused_ffn_attention(
         _ffn_attn_kernel, eps=eps, scale=scale, t_real=t, heads=heads
     )
 
-    bq2, bk2, bv2 = (z.reshape(heads, hd) for z in (bq, bk, bv))
+    bq2, bk2, bv2 = (z.reshape(1, d) for z in (bq, bk, bv))
+    u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)
     bo2 = bo.reshape(1, d)
     args = (
         lengths, x,
@@ -438,7 +441,7 @@ def fused_ffn_attention(
         ffn["fc1_w"], ffn["fc1_b"].reshape(1, f),
         ffn["fc2_w"], ffn["fc2_b"].reshape(1, d),
         attn_norm_w.reshape(1, d), attn_norm_b.reshape(1, d),
-        wq_b, wk_b, wv_b, bq2, bk2, bv2, bias_u, bias_v,
+        wq, wk, wv, bq2, bk2, bv2, u2, v2,
         wpos_b, sin_t, cos_t, wo_b, bo2,
     )
     out = pl.pallas_call(
