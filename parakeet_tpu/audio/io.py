@@ -96,6 +96,8 @@ def _parse_wav(data: bytes):
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
             fmt_body = body
         elif cid == b"data":
@@ -104,6 +106,8 @@ def _parse_wav(data: bytes):
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, sample_rate, _, _, bits = fmt
+    if sample_rate == 0 or channels == 0:
+        raise ValueError("WAV header has zero sample rate or channel count")
     if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads SubFormat GUID
         if len(fmt_body) >= 26:
             (audio_fmt,) = struct.unpack("<H", fmt_body[24:26])
