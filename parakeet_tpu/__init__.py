@@ -41,7 +41,11 @@ from parakeet_tpu.transcribe import (
     TDTTranscriber,
     RNNTTranscriber,
 )
-from parakeet_tpu.streaming import NemotronTranscriber, StreamingTranscriber
+from parakeet_tpu.streaming import (
+    NemotronTranscriber,
+    StreamingBatchTranscriber,
+    StreamingTranscriber,
+)
 from parakeet_tpu.diarize import (
     DiarizedResult,
     DiarizedTranscriber,
@@ -53,10 +57,23 @@ from parakeet_tpu.models.sortformer import (
     DiarizationSegment,
     Sortformer,
 )
-from parakeet_tpu.audio.io import AudioData, get_audio_duration, read_audio, resample
+from parakeet_tpu.audio.io import (
+    AudioData,
+    detect_format_by_extension,
+    detect_format_by_magic,
+    get_audio_duration,
+    read_audio,
+    resample,
+    write_wav,
+)
 from parakeet_tpu.audio.frontend import StreamingAudioPreprocessor, preprocess_audio
 from parakeet_tpu.decode.phrase_boost import ContextTrie
-from parakeet_tpu.models.encoder import set_fused_attention
+from parakeet_tpu.models.encoder import (
+    set_conv_layout,
+    set_fused_attention,
+    set_fused_block2,
+    set_fused_ffn,
+)
 from parakeet_tpu.metrics import corpus_wer, word_error_rate
 from parakeet_tpu.decode.timestamp import (
     FRAME_DURATION_S,
@@ -97,6 +114,7 @@ __all__ = [
     "TDTTranscriber",
     "RNNTTranscriber",
     "StreamingTranscriber",
+    "StreamingBatchTranscriber",
     "NemotronTranscriber",
     "DiarizedTranscriber",
     "DiarizedResult",
@@ -108,11 +126,17 @@ __all__ = [
     "AudioData",
     "read_audio",
     "resample",
+    "write_wav",
     "get_audio_duration",
+    "detect_format_by_extension",
+    "detect_format_by_magic",
     "preprocess_audio",
     "StreamingAudioPreprocessor",
     "ContextTrie",
     "set_fused_attention",
+    "set_conv_layout",
+    "set_fused_ffn",
+    "set_fused_block2",
     "word_error_rate",
     "corpus_wer",
     "FRAME_DURATION_S",
