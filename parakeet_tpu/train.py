@@ -1,13 +1,22 @@
-"""CTC training step (TPU-native capability beyond the reference).
+"""Training steps (TPU-native capability beyond the reference).
 
-The reference is inference-only; this module adds a sharded CTC training
-step so the framework can fine-tune the FastConformer+CTC stack on a
-device mesh: data parallelism over the batch axis, tensor parallelism over
+The reference is inference-only; this module adds sharded training steps
+so the framework can fine-tune every stack it serves on a device mesh:
+data parallelism over the batch axis, tensor parallelism over
 FFN/attention-head dims (parallel/mesh.py rules), XLA inserting the ICI
 collectives (psum of gradients falls out of the sharded matmuls +
 jit partitioning).
 
-Loss: optax.ctc_loss over the jitted encoder+CTC forward.
+Losses:
+- CTC: optax.ctc_loss over the jitted encoder+CTC forward.
+- RNNT / TDT: the lattice losses in ops/transducer_loss.py over the full
+  (B, T', U+1) joint — the training-time counterparts of the greedy
+  decoders in decode/transducer.py (inference semantics: src/rnnt.cpp,
+  src/tdt.cpp). The joint tensor is the memory hot spot
+  (B·T'·(U+1)·V f32); transducer_loss_fn wraps the joint in
+  jax.checkpoint so backward rematerializes it instead of storing the
+  post-ReLU hidden, and the classic mitigations (smaller B·U tiles, label
+  bucketing) compose on top.
 """
 
 from __future__ import annotations
@@ -23,6 +32,13 @@ import optax
 from parakeet_tpu.config import TDTCTCConfig
 from parakeet_tpu.models.ctc import ctc_log_probs
 from parakeet_tpu.models.encoder import encoded_lengths, fastconformer_encode
+from parakeet_tpu.models.rnnt import (
+    prediction_forward,
+    prediction_zero_state,
+    rnnt_joint,
+    tdt_joint,
+)
+from parakeet_tpu.ops.transducer_loss import rnnt_loss, tdt_loss
 from parakeet_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
 from parakeet_tpu.params import Params
 
@@ -58,6 +74,106 @@ def ctc_loss_fn(params, cfg, batch, blank_id: int):
     return jnp.mean(per_seq)
 
 
+def transducer_forward(
+    params: dict,
+    cfg,
+    feats: jnp.ndarray,
+    mel_lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    loss: str = "tdt",
+    joint_prefix: str | None = None,
+):
+    """Full-lattice transducer forward for training.
+
+    (B, T, mel) features + (B, U) labels → joint log-probs over every
+    (frame, label-prefix) pair: TDT → ((B, T', U+1, V), (B, T', U+1, D));
+    RNNT → (B, T', U+1, V). Also returns (B,) encoder lengths.
+
+    The prediction net consumes [SOS=blank; labels] (NeMo convention,
+    tdt.cpp:56-59) so row u conditions on the first u labels.
+    """
+    if joint_prefix is None:
+        joint_prefix = "tdt_joint_" if loss == "tdt" else "joint_"
+    root = Params(params)
+    enc = fastconformer_encode(root.sub("encoder_"), cfg.encoder, feats, mel_lengths)
+    b = labels.shape[0]
+    blank = cfg.joint.vocab_size - 1
+    sos = jnp.full((b, 1), blank, jnp.int32)
+    pred_in = jnp.concatenate([sos, labels.astype(jnp.int32)], axis=1)  # (B, U+1)
+    state0 = prediction_zero_state(
+        cfg.prediction.num_lstm_layers, b, cfg.prediction.pred_hidden, enc.dtype
+    )
+    pred, _ = prediction_forward(
+        root.sub("prediction_"), pred_in, state0, cfg.prediction.num_lstm_layers
+    )
+    jp = root.sub(joint_prefix)
+    enc_b = enc[:, :, None, :]  # (B, T', 1, H)
+    pred_b = pred[:, None, :, :]  # (B, 1, U+1, P)
+    # enc_proj/pred_proj apply BEFORE the (T'×U+1) broadcast; only the
+    # joint-hidden activation and the output head live on the full lattice.
+    joint_fn = tdt_joint if loss == "tdt" else rnnt_joint
+    out = jax.checkpoint(lambda e, pr: joint_fn(jp, e, pr))(enc_b, pred_b)
+    enc_lens = jnp.minimum(encoded_lengths(mel_lengths), enc.shape[1])
+    return out, enc_lens
+
+
+def transducer_loss_fn(
+    params,
+    cfg,
+    batch,
+    *,
+    loss: str = "tdt",
+    sigma: float = 0.0,
+    joint_prefix: str | None = None,
+):
+    """Mean RNNT/TDT negative log-likelihood over a padded batch."""
+    feats, mel_lengths, labels, label_lengths = (
+        batch["features"],
+        batch["mel_lengths"],
+        batch["labels"],
+        batch["label_lengths"],
+    )
+    out, enc_lens = transducer_forward(
+        params, cfg, feats, mel_lengths, labels, loss=loss, joint_prefix=joint_prefix
+    )
+    blank = cfg.joint.vocab_size - 1
+    if loss == "tdt":
+        lab_lp, dur_lp = out
+        per_seq = tdt_loss(
+            lab_lp, dur_lp, labels, enc_lens, label_lengths, blank,
+            tuple(cfg.durations), sigma=sigma,
+        )
+    else:
+        per_seq = rnnt_loss(out, labels, enc_lens, label_lengths, blank)
+    return jnp.mean(per_seq)
+
+
+def make_transducer_train_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    *,
+    loss: str = "tdt",
+    sigma: float = 0.0,
+    joint_prefix: str | None = None,
+):
+    """Jitted (params, opt_state, batch) → (params, opt_state, loss) for the
+    RNNT/TDT stacks (loss='rnnt'|'tdt')."""
+    if loss not in ("rnnt", "tdt"):
+        raise ValueError(f"loss must be 'rnnt' or 'tdt', got {loss!r}")
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        lval, grads = jax.value_and_grad(transducer_loss_fn)(
+            params, cfg, batch, loss=loss, sigma=sigma, joint_prefix=joint_prefix
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, lval
+
+    return step
+
+
 def make_train_step(cfg: TDTCTCConfig, optimizer: optax.GradientTransformation, blank_id=None):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss)."""
     if blank_id is None:
@@ -80,16 +196,22 @@ def make_sharded_trainer(
     *,
     learning_rate: float = 1e-4,
     model_parallel: int = 1,
+    loss: str = "ctc",
+    sigma: float = 0.0,
 ):
     """Set up a mesh-sharded trainer: params placed per TP rules, batches
-    sharded over 'data'. Returns (mesh, state, step_fn, place_batch)."""
+    sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt'}.
+    Returns (mesh, state, step_fn, place_batch)."""
     if mesh is None:
         mesh = make_mesh(model_parallel=model_parallel)
     optimizer = optax.adamw(learning_rate)
     with mesh:
         sharded = shard_params(params, mesh)
         opt_state = jax.jit(optimizer.init)(sharded)
-        step = make_train_step(cfg, optimizer)
+        if loss == "ctc":
+            step = make_train_step(cfg, optimizer)
+        else:
+            step = make_transducer_train_step(cfg, optimizer, loss=loss, sigma=sigma)
 
     def place_batch(batch: dict) -> dict:
         out = {}
@@ -101,9 +223,9 @@ def make_sharded_trainer(
     return mesh, TrainState(sharded, opt_state), step, place_batch
 
 
-def synthetic_batch(cfg: TDTCTCConfig, batch: int, mel_frames: int, max_labels: int, seed=0):
+def synthetic_batch(cfg, batch: int, mel_frames: int, max_labels: int, seed=0):
     rng = np.random.RandomState(seed)
-    vocab = cfg.ctc_vocab_size - 1  # labels exclude blank
+    vocab = getattr(cfg, "ctc_vocab_size", cfg.joint.vocab_size) - 1  # labels exclude blank
     return {
         "features": rng.randn(batch, mel_frames, cfg.encoder.mel_bins).astype(np.float32),
         "mel_lengths": np.full((batch,), mel_frames, np.int32),
@@ -118,5 +240,8 @@ __all__ = [
     "ctc_loss_fn",
     "make_train_step",
     "make_sharded_trainer",
+    "make_transducer_train_step",
     "synthetic_batch",
+    "transducer_forward",
+    "transducer_loss_fn",
 ]

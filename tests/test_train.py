@@ -80,3 +80,63 @@ def test_checkpoint_roundtrip(tmp_path):
     export_weights(tmp_path / "ck", tmp_path / "model.safetensors")
     loaded = P.load_params(P.tdt_ctc_spec(cfg), str(tmp_path / "model.safetensors"), strict=True)
     assert set(loaded) == set(P.tdt_ctc_spec(cfg))
+
+
+def test_tdt_train_step_reduces_loss():
+    """Fine-tune the flagship TDT stack end-to-end: lattice loss through
+    encoder + prediction LSTM + dual-head joint."""
+    import optax as _optax
+
+    from parakeet_tpu.train import make_transducer_train_step
+
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=3)
+    opt = _optax.adam(3e-3)
+    step = make_transducer_train_step(cfg, opt, loss="tdt", sigma=0.05)
+    opt_state = opt.init(params)
+    batch = synthetic_batch(cfg, batch=4, mel_frames=64, max_labels=6)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"TDT loss did not decrease: {losses}"
+
+
+def test_rnnt_train_step_reduces_loss():
+    import optax as _optax
+
+    from parakeet_tpu.train import make_transducer_train_step
+
+    cfg = C.RNNTConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                                num_layers=1, num_heads=2, ffn_intermediate=32),
+        prediction=C.PredictionConfig(vocab_size=17, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=17),
+    )
+    params = P.init_params(P.rnnt_spec(cfg), seed=4)
+    opt = _optax.adam(3e-3)
+    step = make_transducer_train_step(cfg, opt, loss="rnnt")
+    opt_state = opt.init(params)
+    batch = synthetic_batch(cfg, batch=4, mel_frames=64, max_labels=6)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"RNNT loss did not decrease: {losses}"
+
+
+def test_sharded_tdt_trainer_8_devices():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=5)
+    mesh = make_mesh(8, model_parallel=2)
+    mesh, state, step, place_batch = make_sharded_trainer(cfg, params, mesh, loss="tdt")
+    batch = place_batch(synthetic_batch(cfg, batch=8, mel_frames=64, max_labels=6))
+    with mesh:
+        _, _, loss = step(state.params, state.opt_state, batch)
+    assert np.isfinite(float(loss))
