@@ -174,6 +174,44 @@ def make_transducer_train_step(
     return step
 
 
+def hybrid_loss_fn(
+    params,
+    cfg: TDTCTCConfig,
+    batch,
+    *,
+    ctc_weight: float = 0.3,
+    sigma: float = 0.0,
+):
+    """(1-w)·TDT + w·CTC over the shared encoder — the training objective of
+    the hybrid tdt-ctc checkpoints this framework's flagship preset serves
+    (both heads share one encoder; XLA CSEs the duplicated encoder call
+    inside the jitted step)."""
+    tdt = transducer_loss_fn(params, cfg, batch, loss="tdt", sigma=sigma)
+    ctc = ctc_loss_fn(params, cfg, batch, cfg.ctc_vocab_size - 1)
+    return (1.0 - ctc_weight) * tdt + ctc_weight * ctc
+
+
+def make_hybrid_train_step(
+    cfg: TDTCTCConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    ctc_weight: float = 0.3,
+    sigma: float = 0.0,
+):
+    """Jitted hybrid TDT+CTC train step (the flagship objective)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        lval, grads = jax.value_and_grad(hybrid_loss_fn)(
+            params, cfg, batch, ctc_weight=ctc_weight, sigma=sigma
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, lval
+
+    return step
+
+
 def make_train_step(cfg: TDTCTCConfig, optimizer: optax.GradientTransformation, blank_id=None):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss)."""
     if blank_id is None:
@@ -200,7 +238,8 @@ def make_sharded_trainer(
     sigma: float = 0.0,
 ):
     """Set up a mesh-sharded trainer: params placed per TP rules, batches
-    sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt'}.
+    sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt', 'hybrid'} ('hybrid'
+    = the flagship TDT+CTC objective).
     Returns (mesh, state, step_fn, place_batch)."""
     if mesh is None:
         mesh = make_mesh(model_parallel=model_parallel)
@@ -210,6 +249,8 @@ def make_sharded_trainer(
         opt_state = jax.jit(optimizer.init)(sharded)
         if loss == "ctc":
             step = make_train_step(cfg, optimizer)
+        elif loss == "hybrid":
+            step = make_hybrid_train_step(cfg, optimizer, sigma=sigma)
         else:
             step = make_transducer_train_step(cfg, optimizer, loss=loss, sigma=sigma)
 
@@ -238,6 +279,8 @@ __all__ = [
     "TrainState",
     "ctc_forward",
     "ctc_loss_fn",
+    "hybrid_loss_fn",
+    "make_hybrid_train_step",
     "make_train_step",
     "make_sharded_trainer",
     "make_transducer_train_step",

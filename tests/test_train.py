@@ -140,3 +140,22 @@ def test_sharded_tdt_trainer_8_devices():
     with mesh:
         _, _, loss = step(state.params, state.opt_state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_hybrid_train_step_reduces_loss():
+    import optax as _optax
+
+    from parakeet_tpu.train import make_hybrid_train_step
+
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=6)
+    opt = _optax.adam(3e-3)
+    step = make_hybrid_train_step(cfg, opt, ctc_weight=0.3, sigma=0.05)
+    opt_state = opt.init(params)
+    batch = synthetic_batch(cfg, batch=4, mel_frames=64, max_labels=6)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"hybrid loss did not decrease: {losses}"
