@@ -1,0 +1,209 @@
+"""Training data pipeline: manifest → bucketed, padded, prefetched batches.
+
+The reference is inference-only; this feeds the training steps in train.py.
+Design for TPU thoughput:
+
+- **Length bucketing**: entries are sorted by duration and cut into
+  contiguous batches, so every batch pads to its own max length — the same
+  strategy as transcribe.py's inference bucketing.
+- **Shape quantization**: padded frame/label axes round up to configurable
+  multiples, bounding the number of distinct (T, U) shapes the jitted train
+  step ever sees (each new shape is a fresh XLA compile; on the TPU relay a
+  compile costs 30-120 s).
+- **Background prefetch**: a producer thread decodes audio (audio/io.py
+  native codecs), runs the batched mel frontend (ONE device call per batch,
+  audio/frontend.py), and tokenizes transcripts while the accelerator is
+  inside the previous optimizer step.
+
+Manifest format: NeMo-style JSONL — one object per line with
+`audio_filepath`, `text`, and optional `duration` (seconds; probed via
+header-only get_audio_duration when absent).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from parakeet_tpu.audio.frontend import preprocess_audio_batch
+from parakeet_tpu.audio.io import get_audio_duration, read_audio
+from parakeet_tpu.config import AudioConfig
+
+
+class ManifestDataset:
+    """JSONL manifest of (audio file, transcript) pairs."""
+
+    def __init__(self, manifest_path: str | Path):
+        self.manifest_path = Path(manifest_path)
+        self.entries: list[dict] = []
+        base = self.manifest_path.parent
+        with open(self.manifest_path, "r", encoding="utf-8") as f:
+            for line_no, line in enumerate(f, 1):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    e = json.loads(line)
+                except json.JSONDecodeError as err:
+                    raise ValueError(
+                        f"{self.manifest_path}:{line_no}: invalid JSON ({err})"
+                    ) from err
+                if "audio_filepath" not in e or "text" not in e:
+                    raise ValueError(
+                        f"{self.manifest_path}:{line_no}: entry needs "
+                        f"'audio_filepath' and 'text', got keys {sorted(e)}"
+                    )
+                p = Path(e["audio_filepath"])
+                if not p.is_absolute():
+                    p = base / p
+                e["audio_filepath"] = str(p)
+                self.entries.append(e)
+        if not self.entries:
+            raise ValueError(f"{self.manifest_path}: empty manifest")
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> dict:
+        return self.entries[i]
+
+    def duration(self, i: int) -> float:
+        e = self.entries[i]
+        if "duration" not in e:
+            e["duration"] = get_audio_duration(e["audio_filepath"])
+        return float(e["duration"])
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+class TrainDataLoader:
+    """Iterate padded training batches (the dict schema of
+    train.synthetic_batch: features / mel_lengths / labels / label_lengths).
+
+    Args:
+      dataset: ManifestDataset (or any sequence of manifest-entry dicts
+        with a `duration(i)` helper).
+      tokenizer: text.Tokenizer (loaded); transcripts are encoded per
+        batch in the producer thread.
+      batch_size: clips per batch. The last short batch is dropped when
+        drop_last (default: True — partial batches trigger fresh compiles).
+      audio_config: mel frontend config (must match the model preset).
+      frame_multiple / label_multiple: pad the mel-frame / label axes of
+        every batch up to these multiples to bound distinct jit shapes.
+      shuffle: shuffle BATCH ORDER each epoch (entries stay
+        duration-sorted inside batches so padding waste stays low).
+      seed: shuffle seed; epoch e uses seed + e.
+      prefetch: producer queue depth (batches decoded ahead).
+    """
+
+    def __init__(
+        self,
+        dataset: ManifestDataset,
+        tokenizer,
+        *,
+        batch_size: int,
+        audio_config: AudioConfig = AudioConfig(),
+        frame_multiple: int = 160,
+        label_multiple: int = 16,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        target_sample_rate: int = 16000,
+    ):
+        if not tokenizer.loaded:
+            raise ValueError("tokenizer must be loaded before building batches")
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = int(batch_size)
+        self.audio_config = audio_config
+        self.frame_multiple = int(frame_multiple)
+        self.label_multiple = int(label_multiple)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = int(prefetch)
+        self.target_sample_rate = int(target_sample_rate)
+        self._epoch = 0
+
+        order = sorted(range(len(dataset)), key=dataset.duration)
+        self._buckets = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if drop_last and len(self._buckets) > 1 and len(self._buckets[-1]) < self.batch_size:
+            self._buckets = self._buckets[:-1]
+
+    def __len__(self) -> int:
+        return len(self._buckets)
+
+    def _build_batch(self, indices: list[int]) -> dict:
+        cfg = self.audio_config
+        waves, token_ids = [], []
+        for i in indices:
+            e = self.dataset[i]
+            audio = read_audio(e["audio_filepath"], self.target_sample_rate)
+            waves.append(np.asarray(audio.samples, np.float32))
+            token_ids.append(self.tokenizer.encode(e["text"]))
+
+        feats, n_frames = preprocess_audio_batch(waves, cfg)
+        feats = np.asarray(feats, np.float32)
+        b, t_have, n_mels = feats.shape
+        t_pad = _round_up(t_have, self.frame_multiple)
+        if t_pad > t_have:
+            feats = np.pad(feats, ((0, 0), (0, t_pad - t_have), (0, 0)))
+
+        u_pad = _round_up(max((len(t) for t in token_ids), default=1), self.label_multiple)
+        labels = np.zeros((b, u_pad), np.int32)
+        label_lengths = np.zeros((b,), np.int32)
+        for r, ids in enumerate(token_ids):
+            labels[r, : len(ids)] = ids
+            label_lengths[r] = len(ids)
+
+        return {
+            "features": feats,
+            "mel_lengths": np.asarray(n_frames, np.int32),
+            "labels": labels,
+            "label_lengths": label_lengths,
+        }
+
+    def _epoch_bucket_order(self, epoch: int) -> list[list[int]]:
+        buckets = list(self._buckets)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            rng.shuffle(buckets)
+        return buckets
+
+    def __iter__(self):
+        """One epoch of batches, produced by a background prefetch thread."""
+        buckets = self._epoch_bucket_order(self._epoch)
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
+        _END, _ERR = object(), object()
+
+        def produce():
+            try:
+                for idx in buckets:
+                    q.put(self._build_batch(idx))
+                q.put(_END)
+            except BaseException as exc:  # surface in the consumer
+                q.put((_ERR, exc))
+
+        worker = threading.Thread(target=produce, daemon=True, name="parakeet-data")
+        worker.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+
+
+__all__ = ["ManifestDataset", "TrainDataLoader"]
