@@ -138,7 +138,10 @@ def run_e2e(args) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    # default batch: 128 measured best on BOTH metrics (27.1k encoder RTFx,
+    # 20.4k e2e, vs 24.6k/18.3k at 64 — the block kernel keeps improving
+    # with batch; see TUNING.md "Roll-free rel_shift")
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--secs", type=int, default=10)
     ap.add_argument("--iters", type=int, default=5, help="chained on-device iterations")
