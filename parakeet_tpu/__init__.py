@@ -74,7 +74,9 @@ from parakeet_tpu.models.encoder import (
     set_fused_block2,
     set_fused_ffn,
 )
+from parakeet_tpu.data import ManifestDataset, TrainDataLoader
 from parakeet_tpu.metrics import corpus_wer, word_error_rate
+from parakeet_tpu.ops.transducer_loss import rnnt_loss, tdt_loss
 from parakeet_tpu.decode.timestamp import (
     FRAME_DURATION_S,
     TimestampedToken,
@@ -139,6 +141,10 @@ __all__ = [
     "set_fused_block2",
     "word_error_rate",
     "corpus_wer",
+    "ManifestDataset",
+    "TrainDataLoader",
+    "rnnt_loss",
+    "tdt_loss",
     "FRAME_DURATION_S",
     "TimestampedToken",
     "WordTimestamp",

@@ -145,14 +145,14 @@ def fused_rel_attention(
 def _attention_core(
     x,                       # (TP, D) post-norm attention input (VALUE, not ref)
     kv_len,                  # scalar valid key count
-    wq_ref, wk_ref, wv_ref,  # (D, D) full projection weights (torch layout)
-    bq_ref, bk_ref, bv_ref,  # (1, D) biases
+    wqkv_ref,                # (3D, D) stacked q|k|v projection weights (torch layout)
+    bqkv_ref,                # (1, 3D) stacked biases
     u_ref, v_ref,            # (1, D) rel-pos biases flattened head-major
     wpos_ref,                # (H, hd, D) pos-proj blocks, pe-components permuted sin|cos
     sin_ref, cos_ref,        # (TP, D/2) sin(t·ω_k) / cos(t·ω_k) tables
-    wo_ref,                  # (H, hd, D) out-proj blocks (out = Σ_h av_h @ wo_h)
+    wo_ref,                  # (D, D) out-proj weight (torch layout)
     bo_ref,                  # (1, D)
-    acc_ref,                 # VMEM scratch (TP, D) f32
+    acc_ref,                 # VMEM scratch (TP, D) f32 — per-head AV assembly
     *,
     scale: float,
     t_real: int,
@@ -160,10 +160,14 @@ def _attention_core(
 ):
     """Shared attention body for the fused kernels; returns (TP, D) f32.
 
-    QKV are projected at full width — (TP,D)@(D,D) runs the MXU at full
-    N instead of eight 64-wide per-head matmuls — and heads are taken as
-    STATIC lane slices of the results (hd-aligned static slices are fine;
-    only dynamic lane slicing needs 128 alignment)."""
+    Structured as FEW, LARGE MXU ops (small matmuls stall the systolic
+    array on pipeline fill): q/k/v are ONE (TP,D)@(D,3D) matmul; per head
+    the content and position scores are ONE merged matmul
+    [ṽa|ṽb|qu_h] @ [cos|sin|k_h]ᵀ (the contractions simply concatenate);
+    per-head attention outputs are assembled into a (TP, D) scratch and
+    leave through ONE (TP,D)@(D,D) out-projection. Heads are STATIC lane
+    slices (hd-aligned static slices are fine; only dynamic lane slicing
+    needs 128 alignment)."""
     tp, d = x.shape
     hd = d // heads
     d2 = sin_ref.shape[1]
@@ -172,28 +176,23 @@ def _attention_core(
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     sin_t = sin_ref[...].astype(_F32)
     cos_t = cos_ref[...].astype(_F32)
+    sin_x = sin_ref[...].astype(x.dtype)
+    cos_x = cos_ref[...].astype(x.dtype)
 
-    def proj(w_ref, b_ref):
-        y = jax.lax.dot_general(
-            x, w_ref[...], (((1,), (1,)), ((), ())),
+    qkv = (
+        jax.lax.dot_general(
+            x, wqkv_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=_F32, precision=hi,
-        ) + b_ref[0].astype(_F32)
-        return y.astype(x.dtype)  # mirror the XLA path's per-op cast
-
-    q_full = proj(wq_ref, bq_ref)  # (TP, D)
-    k_full = proj(wk_ref, bk_ref)
-    v_full = proj(wv_ref, bv_ref)
+        )
+        + bqkv_ref[0].astype(_F32)
+    ).astype(x.dtype)  # (TP, 3D); same per-element contraction as 3 matmuls
+    q_full, k_full, v_full = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
     qu_full = q_full + u_ref[0].astype(x.dtype)
     qv_full = q_full + v_ref[0].astype(x.dtype)
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
     for h in range(heads):  # static loop; all temporaries stay in VMEM/regs
         sl = slice(h * hd, (h + 1) * hd)
         qu, qv, k, v = qu_full[:, sl], qv_full[:, sl], k_full[:, sl], v_full[:, sl]
-
-        content = jax.lax.dot_general(
-            qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-        )  # (TP, TP)
 
         # Roll-free rel-pos scores. pos_score[t,s] = (Q+v)[t]·W_p·pe(t−s)
         # (the pad-reshape rel_shift's index algebra: r = t−s). pe is
@@ -214,36 +213,35 @@ def _attention_core(
         va, vb = vproj[:, :d2], vproj[:, d2:]
         tva = (va * sin_t + vb * cos_t).astype(x.dtype)
         tvb = (vb * sin_t - va * cos_t).astype(x.dtype)
-        pos_score = jax.lax.dot_general(
-            tva, cos_t.astype(x.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=_F32, precision=hi,
-        ) + jax.lax.dot_general(
-            tvb, sin_t.astype(x.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=_F32, precision=hi,
-        )  # (TP, TP)
 
-        scores = (content + pos_score) * scale
+        # content + position scores in ONE matmul: the (2·d2 + hd)-deep
+        # contraction [ṽa|ṽb|qu] · [cos|sin|k] = ṽa·cosᵀ + ṽb·sinᵀ + qu·kᵀ.
+        lhs = jnp.concatenate([tva, tvb, qu], axis=1)  # (TP, 2*d2+hd)
+        rhs = jnp.concatenate([cos_x, sin_x, k], axis=1)
+        scores = jax.lax.dot_general(
+            lhs, rhs, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
+            precision=hi,
+        ) * scale  # (TP, TP)
         scores = jnp.where(col >= kv_len, _NEG_INF, scores)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
 
-        av = jax.lax.dot_general(
+        acc_ref[:, sl] = jax.lax.dot_general(
             attn, v, (((1,), (0,)), ((), ())), preferred_element_type=_F32, precision=hi
-        ).astype(x.dtype)  # (TP, hd)
-        acc_ref[...] += jax.lax.dot_general(
-            av, wo_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32, precision=hi,
-        )
+        )  # (TP, hd) — concat_h(av_h) assembled in scratch
 
-    return acc_ref[...] + bo_ref[0].astype(_F32)
+    out = jax.lax.dot_general(
+        acc_ref[...].astype(x.dtype), wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32, precision=hi,
+    )
+    return out + bo_ref[0].astype(_F32)
 
 
 def _attn_block_kernel(
     len_ref,  # SMEM (B, 1)
     x_ref,    # (1, TP, D) post-norm attention input
-    wq_ref, wk_ref, wv_ref,
-    bq_ref, bk_ref, bv_ref,
+    wqkv_ref, bqkv_ref,
     u_ref, v_ref,
     wpos_ref, sin_ref, cos_ref,
     wo_ref, bo_ref,
@@ -257,7 +255,7 @@ def _attn_block_kernel(
     x = x_ref[0]
     kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
     att = _attention_core(
-        x, kv_len, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+        x, kv_len, wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
         scale=scale, t_real=t_real, heads=heads,
     )
@@ -271,8 +269,7 @@ def _ffn_attn_kernel(
     f1_ref, g1_ref,          # fc1 (F, D), (1, F)
     f2_ref, g2_ref,          # fc2 (D, F), (1, D)
     anw_ref, anb_ref,        # attention pre-LN (1, D)
-    wq_ref, wk_ref, wv_ref,
-    bq_ref, bk_ref, bv_ref,
+    wqkv_ref, bqkv_ref,
     u_ref, v_ref,
     wpos_ref, sin_ref, cos_ref,
     wo_ref, bo_ref,
@@ -301,7 +298,7 @@ def _ffn_attn_kernel(
     attn_in = kernel_layer_norm(x2, anw_ref[0], anb_ref[0], eps)
     kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
     att = _attention_core(
-        attn_in, kv_len, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+        attn_in, kv_len, wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
         scale=scale, t_real=t_real, heads=heads,
     )
@@ -352,8 +349,9 @@ def fused_rel_attention_block(
 
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
-    # out = concat_h(av_h) @ wo.T = Σ_h av_h @ wo[:, h*hd:(h+1)*hd].T
-    wo_b = jnp.transpose(wo.reshape(d, heads, hd), (1, 2, 0))  # (H, hd, D)
+    # q|k|v stacked along the output axis → ONE in-kernel projection matmul
+    wqkv = jnp.concatenate([wq, wk, wv], axis=0)  # (3D, D)
+    bqkv = jnp.concatenate([bq, bk, bv]).reshape(1, 3 * d)
 
     # pos-proj blocks with the pe-component (input) axis permuted to
     # sin-block|cos-block order, so the kernel's pairwise rotation works on
@@ -368,7 +366,6 @@ def fused_rel_attention_block(
         _attn_block_kernel, scale=scale, t_real=t, heads=heads
     )
 
-    bq2, bk2, bv2 = (z.reshape(1, d) for z in (bq, bk, bv))
     u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)
     bo2 = bo.reshape(1, d)
     out = pl.pallas_call(
@@ -377,18 +374,17 @@ def fused_rel_attention_block(
         in_specs=[
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            whole_block(wq), whole_block(wk), whole_block(wv),
-            whole_block(bq2), whole_block(bk2), whole_block(bv2),
+            whole_block(wqkv), whole_block(bqkv),
             whole_block(u2), whole_block(v2),
             whole_block(wpos_b), whole_block(sin_t), whole_block(cos_t),
-            whole_block(wo_b), whole_block(bo2),
+            whole_block(wo), whole_block(bo2),
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((tp, d), _F32)],
         interpret=interpret,
-    )(lengths, x, wq, wk, wv, bq2, bk2, bv2, u2, v2,
-      wpos_b, sin_t, cos_t, wo_b, bo2)
+    )(lengths, x, wqkv, bqkv, u2, v2,
+      wpos_b, sin_t, cos_t, wo, bo2)
     return out[:, :t, :]
 
 
@@ -422,7 +418,8 @@ def fused_ffn_attention(
 
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
-    wo_b = jnp.transpose(wo.reshape(d, heads, hd), (1, 2, 0))
+    wqkv = jnp.concatenate([wq, wk, wv], axis=0)
+    bqkv = jnp.concatenate([bq, bk, bv]).reshape(1, 3 * d)
     perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
     wpos_b = pos_w[:, perm].reshape(heads, hd, d)
     sin_np, cos_np = _trig_tables_np(tp, d)
@@ -432,7 +429,6 @@ def fused_ffn_attention(
         _ffn_attn_kernel, eps=eps, scale=scale, t_real=t, heads=heads
     )
 
-    bq2, bk2, bv2 = (z.reshape(1, d) for z in (bq, bk, bv))
     u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)
     bo2 = bo.reshape(1, d)
     args = (
@@ -441,8 +437,8 @@ def fused_ffn_attention(
         ffn["fc1_w"], ffn["fc1_b"].reshape(1, f),
         ffn["fc2_w"], ffn["fc2_b"].reshape(1, d),
         attn_norm_w.reshape(1, d), attn_norm_b.reshape(1, d),
-        wq, wk, wv, bq2, bk2, bv2, u2, v2,
-        wpos_b, sin_t, cos_t, wo_b, bo2,
+        wqkv, bqkv, u2, v2,
+        wpos_b, sin_t, cos_t, wo, bo2,
     )
     out = pl.pallas_call(
         kernel,
