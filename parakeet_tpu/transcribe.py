@@ -72,6 +72,9 @@ class TranscribeOptions:
     # word grouping granularity (timestamp.hpp TimestampMode; Sentences
     # merges words at ./?/! — timestamp.cpp:84-111)
     timestamp_mode: TimestampMode = TimestampMode.WORDS
+    # CTC prefix beam search width; 0 = greedy (the reference's only mode).
+    # Beyond-reference capability (decode/ctc_beam.py).
+    beam_size: int = 0
 
 
 def _dtype_of(name: str):
@@ -176,9 +179,11 @@ class _TranscriberBase:
         boost_phrases: list[str] | None = None,
         boost_score: float = DEFAULT_BOOST_SCORE,
         timestamp_mode: TimestampMode = TimestampMode.WORDS,
+        beam_size: int = 0,
     ) -> TranscribeResult:
         opts = TranscribeOptions(
-            decoder, timestamps, list(boost_phrases or []), boost_score, timestamp_mode
+            decoder, timestamps, list(boost_phrases or []), boost_score,
+            timestamp_mode, beam_size
         )
         return self.transcribe_batch([source], opts)[0]
 
@@ -287,6 +292,13 @@ class _TranscriberBase:
 
         if opts.decoder == Decoder.CTC:
             _, log_probs = self._encode_ctc(self.params, feats_j, lengths)
+            if opts.beam_size > 0:
+                if trie is not None:
+                    raise ValueError(
+                        "phrase boosting composes with greedy CTC only; "
+                        "use beam_size=0 with boost_phrases"
+                    )
+                return self._ctc_beam_results(log_probs, enc_lens, opts, n)
             if opts.timestamps:
                 if trie is not None:
                     ts = ctc_greedy_decode_with_timestamps_boosted(
@@ -304,6 +316,8 @@ class _TranscriberBase:
             return [self._result_from_tokens(t) for t in toks[:n]]
 
         # Transducer path (TDT or RNNT)
+        if opts.beam_size > 0:
+            raise ValueError("beam_size applies to Decoder.CTC only")
         enc = self._encode(self.params, feats_j, lengths)
         boost = trie.device_boost(self.config.joint.vocab_size, enc.shape[0], opts.boost_score) if trie else None
         res = transducer_greedy_decode(
@@ -321,6 +335,31 @@ class _TranscriberBase:
         if opts.timestamps:
             return [self._result_from_ts(t, opts.timestamp_mode) for t in res.timestamped[:n]]
         return [self._result_from_tokens(t) for t in res.tokens[:n]]
+
+    def _ctc_beam_results(self, log_probs, enc_lens, opts, n):
+        """CTC prefix beam search over fetched log-probs (host-side, like
+        the reference's CTC collapse); timestamps use each token's
+        first-emission frame, span closing at the next token's frame."""
+        from parakeet_tpu.decode.ctc_beam import ctc_beam_search
+
+        lp_np = np.asarray(log_probs, np.float32)
+        blank = self._ctc_blank()
+        out = []
+        for i in range(n):
+            t_i = enc_lens[i]
+            hyp = ctc_beam_search(lp_np[i, :t_i], blank, beam_size=opts.beam_size)[0]
+            if not opts.timestamps:
+                out.append(self._result_from_tokens(hyp.tokens))
+                continue
+            toks = []
+            for j, (tok, fr) in enumerate(zip(hyp.tokens, hyp.frames)):
+                end = (hyp.frames[j + 1] - 1) if j + 1 < len(hyp.frames) else t_i - 1
+                toks.append(TimestampedToken(
+                    token_id=tok, start_frame=fr, end_frame=max(fr, end),
+                    confidence=float(np.exp(lp_np[i, fr, tok])),
+                ))
+            out.append(self._result_from_ts(toks, opts.timestamp_mode))
+        return out
 
     def transcribe_long(
         self,
