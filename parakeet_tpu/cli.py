@@ -48,7 +48,8 @@ def main(argv=None) -> int:
     ap.add_argument("--boost", default="", help="comma-separated boost phrases")
     ap.add_argument("--boost-score", type=float, default=5.0)
     ap.add_argument("--beam-size", type=int, default=0,
-                    help="CTC prefix beam search width (0 = greedy; needs --ctc)")
+                    help="beam width, 0 = greedy (CTC prefix beam with --ctc, "
+                         "device-side transducer beam otherwise)")
     ap.add_argument("--latency", type=int, default=0, choices=[0, 1, 6, 13],
                     help="nemotron latency mode (right-context frames)")
     ap.add_argument("--chunk-samples", type=int, default=2560,

@@ -1,3 +1,7 @@
+from parakeet_tpu.decode.beam_transducer import (
+    BeamHypothesis,
+    transducer_beam_decode,
+)
 from parakeet_tpu.decode.timestamp import (
     FRAME_DURATION_S,
     TimestampedToken,
@@ -8,6 +12,8 @@ from parakeet_tpu.decode.timestamp import (
 )
 
 __all__ = [
+    "BeamHypothesis",
+    "transducer_beam_decode",
     "FRAME_DURATION_S",
     "TimestampedToken",
     "WordTimestamp",

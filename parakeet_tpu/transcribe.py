@@ -72,8 +72,9 @@ class TranscribeOptions:
     # word grouping granularity (timestamp.hpp TimestampMode; Sentences
     # merges words at ./?/! — timestamp.cpp:84-111)
     timestamp_mode: TimestampMode = TimestampMode.WORDS
-    # CTC prefix beam search width; 0 = greedy (the reference's only mode).
-    # Beyond-reference capability (decode/ctc_beam.py).
+    # Beam width; 0 = greedy (the reference's only mode). CTC uses host-side
+    # prefix beam search (decode/ctc_beam.py); TDT/RNNT use the jitted
+    # device-side beam (decode/beam_transducer.py). Beyond-reference.
     beam_size: int = 0
 
 
@@ -316,9 +317,14 @@ class _TranscriberBase:
             return [self._result_from_tokens(t) for t in toks[:n]]
 
         # Transducer path (TDT or RNNT)
-        if opts.beam_size > 0:
-            raise ValueError("beam_size applies to Decoder.CTC only")
         enc = self._encode(self.params, feats_j, lengths)
+        if opts.beam_size > 0:
+            if trie is not None:
+                raise ValueError(
+                    "phrase boosting composes with greedy decode only; "
+                    "use beam_size=0 with boost_phrases"
+                )
+            return self._transducer_beam_results(enc, enc_lens, opts, n)
         boost = trie.device_boost(self.config.joint.vocab_size, enc.shape[0], opts.boost_score) if trie else None
         res = transducer_greedy_decode(
             self.params,
@@ -335,6 +341,41 @@ class _TranscriberBase:
         if opts.timestamps:
             return [self._result_from_ts(t, opts.timestamp_mode) for t in res.timestamped[:n]]
         return [self._result_from_tokens(t) for t in res.tokens[:n]]
+
+    def _transducer_beam_results(self, enc, enc_lens, opts, n):
+        """Device-side transducer beam search (decode/beam_transducer.py);
+        beyond-reference capability (tdt.cpp is greedy-only). Timestamps use
+        each token's emission frame, span closing at the next emission."""
+        from parakeet_tpu.decode.beam_transducer import transducer_beam_decode
+
+        hyps = transducer_beam_decode(
+            self.params,
+            enc,
+            num_lstm_layers=self.config.prediction.num_lstm_layers,
+            durations=tuple(getattr(self.config, "durations", (0,))) if self.is_tdt else (0,),
+            blank_id=self._blank_id,
+            is_tdt=self.is_tdt,
+            joint_prefix=self.joint_prefix,
+            enc_lengths=enc_lens,
+            beam_size=opts.beam_size,
+        )
+        out = []
+        for i in range(n):
+            best = hyps[i][0]
+            if not opts.timestamps:
+                out.append(self._result_from_tokens(best.tokens))
+                continue
+            toks = []
+            for j, (tok, fr, lp) in enumerate(
+                zip(best.tokens, best.frames, best.token_logprobs)
+            ):
+                end = (best.frames[j + 1] - 1) if j + 1 < len(best.frames) else enc_lens[i] - 1
+                toks.append(TimestampedToken(
+                    token_id=tok, start_frame=fr, end_frame=max(fr, end),
+                    confidence=float(np.exp(lp)),
+                ))
+            out.append(self._result_from_ts(toks, opts.timestamp_mode))
+        return out
 
     def _ctc_beam_results(self, log_probs, enc_lens, opts, n):
         """CTC prefix beam search over fetched log-probs (host-side, like

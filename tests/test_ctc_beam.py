@@ -124,8 +124,18 @@ def test_facade_beam_search(tmp_path):
         assert 0 <= tok.start_frame <= tok.end_frame
         assert 0.0 <= tok.confidence <= 1.0
 
-    with pytest.raises(ValueError, match="CTC only"):
-        tr.transcribe(audio, Decoder.TDT, beam_size=8)
     with pytest.raises(ValueError, match="greedy"):
         tr.transcribe(audio, Decoder.CTC, beam_size=8, boost_phrases=["g1"])
     assert isinstance(greedy.token_ids, list)
+
+    # TDT routes beam_size through the device-side transducer beam:
+    # beam_size=1 is exactly the greedy decode
+    tdt_greedy = tr.transcribe(audio, Decoder.TDT)
+    tdt_beam1 = tr.transcribe(audio, Decoder.TDT, beam_size=1)
+    assert tdt_beam1.token_ids == tdt_greedy.token_ids
+    tdt_ts = tr.transcribe(audio, Decoder.TDT, timestamps=True, beam_size=4)
+    for tok in tdt_ts.timestamped_tokens:
+        assert 0 <= tok.start_frame <= tok.end_frame
+        assert 0.0 <= tok.confidence <= 1.0
+    with pytest.raises(ValueError, match="greedy"):
+        tr.transcribe(audio, Decoder.TDT, beam_size=4, boost_phrases=["g1"])
