@@ -500,19 +500,31 @@ def fastconformer_encode(
     cfg: EncoderConfig,
     features: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
+    act_sharding=None,
 ) -> jnp.ndarray:
     """(B, T, mel) → (B, T', d_model). Reference: encoder.cpp:245-271 (offline)
     and streaming_encoder.cpp:389-427 (full-seq path with activation/xscaling).
 
     `p` is the Params view at the encoder prefix (e.g. root.sub('encoder_')).
     `lengths`: optional per-utterance mel-frame counts for pad masking.
+    `act_sharding`: optional NamedSharding for the (B, T', d_model)
+    activations (parallel.mesh.activation_sharding) — constrains each
+    block's output so GSPMD shards the encoder over time ('seq' axis) and
+    inserts the halo/gather collectives itself. Requires the XLA attention
+    path (Pallas kernels run per-device programs, not GSPMD-partitioned).
     """
     activation = getattr(cfg, "subsampling_activation", "relu")
     xscaling = getattr(cfg, "xscaling", False)
 
+    def _constrain(a):
+        if act_sharding is not None:
+            return jax.lax.with_sharding_constraint(a, act_sharding)
+        return a
+
     x = conv_subsampling(p.sub("subsampling_"), features, activation)
     if xscaling:
         x = x * math.sqrt(cfg.hidden_size)
+    x = _constrain(x)
 
     t = x.shape[1]
     pos_emb = sinusoidal_position_embedding(t, cfg.hidden_size)
@@ -526,6 +538,7 @@ def fastconformer_encode(
     layers = p.sub("layers_")
     for i in range(cfg.num_layers):
         x = conformer_block(layers.sub(str(i)), x, pos_emb, cfg, mask, pad_mask, enc_lengths)
+        x = _constrain(x)
     return x
 
 

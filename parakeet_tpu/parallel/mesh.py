@@ -8,8 +8,12 @@ FFN/attention-head dimensions, with XLA inserting the ICI collectives.
 
 At 110M-600M params, DP is the throughput lever (batched clips per chip)
 and TP is provided as a config-level seam (SURVEY: "multi-chip batch DP is
-config, not code"); PP/SP/EP are deliberately not built — they are not
-warranted at these model sizes and sequence lengths (SURVEY §5.7).
+config, not code"). Sequence parallelism is likewise a config seam: a
+'seq' mesh axis + `activation_sharding` constraint on the encoder's
+(B, T, D) activations — XLA/GSPMD inserts the halo exchanges (depthwise
+conv) and K/V gathers (attention) over ICI. PP/EP are deliberately not
+built — a 24-layer 600M encoder fits one chip with room to spare, so
+pipeline bubbles and expert routing buy nothing here (SURVEY §5.7).
 """
 
 from __future__ import annotations
@@ -22,15 +26,32 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 
-def make_mesh(n_devices: int | None = None, model_parallel: int = 1, devices=None) -> Mesh:
-    """Create a ('data', 'model') mesh over the first n devices."""
+def make_mesh(
+    n_devices: int | None = None,
+    model_parallel: int = 1,
+    devices=None,
+    seq_parallel: int = 1,
+) -> Mesh:
+    """Create a ('data', 'model') mesh over the first n devices.
+
+    seq_parallel > 1 adds a 'seq' axis — ('data', 'seq', 'model'), model
+    innermost so TP collectives ride the tightest ICI links — for sharding
+    encoder activations over time (see `activation_sharding`)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
-    if n_devices % model_parallel != 0:
-        raise ValueError(f"{n_devices} devices not divisible by model_parallel={model_parallel}")
+    if n_devices % (model_parallel * seq_parallel) != 0:
+        raise ValueError(
+            f"{n_devices} devices not divisible by model_parallel={model_parallel}"
+            f" × seq_parallel={seq_parallel}"
+        )
+    if seq_parallel > 1:
+        grid = devices.reshape(
+            n_devices // (model_parallel * seq_parallel), seq_parallel, model_parallel
+        )
+        return Mesh(grid, ("data", "seq", "model"))
     grid = devices.reshape(n_devices // model_parallel, model_parallel)
     return Mesh(grid, ("data", "model"))
 
@@ -106,4 +127,19 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, PS("data", *([None] * (ndim - 1))))
 
 
-__all__ = ["make_mesh", "param_sharding_rules", "shard_params", "batch_sharding"]
+def activation_sharding(mesh: Mesh | None) -> NamedSharding | None:
+    """(B, T, D) encoder-activation sharding for sequence parallelism:
+    batch over 'data', time over 'seq'. None when the mesh has no 'seq'
+    axis (> 1) — callers then skip the constraint entirely."""
+    if mesh is not None and dict(mesh.shape).get("seq", 1) > 1:
+        return NamedSharding(mesh, PS("data", "seq", None))
+    return None
+
+
+__all__ = [
+    "make_mesh",
+    "param_sharding_rules",
+    "shard_params",
+    "batch_sharding",
+    "activation_sharding",
+]

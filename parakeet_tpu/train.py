@@ -39,7 +39,12 @@ from parakeet_tpu.models.rnnt import (
     tdt_joint,
 )
 from parakeet_tpu.ops.transducer_loss import rnnt_loss, tdt_loss
-from parakeet_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from parakeet_tpu.parallel.mesh import (
+    activation_sharding,
+    batch_sharding,
+    make_mesh,
+    shard_params,
+)
 from parakeet_tpu.params import Params
 
 
@@ -50,22 +55,29 @@ class TrainState:
     step: int = 0
 
 
-def ctc_forward(params: dict, cfg, feats: jnp.ndarray, mel_lengths: jnp.ndarray):
-    """(B, T, mel) → (B, T', V) log-probs + (B,) encoder lengths."""
+def ctc_forward(
+    params: dict, cfg, feats: jnp.ndarray, mel_lengths: jnp.ndarray, act_sharding=None
+):
+    """(B, T, mel) → (B, T', V) log-probs + (B,) encoder lengths.
+
+    act_sharding: optional (B, T, D) NamedSharding for sequence-parallel
+    encoding (parallel.mesh.activation_sharding)."""
     root = Params(params)
-    enc = fastconformer_encode(root.sub("encoder_"), cfg.encoder, feats, mel_lengths)
+    enc = fastconformer_encode(
+        root.sub("encoder_"), cfg.encoder, feats, mel_lengths, act_sharding=act_sharding
+    )
     lp = ctc_log_probs(root.sub("ctc_decoder_"), enc)
     return lp, jnp.minimum(encoded_lengths(mel_lengths), lp.shape[1])
 
 
-def ctc_loss_fn(params, cfg, batch, blank_id: int):
+def ctc_loss_fn(params, cfg, batch, blank_id: int, act_sharding=None):
     feats, mel_lengths, labels, label_lengths = (
         batch["features"],
         batch["mel_lengths"],
         batch["labels"],
         batch["label_lengths"],
     )
-    log_probs, enc_lens = ctc_forward(params, cfg, feats, mel_lengths)
+    log_probs, enc_lens = ctc_forward(params, cfg, feats, mel_lengths, act_sharding)
     t = log_probs.shape[1]
     u = labels.shape[1]
     logit_pad = (jnp.arange(t)[None, :] >= enc_lens[:, None]).astype(jnp.float32)
@@ -83,6 +95,7 @@ def transducer_forward(
     *,
     loss: str = "tdt",
     joint_prefix: str | None = None,
+    act_sharding=None,
 ):
     """Full-lattice transducer forward for training.
 
@@ -96,7 +109,9 @@ def transducer_forward(
     if joint_prefix is None:
         joint_prefix = "tdt_joint_" if loss == "tdt" else "joint_"
     root = Params(params)
-    enc = fastconformer_encode(root.sub("encoder_"), cfg.encoder, feats, mel_lengths)
+    enc = fastconformer_encode(
+        root.sub("encoder_"), cfg.encoder, feats, mel_lengths, act_sharding=act_sharding
+    )
     b = labels.shape[0]
     blank = cfg.joint.vocab_size - 1
     sos = jnp.full((b, 1), blank, jnp.int32)
@@ -126,6 +141,7 @@ def transducer_loss_fn(
     loss: str = "tdt",
     sigma: float = 0.0,
     joint_prefix: str | None = None,
+    act_sharding=None,
 ):
     """Mean RNNT/TDT negative log-likelihood over a padded batch."""
     feats, mel_lengths, labels, label_lengths = (
@@ -135,7 +151,8 @@ def transducer_loss_fn(
         batch["label_lengths"],
     )
     out, enc_lens = transducer_forward(
-        params, cfg, feats, mel_lengths, labels, loss=loss, joint_prefix=joint_prefix
+        params, cfg, feats, mel_lengths, labels, loss=loss,
+        joint_prefix=joint_prefix, act_sharding=act_sharding,
     )
     blank = cfg.joint.vocab_size - 1
     if loss == "tdt":
@@ -156,6 +173,7 @@ def make_transducer_train_step(
     loss: str = "tdt",
     sigma: float = 0.0,
     joint_prefix: str | None = None,
+    act_sharding=None,
 ):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss) for the
     RNNT/TDT stacks (loss='rnnt'|'tdt')."""
@@ -165,7 +183,8 @@ def make_transducer_train_step(
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         lval, grads = jax.value_and_grad(transducer_loss_fn)(
-            params, cfg, batch, loss=loss, sigma=sigma, joint_prefix=joint_prefix
+            params, cfg, batch, loss=loss, sigma=sigma,
+            joint_prefix=joint_prefix, act_sharding=act_sharding,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -181,13 +200,16 @@ def hybrid_loss_fn(
     *,
     ctc_weight: float = 0.3,
     sigma: float = 0.0,
+    act_sharding=None,
 ):
     """(1-w)·TDT + w·CTC over the shared encoder — the training objective of
     the hybrid tdt-ctc checkpoints this framework's flagship preset serves
     (both heads share one encoder; XLA CSEs the duplicated encoder call
     inside the jitted step)."""
-    tdt = transducer_loss_fn(params, cfg, batch, loss="tdt", sigma=sigma)
-    ctc = ctc_loss_fn(params, cfg, batch, cfg.ctc_vocab_size - 1)
+    tdt = transducer_loss_fn(
+        params, cfg, batch, loss="tdt", sigma=sigma, act_sharding=act_sharding
+    )
+    ctc = ctc_loss_fn(params, cfg, batch, cfg.ctc_vocab_size - 1, act_sharding)
     return (1.0 - ctc_weight) * tdt + ctc_weight * ctc
 
 
@@ -197,13 +219,15 @@ def make_hybrid_train_step(
     *,
     ctc_weight: float = 0.3,
     sigma: float = 0.0,
+    act_sharding=None,
 ):
     """Jitted hybrid TDT+CTC train step (the flagship objective)."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         lval, grads = jax.value_and_grad(hybrid_loss_fn)(
-            params, cfg, batch, ctc_weight=ctc_weight, sigma=sigma
+            params, cfg, batch, ctc_weight=ctc_weight, sigma=sigma,
+            act_sharding=act_sharding,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -212,14 +236,21 @@ def make_hybrid_train_step(
     return step
 
 
-def make_train_step(cfg: TDTCTCConfig, optimizer: optax.GradientTransformation, blank_id=None):
+def make_train_step(
+    cfg: TDTCTCConfig,
+    optimizer: optax.GradientTransformation,
+    blank_id=None,
+    act_sharding=None,
+):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss)."""
     if blank_id is None:
         blank_id = cfg.ctc_vocab_size - 1
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(ctc_loss_fn)(params, cfg, batch, blank_id)
+        loss, grads = jax.value_and_grad(ctc_loss_fn)(
+            params, cfg, batch, blank_id, act_sharding
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -234,25 +265,31 @@ def make_sharded_trainer(
     *,
     learning_rate: float = 1e-4,
     model_parallel: int = 1,
+    seq_parallel: int = 1,
     loss: str = "ctc",
     sigma: float = 0.0,
 ):
     """Set up a mesh-sharded trainer: params placed per TP rules, batches
     sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt', 'hybrid'} ('hybrid'
-    = the flagship TDT+CTC objective).
+    = the flagship TDT+CTC objective). A mesh with a 'seq' axis (> 1) —
+    from make_mesh(seq_parallel=…) or given explicitly — additionally
+    shards encoder activations over time (sequence parallelism).
     Returns (mesh, state, step_fn, place_batch)."""
     if mesh is None:
-        mesh = make_mesh(model_parallel=model_parallel)
+        mesh = make_mesh(model_parallel=model_parallel, seq_parallel=seq_parallel)
+    act_sharding = activation_sharding(mesh)
     optimizer = optax.adamw(learning_rate)
     with mesh:
         sharded = shard_params(params, mesh)
         opt_state = jax.jit(optimizer.init)(sharded)
         if loss == "ctc":
-            step = make_train_step(cfg, optimizer)
+            step = make_train_step(cfg, optimizer, act_sharding=act_sharding)
         elif loss == "hybrid":
-            step = make_hybrid_train_step(cfg, optimizer, sigma=sigma)
+            step = make_hybrid_train_step(cfg, optimizer, sigma=sigma, act_sharding=act_sharding)
         else:
-            step = make_transducer_train_step(cfg, optimizer, loss=loss, sigma=sigma)
+            step = make_transducer_train_step(
+                cfg, optimizer, loss=loss, sigma=sigma, act_sharding=act_sharding
+            )
 
     def place_batch(batch: dict) -> dict:
         out = {}

@@ -46,8 +46,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--model-parallel", type=int, default=1,
                     help="tensor-parallel ways (mesh = data × model)")
     ap.add_argument("--data-parallel", type=int, default=None,
-                    help="data-parallel ways (default: devices / model-parallel); "
+                    help="data-parallel ways (default: devices / (model×seq parallel)); "
                          "must divide --batch-size")
+    ap.add_argument("--seq-parallel", type=int, default=1,
+                    help="sequence-parallel ways: encoder activations sharded over "
+                         "time (mesh = data × seq × model)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--frame-multiple", type=int, default=160,
                     help="pad mel frames per batch up to this multiple (bounds recompiles)")
@@ -151,13 +154,14 @@ def main(argv=None) -> int:
     print(f"# {len(dataset)} clips, {len(loader)} batches/epoch, loss={loss}",
           file=sys.stderr)
 
-    dp = args.data_parallel or max(1, len(jax.devices()) // args.model_parallel)
+    mp, sp = args.model_parallel, args.seq_parallel
+    dp = args.data_parallel or max(1, len(jax.devices()) // (mp * sp))
     if args.batch_size % dp:
         raise SystemExit(
             f"--batch-size {args.batch_size} must be divisible by the data-parallel "
             f"ways ({dp}); pass --data-parallel explicitly to shrink the mesh"
         )
-    mesh = make_mesh(dp * args.model_parallel, model_parallel=args.model_parallel)
+    mesh = make_mesh(dp * mp * sp, model_parallel=mp, seq_parallel=sp)
     mesh, state, step_fn, place_batch = make_sharded_trainer(
         cfg, params, mesh, learning_rate=args.lr, loss=loss, sigma=args.sigma
     )

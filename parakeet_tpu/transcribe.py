@@ -104,6 +104,10 @@ class _TranscriberBase:
         """mesh: optional jax.sharding.Mesh with a 'data' axis — batched
         inference shards the batch over it (data parallelism; weights are
         replicated). Build one with parakeet_tpu.parallel.make_mesh().
+        A mesh with a 'seq' axis (make_mesh(seq_parallel=…)) additionally
+        shards encoder activations over time — sequence parallelism for
+        long clips, XLA inserting the halo/gather collectives. Requires
+        the XLA attention path (kernels=None/False).
 
         kernels: opt into the fused Pallas encoder kernels ("block" is the
         measured-best TPU config, +23% encoder throughput; see TUNING.md).
@@ -128,19 +132,30 @@ class _TranscriberBase:
             self.params = P.load_params(spec, weights_path, seed=seed, warn=lambda m: print(f"[parakeet] {m}"))
         if compute_dtype != "float32":
             self.params = P.cast_params(self.params, _dtype_of(compute_dtype))
+        self._act_sharding = None
         if mesh is not None:
-            from parakeet_tpu.parallel.mesh import shard_params
+            from parakeet_tpu.parallel.mesh import activation_sharding, shard_params
 
             self.params = shard_params(self.params, mesh)  # replicated (no TP rules hit at batch DP)
+            self._act_sharding = activation_sharding(mesh)
+            if self._act_sharding is not None and kernels not in (None, False):
+                raise ValueError(
+                    "sequence-parallel mesh requires the XLA attention path; "
+                    "pass kernels=None (Pallas kernels are per-device programs)"
+                )
         self.tokenizer = Tokenizer(vocab_path) if vocab_path else Tokenizer()
         self._audio_cfg = AudioConfig(n_mels=config.encoder.mel_bins)
         self._blank_id = config.joint.vocab_size - 1
 
         enc_cfg = config.encoder
 
+        act_sh = self._act_sharding
+
         def _encode(p, feats, lengths):
             x = feats.astype(_dtype_of(compute_dtype))
-            out = fastconformer_encode(Params(p).sub("encoder_"), enc_cfg, x, lengths)
+            out = fastconformer_encode(
+                Params(p).sub("encoder_"), enc_cfg, x, lengths, act_sharding=act_sh
+            )
             return out
 
         self._encode = jax.jit(_encode)

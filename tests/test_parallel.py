@@ -97,3 +97,105 @@ def test_tensor_parallel_inference_matches_single_device():
         shard_params(single.params, mesh)
     msgs = [str(c.message) for c in caught]
     assert any("does not divide model_parallel=2" in m for m in msgs), msgs
+
+
+# ─── Sequence parallelism ('seq' mesh axis, encoder activations over T) ──────
+
+
+def test_seq_mesh_shape_and_sharding():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import PartitionSpec as PS
+
+    from parakeet_tpu.parallel.mesh import activation_sharding, make_mesh
+
+    mesh = make_mesh(8, model_parallel=2, seq_parallel=2)
+    assert dict(mesh.shape) == {"data": 2, "seq": 2, "model": 2}
+    sh = activation_sharding(mesh)
+    assert sh is not None and sh.spec == PS("data", "seq", None)
+    # no 'seq' axis → no constraint
+    assert activation_sharding(make_mesh(4, model_parallel=2)) is None
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh(6, model_parallel=2, seq_parallel=2)
+
+
+def test_seq_parallel_inference_matches_single_device():
+    """dp2×sp2×tp2 inference (activations sharded over time, XLA-inserted
+    halo/gather collectives) must be token-identical to single-device for
+    CTC and TDT."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from parakeet_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(31)
+    clips = [rng.randn(8000 + 1600 * i).astype(np.float32) * 0.1 for i in range(3)]
+
+    single = Transcriber(None, None, cfg, seed=37)
+    mesh = make_mesh(8, model_parallel=2, seq_parallel=2)
+    sharded = Transcriber(None, None, cfg, seed=37, mesh=mesh)
+    assert sharded._act_sharding is not None
+
+    from parakeet_tpu.transcribe import TranscribeOptions
+
+    ref = single.transcribe_batch(clips)
+    with mesh:
+        got = sharded.transcribe_batch(clips)
+    for r, g in zip(ref, got):
+        assert r.token_ids == g.token_ids
+
+    ref_t = single.transcribe_batch(clips[:2], TranscribeOptions(Decoder.TDT))
+    with mesh:
+        got_t = sharded.transcribe_batch(clips[:2], TranscribeOptions(Decoder.TDT))
+    for r, g in zip(ref_t, got_t):
+        assert r.token_ids == g.token_ids
+
+
+def test_seq_parallel_rejects_pallas_kernels():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from parakeet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, seq_parallel=2)
+    with pytest.raises(ValueError, match="XLA attention path"):
+        Transcriber(None, None, tiny_cfg(), seed=1, mesh=mesh, kernels="block")
+    # global kernel state must not stay flipped after the rejected init
+    from parakeet_tpu.models import encoder as E
+
+    E.set_fused_attention(False)
+
+
+def test_seq_parallel_train_step_matches_dp():
+    """Hybrid train loss on a dp2×sp2×tp2 mesh == dp4×tp2 loss on the same
+    batch (sequence sharding must not change the objective)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from parakeet_tpu import params as P
+    from parakeet_tpu.parallel.mesh import make_mesh
+    from parakeet_tpu.train import make_sharded_trainer, synthetic_batch
+
+    cfg = tiny_cfg()
+    batch_np = synthetic_batch(cfg, batch=4, mel_frames=64, max_labels=6, seed=3)
+
+    losses = {}
+    for name, mesh in (
+        ("dp", make_mesh(8, model_parallel=2)),
+        ("sp", make_mesh(8, model_parallel=2, seq_parallel=2)),
+    ):
+        params = P.init_params(P.tdt_ctc_spec(cfg), seed=7)
+        mesh, state, step, place_batch = make_sharded_trainer(
+            cfg, params, mesh, loss="hybrid", sigma=0.05
+        )
+        with mesh:
+            _, _, loss = step(state.params, state.opt_state, place_batch(batch_np))
+        losses[name] = float(loss)
+    assert np.isfinite(losses["sp"])
+    np.testing.assert_allclose(losses["sp"], losses["dp"], rtol=2e-4)
