@@ -50,6 +50,12 @@ def main(argv=None) -> int:
     ap.add_argument("--beam-size", type=int, default=0,
                     help="beam width, 0 = greedy (CTC prefix beam with --ctc, "
                          "device-side transducer beam otherwise)")
+    ap.add_argument("--lm", default=None, metavar="ARPA",
+                    help="ARPA n-gram LM over tokenizer pieces: shallow fusion "
+                         "in the CTC beam, n-best rescoring in the transducer "
+                         "beam (needs --beam-size > 0)")
+    ap.add_argument("--lm-weight", type=float, default=0.5,
+                    help="LM fusion/rescoring weight λ")
     ap.add_argument("--latency", type=int, default=0, choices=[0, 1, 6, 13],
                     help="nemotron latency mode (right-context frames)")
     ap.add_argument("--chunk-samples", type=int, default=2560,
@@ -126,6 +132,13 @@ def main(argv=None) -> int:
 
             from parakeet_tpu.decode.timestamp import TimestampMode
 
+            lm = None
+            if args.lm:
+                if args.beam_size <= 0:
+                    raise SystemExit("--lm needs --beam-size > 0")
+                from parakeet_tpu.text.ngram_lm import NgramLM
+
+                lm = NgramLM.from_arpa(args.lm).bind(tr.tokenizer.pieces)
             opts = TranscribeOptions(
                 decoder,
                 args.timestamps,
@@ -133,6 +146,8 @@ def main(argv=None) -> int:
                 args.boost_score,
                 TimestampMode(args.timestamp_mode),
                 beam_size=args.beam_size,
+                lm=lm,
+                lm_weight=args.lm_weight,
             )
             if args.features:
                 import numpy as _np

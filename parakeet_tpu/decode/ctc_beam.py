@@ -52,6 +52,9 @@ def ctc_beam_search(
     token_top_k: int = 16,
     prune_logp: float = -12.0,
     n_best: int = 1,
+    lm=None,
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
 ) -> list[BeamHypothesis]:
     """Prefix beam search over (T, V) CTC log-probs.
 
@@ -62,16 +65,30 @@ def ctc_beam_search(
       token_top_k: non-blank extension candidates per step (by frame logp).
       prune_logp: skip extension tokens with frame logp below this.
       n_best: hypotheses to return (≤ beam_size), best first.
+      lm: optional shallow-fusion LM (text.ngram_lm.BoundNgramLM or any
+        object with start_state() and advance(state, token_id) ->
+        (state, ln_p)); scored once per appended token.
+      lm_weight: fusion weight λ — ranking score = acoustic + λ·LM
+        (+ length_bonus per token). With lm=None results are identical to
+        the unfused search.
+      length_bonus: per-token insertion bonus (counters the LM's shrinkage
+        bias; only active with lm).
 
-    Returns: n_best BeamHypothesis, sorted by descending score.
+    Returns: n_best BeamHypothesis, sorted by descending combined score.
     """
     lp = np.asarray(log_probs, np.float64)
     t_len, v = lp.shape
     if not 0 <= blank_id < v:
         raise ValueError(f"blank_id {blank_id} outside vocab {v}")
+    fuse = lm is not None and lm_weight != 0.0
 
-    # prefix -> [p_blank, p_nonblank, frames-tuple]
-    beams: dict[tuple[int, ...], list] = {(): [0.0, _NEG, ()]}
+    # prefix -> [p_blank, p_nonblank, frames-tuple, lm_state, lm_total]
+    lm_state0 = lm.start_state() if fuse else None
+    beams: dict[tuple[int, ...], list] = {(): [0.0, _NEG, (), lm_state0, 0.0]}
+
+    def rank(entry) -> float:
+        pb, pnb, frames, _, lm_total = entry
+        return _lse(pb, pnb) + lm_total + length_bonus * len(frames)
 
     for t in range(t_len):
         frame = lp[t]
@@ -81,21 +98,22 @@ def ctc_beam_search(
 
         nxt: dict[tuple[int, ...], list] = {}
 
-        def bump(key, pb, pnb, frames):
+        def bump(key, pb, pnb, frames, lm_state, lm_total):
             e = nxt.get(key)
             if e is None:
-                nxt[key] = [pb, pnb, frames]
+                nxt[key] = [pb, pnb, frames, lm_state, lm_total]
             else:
+                # same prefix ⇒ same deterministic LM state/total
                 e[0] = _lse(e[0], pb)
                 e[1] = _lse(e[1], pnb)
 
-        for prefix, (pb, pnb, frames) in beams.items():
+        for prefix, (pb, pnb, frames, lm_state, lm_total) in beams.items():
             total = _lse(pb, pnb)
             # stay: blank after anything
-            bump(prefix, total + p_blank_t, _NEG, frames)
+            bump(prefix, total + p_blank_t, _NEG, frames, lm_state, lm_total)
             # stay: repeat of the last token extends its alignment run
             if prefix:
-                bump(prefix, _NEG, pnb + float(frame[prefix[-1]]), frames)
+                bump(prefix, _NEG, pnb + float(frame[prefix[-1]]), frames, lm_state, lm_total)
             for c in cand:
                 p_c = float(frame[c])
                 if prefix and c == prefix[-1]:
@@ -105,14 +123,19 @@ def ctc_beam_search(
                     grow = total + p_c
                 if grow == _NEG:
                     continue
-                bump(prefix + (c,), _NEG, grow, frames + (t,))
+                if fuse:
+                    st, tok_lp = lm.advance(lm_state, c)
+                    bump(prefix + (c,), _NEG, grow, frames + (t,), st,
+                         lm_total + lm_weight * tok_lp)
+                else:
+                    bump(prefix + (c,), _NEG, grow, frames + (t,), None, 0.0)
 
-        scored = sorted(nxt.items(), key=lambda kv: -_lse(kv[1][0], kv[1][1]))
+        scored = sorted(nxt.items(), key=lambda kv: -rank(kv[1]))
         beams = dict(scored[:beam_size])
 
     out = [
-        BeamHypothesis(list(prefix), _lse(pb, pnb), list(frames))
-        for prefix, (pb, pnb, frames) in beams.items()
+        BeamHypothesis(list(prefix), rank(entry), list(entry[2]))
+        for prefix, entry in beams.items()
     ]
     out.sort(key=lambda h: -h.score)
     return out[: max(1, n_best)]

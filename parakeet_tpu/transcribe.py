@@ -76,6 +76,12 @@ class TranscribeOptions:
     # prefix beam search (decode/ctc_beam.py); TDT/RNNT use the jitted
     # device-side beam (decode/beam_transducer.py). Beyond-reference.
     beam_size: int = 0
+    # Optional n-gram LM (text.ngram_lm.BoundNgramLM) + fusion weight λ:
+    # CTC beams fuse token-by-token (shallow fusion); transducer beams
+    # rescore the n-best list. Needs beam_size > 0. Reference roadmap
+    # Tier-1 item, implemented here.
+    lm: object | None = None
+    lm_weight: float = 0.0
 
 
 def _dtype_of(name: str):
@@ -196,10 +202,12 @@ class _TranscriberBase:
         boost_score: float = DEFAULT_BOOST_SCORE,
         timestamp_mode: TimestampMode = TimestampMode.WORDS,
         beam_size: int = 0,
+        lm=None,
+        lm_weight: float = 0.0,
     ) -> TranscribeResult:
         opts = TranscribeOptions(
             decoder, timestamps, list(boost_phrases or []), boost_score,
-            timestamp_mode, beam_size
+            timestamp_mode, beam_size, lm, lm_weight
         )
         return self.transcribe_batch([source], opts)[0]
 
@@ -363,6 +371,7 @@ class _TranscriberBase:
         each token's emission frame, span closing at the next emission."""
         from parakeet_tpu.decode.beam_transducer import transducer_beam_decode
 
+        use_lm = opts.lm is not None and opts.lm_weight != 0.0
         hyps = transducer_beam_decode(
             self.params,
             enc,
@@ -373,7 +382,12 @@ class _TranscriberBase:
             joint_prefix=self.joint_prefix,
             enc_lengths=enc_lens,
             beam_size=opts.beam_size,
+            n_best=opts.beam_size if use_lm else 1,
         )
+        if use_lm:
+            from parakeet_tpu.text.ngram_lm import rescore_nbest
+
+            hyps = [rescore_nbest(h, opts.lm, opts.lm_weight) for h in hyps]
         out = []
         for i in range(n):
             best = hyps[i][0]
@@ -403,7 +417,10 @@ class _TranscriberBase:
         out = []
         for i in range(n):
             t_i = enc_lens[i]
-            hyp = ctc_beam_search(lp_np[i, :t_i], blank, beam_size=opts.beam_size)[0]
+            hyp = ctc_beam_search(
+                lp_np[i, :t_i], blank, beam_size=opts.beam_size,
+                lm=opts.lm, lm_weight=opts.lm_weight,
+            )[0]
             if not opts.timestamps:
                 out.append(self._result_from_tokens(hyp.tokens))
                 continue

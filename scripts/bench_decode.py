@@ -76,23 +76,53 @@ def main() -> int:
             hi = mid
     print(f"# blank bias {mid:.2f}: mean emissions {n:.1f}/{t} frames", file=sys.stderr)
 
-    loops = {
-        "step": TR._decode_loop,
-    }
-    for item in args.impls.split(","):
-        if item.startswith("lookahead"):
-            w = int(item.split(":")[1]) if ":" in item else 8
-            import functools
-            loops[f"lookahead:{w}"] = functools.partial(TR._decode_loop_lookahead, window=w)
-    if "step" not in args.impls:
-        del loops["step"]
-
     static = dict(kw)
     static.pop("pred_hidden")
     max_out = t * 10
 
+    # each impl is a (p, enc) -> scalar single-decode call; the chained
+    # wrapper below serializes k of them with a data dependency
+    import functools
+
+    def greedy_call(loop, p, e):
+        outs = loop(
+            p, e,
+            jnp.full((b,), t, jnp.int32),
+            jnp.full((b,), blank, jnp.int32),
+            TR.prediction_zero_state(static["num_lstm_layers"], b, cfg.prediction.pred_hidden),
+            None, None,
+            max_out=max_out, boost_score=0.0, clamp_end=True, **static,
+        )
+        return jnp.sum(outs[4]).astype(jnp.float32) + jnp.sum(outs[3])
+
+    def beam_call(beam_size, p, e):
+        from parakeet_tpu.decode import beam_transducer as BT
+
+        outs = BT._beam_loop(
+            p, e, jnp.full((b,), t, jnp.int32),
+            num_lstm_layers=static["num_lstm_layers"],
+            durations=tuple(static["durations"]), blank_id=blank,
+            max_symbols=10, max_out=max_out, is_tdt=True,
+            joint_prefix="tdt_joint_", beam_size=beam_size,
+            expand_k=min(beam_size + 1, 8),
+        )
+        return jnp.sum(outs[3]).astype(jnp.float32) + jnp.sum(outs[4])
+
+    loops = {}
+    for item in args.impls.split(","):
+        if item == "step":
+            loops["step"] = functools.partial(greedy_call, TR._decode_loop)
+        elif item.startswith("lookahead"):
+            w = int(item.split(":")[1]) if ":" in item else 8
+            loops[f"lookahead:{w}"] = functools.partial(
+                greedy_call, functools.partial(TR._decode_loop_lookahead, window=w)
+            )
+        elif item.startswith("beam"):
+            bs = int(item.split(":")[1]) if ":" in item else 4
+            loops[f"beam:{bs}"] = functools.partial(beam_call, bs)
+
     results = {}
-    for name, loop in loops.items():
+    for name, call in loops.items():
         k = args.iters
 
         @jax.jit
@@ -100,15 +130,7 @@ def main() -> int:
             acc = jnp.zeros((), jnp.float32)
             for _ in range(k):
                 x = e + (acc * 1e-12)
-                outs = loop(
-                    p, x,
-                    jnp.full((b,), t, jnp.int32),
-                    jnp.full((b,), blank, jnp.int32),
-                    TR.prediction_zero_state(static["num_lstm_layers"], b, cfg.prediction.pred_hidden),
-                    None, None,
-                    max_out=max_out, boost_score=0.0, clamp_end=True, **static,
-                )
-                acc = jnp.sum(outs[4]).astype(jnp.float32) + jnp.sum(outs[3])
+                acc = call(p, x)
             return acc
 
         t0 = time.perf_counter()
