@@ -69,6 +69,7 @@ from parakeet_tpu.audio.io import (
 from parakeet_tpu.audio.frontend import StreamingAudioPreprocessor, preprocess_audio
 from parakeet_tpu.decode.phrase_boost import ContextTrie
 from parakeet_tpu.text.ngram_lm import NgramLM, rescore_nbest
+from parakeet_tpu.audio.vad import VadConfig, vad_segments
 from parakeet_tpu.models.encoder import (
     set_conv_layout,
     set_fused_attention,
@@ -91,6 +92,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "NgramLM",
+    "VadConfig",
+    "vad_segments",
     "rescore_nbest",
     "AudioConfig",
     "EncoderConfig",

@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     ap.add_argument("--beam-size", type=int, default=0,
                     help="beam width, 0 = greedy (CTC prefix beam with --ctc, "
                          "device-side transducer beam otherwise)")
+    ap.add_argument("--vad", action="store_true",
+                    help="energy VAD: transcribe only detected speech regions "
+                         "(timestamps stay absolute)")
     ap.add_argument("--lm", default=None, metavar="ARPA",
                     help="ARPA n-gram LM over tokenizer pieces: shallow fusion "
                          "in the CTC beam, n-best rescoring in the transducer "
@@ -155,6 +158,17 @@ def main(argv=None) -> int:
                 out = tr.transcribe_features(_np.load(args.features), opts)
                 results = out if isinstance(out, list) else [out]
                 args.audio = [f"{args.features}[{i}]" for i in range(len(results))]
+            elif args.vad:
+                from parakeet_tpu.decode.timestamp import TimestampMode as _TM
+
+                results = [
+                    tr.transcribe_vad(
+                        a, decoder, boost_phrases=boost,
+                        boost_score=args.boost_score,
+                        timestamp_mode=_TM(args.timestamp_mode),
+                    )
+                    for a in args.audio
+                ]
             else:
                 results = tr.transcribe_batch(args.audio, opts)
             t0 = _stage("transcribe", t0)
