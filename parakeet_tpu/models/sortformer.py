@@ -89,6 +89,56 @@ def sortformer_forward(params: dict, features: jnp.ndarray, *, cfg: SortformerCo
     return _sortformer_tail(params, enc, cfg=cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sortformer_states(
+    params: dict, features: jnp.ndarray, *, cfg: SortformerConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward that also exposes the transformer hidden states:
+    ((B, T, D) pre-head states, (B, T, S) activity probs). The reference
+    roadmap's "speaker embedding extraction from Sortformer intermediate
+    layers" hooks here."""
+    root = Params(params)
+    enc = fastconformer_encode(root.sub("nest_encoder_"), cfg.nest_encoder, features)
+    proj = linear(root.sub("projection_"), enc)
+    trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj)
+    return trans, _speaker_head(root, trans)
+
+
+def speaker_embeddings(
+    hidden: np.ndarray,
+    probs: np.ndarray,
+    *,
+    activity_threshold: float = 0.5,
+    min_frames: int = 2,
+) -> tuple[np.ndarray, list[bool]]:
+    """Per-speaker embeddings from one utterance's states.
+
+    hidden: (T, D) transformer pre-head states; probs: (T, S) activity.
+    Each speaker's embedding is the activity-prob-weighted mean of the
+    hidden states over frames where that speaker is active (> threshold),
+    L2-normalized — suitable for cosine-similarity speaker verification.
+    Returns ((S, D) embeddings, active flags); speakers with fewer than
+    `min_frames` active frames get a zero vector and active=False.
+    """
+    h = np.asarray(hidden, np.float32)
+    p = np.asarray(probs, np.float32)
+    t_len, d = h.shape
+    s_len = p.shape[1]
+    out = np.zeros((s_len, d), np.float32)
+    active: list[bool] = []
+    for s in range(s_len):
+        mask = p[:, s] > activity_threshold
+        if mask.sum() < min_frames:
+            active.append(False)
+            continue
+        w = p[mask, s]
+        emb = (h[mask] * w[:, None]).sum(0) / w.sum()
+        norm = float(np.linalg.norm(emb))
+        out[s] = emb / norm if norm > 0 else emb
+        active.append(True)
+    return out, active
+
+
 def probs_to_segments(probs, activity_threshold: float = 0.5) -> list[DiarizationSegment]:
     """(T, S) probs → contiguous active runs per speaker, sorted by start
     (sortformer.cpp:70-113)."""
@@ -143,6 +193,19 @@ class Sortformer:
         probs = np.asarray(self.forward(features))[0]  # (T, S)
         return probs_to_segments(probs, self.config.activity_threshold)
 
+    def extract_embeddings(self, features) -> tuple[np.ndarray, list[bool]]:
+        """(max_speakers, D) L2-normalized speaker embeddings + active
+        flags for one utterance (reference Tier-3 roadmap item: "Speaker
+        embedding extraction — speaker verification from Sortformer
+        intermediate layers"). Compare utterances by cosine similarity."""
+        hidden, probs = sortformer_states(
+            self.params, jnp.asarray(features), cfg=self.config
+        )
+        return speaker_embeddings(
+            np.asarray(hidden)[0], np.asarray(probs)[0],
+            activity_threshold=self.config.activity_threshold,
+        )
+
     # ── Streaming (sortformer.cpp:125-150) ───────────────────────────────
 
     def reset_stream(self) -> None:
@@ -168,4 +231,6 @@ __all__ = [
     "Sortformer",
     "probs_to_segments",
     "sortformer_forward",
+    "sortformer_states",
+    "speaker_embeddings",
 ]

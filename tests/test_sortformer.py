@@ -154,3 +154,46 @@ def test_diarized_transcriber_e2e(tmp_path):
     for w in res.words:
         assert w.speaker_id >= -1
         assert w.end >= w.start
+
+
+# ─── Speaker embeddings (reference Tier-3 roadmap item) ─────────────────────
+
+
+def test_speaker_embeddings_weighted_mean_math():
+    from parakeet_tpu.models.sortformer import speaker_embeddings
+
+    rng = np.random.RandomState(3)
+    hidden = rng.randn(6, 4).astype(np.float32)
+    probs = np.zeros((6, 3), np.float32)
+    probs[:, 0] = [0.9, 0.8, 0.1, 0.0, 0.0, 0.7]  # speaker 0: frames 0,1,5
+    probs[:, 1] = 0.2  # never active
+    probs[:, 2] = [0.0, 0.0, 0.6, 0.0, 0.0, 0.0]  # 1 frame < min_frames
+
+    emb, active = speaker_embeddings(hidden, probs, activity_threshold=0.5)
+    assert active == [True, False, False]
+    w = np.array([0.9, 0.8, 0.7], np.float32)
+    manual = (hidden[[0, 1, 5]] * w[:, None]).sum(0) / w.sum()
+    manual /= np.linalg.norm(manual)
+    np.testing.assert_allclose(emb[0], manual, rtol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(emb[0]), 1.0, rtol=1e-6)
+    assert np.all(emb[1] == 0) and np.all(emb[2] == 0)
+
+
+def test_extract_embeddings_consistent_with_forward(sf):
+    from parakeet_tpu.models.sortformer import sortformer_states
+
+    rng = np.random.RandomState(17)
+    feats = rng.randn(1, 64, 128).astype(np.float32)
+    emb, active = sf.extract_embeddings(feats)
+    assert emb.shape == (sf.config.max_speakers, sf.config.transformer_hidden)
+    assert len(active) == sf.config.max_speakers
+    # probs from the states path must equal the plain forward exactly
+    _, probs = sortformer_states(sf.params, jnp.asarray(feats), cfg=sf.config)
+    np.testing.assert_array_equal(np.asarray(probs), np.asarray(sf.forward(feats)))
+    # deterministic
+    emb2, active2 = sf.extract_embeddings(feats)
+    np.testing.assert_array_equal(emb, emb2)
+    assert active == active2
+    for i, a in enumerate(active):
+        if a:
+            np.testing.assert_allclose(np.linalg.norm(emb[i]), 1.0, rtol=1e-5)
