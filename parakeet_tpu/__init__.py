@@ -70,6 +70,8 @@ from parakeet_tpu.audio.frontend import StreamingAudioPreprocessor, preprocess_a
 from parakeet_tpu.decode.phrase_boost import ContextTrie
 from parakeet_tpu.text.ngram_lm import NgramLM, rescore_nbest
 from parakeet_tpu.audio.vad import VadConfig, vad_segments
+from parakeet_tpu.quantize import quantize_params, quantized_fraction
+from parakeet_tpu.decode.keyword import HotwordDetector, keyword_log_odds
 from parakeet_tpu.models.encoder import (
     set_conv_layout,
     set_fused_attention,
@@ -92,7 +94,11 @@ __version__ = "0.1.0"
 
 __all__ = [
     "NgramLM",
+    "HotwordDetector",
+    "keyword_log_odds",
     "VadConfig",
+    "quantize_params",
+    "quantized_fraction",
     "vad_segments",
     "rescore_nbest",
     "AudioConfig",
