@@ -165,6 +165,8 @@ def _ffn_fusable(p: Params, x: jnp.ndarray) -> bool:
     if x.shape[1] < 64:
         return False
     w1 = p["fc1_.weight"]
+    if w1.dtype == jnp.int8:
+        return False  # int8 weights decode via the XLA linear path
     return 2 * w1.size * w1.dtype.itemsize <= 8 * 1024 * 1024
 
 
@@ -321,6 +323,8 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray) -> bool:
     110m T=125 (~3.8 MB) and 600m T=125 (~12.7 MB); long offline clips
     (T' in the thousands) must fall back — a (3456,3456) f32 score buffer
     alone is ~47 MB."""
+    if p["mha_.q_proj.weight"].dtype == jnp.int8:
+        return False  # int8 weights decode via the XLA linear path
     t = x.shape[1]
     tp = -(-t // 128) * 128
     d = x.shape[-1]

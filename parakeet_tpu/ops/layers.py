@@ -47,8 +47,24 @@ def matmul_precision(dtype) -> lax.Precision:
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ W.T (+ b). W: (out, in); x: (..., in)."""
+    """y = x @ W.T (+ b). W: (out, in); x: (..., in).
+
+    int8 W (quantize.quantize_params): the per-out-channel scale commutes
+    with the contraction, so dequant happens on the (..., out) RESULT —
+    W streams from HBM as int8 and is upcast on the fly, never
+    materialized dequantized."""
     w = p["weight"]
+    if w.dtype == jnp.int8:
+        scale = p["weight" + "##scale"]
+        y = jax.lax.dot_general(
+            x, w.astype(x.dtype), (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=_F32, precision=matmul_precision(x.dtype),
+        )
+        y = y * scale.astype(_F32)
+        b = p.get("bias")
+        if b is not None:
+            y = y + b.astype(_F32)
+        return y.astype(x.dtype)
     pref = x.dtype if (_BF16_OUTPUT and x.dtype != _F32) else _F32
     y = jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (1,)), ((), ())),

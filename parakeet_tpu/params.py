@@ -305,7 +305,15 @@ def load_params(
         expect = spec[key][0]
         if tuple(w.shape) != tuple(expect):
             raise ValueError(f"shape mismatch for {key}: file {tuple(w.shape)} vs spec {expect}")
-        params[key] = jnp.asarray(np.asarray(w), dtype=dtype)
+        w = np.asarray(w)
+        if w.dtype == np.int8:
+            # int8-quantized checkpoint (quantize.py): dequantize on load;
+            # pass Transcriber(quantize="int8") to re-quantize for runtime
+            scale = weights.get(key + "##scale")
+            if scale is None:
+                raise ValueError(f"int8 tensor {key} has no '{key}##scale' sidecar")
+            w = w.astype(np.float32) * np.asarray(scale, np.float32)[:, None]
+        params[key] = jnp.asarray(w, dtype=dtype)
     if missing:
         msg = f"{len(missing)} parameters missing from checkpoint (kept random init): {missing[:4]}..."
         if strict:

@@ -106,6 +106,7 @@ class _TranscriberBase:
         seed: int = 0,
         mesh=None,
         kernels: str | bool | None = None,
+        quantize: str | None = None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — batched
         inference shards the batch over it (data parallelism; weights are
@@ -114,6 +115,11 @@ class _TranscriberBase:
         shards encoder activations over time — sequence parallelism for
         long clips, XLA inserting the halo/gather collectives. Requires
         the XLA attention path (kernels=None/False).
+
+        quantize: "int8" for weight-only int8 inference (per-out-channel
+        scales, dequant folded into the linear results — quantize.py;
+        reference roadmap Tier-3 item). Activations stay compute_dtype;
+        Pallas kernels auto-fall back to the XLA path for int8 weights.
 
         kernels: opt into the fused Pallas encoder kernels ("block" is the
         measured-best TPU config, +23% encoder throughput; see TUNING.md).
@@ -138,6 +144,12 @@ class _TranscriberBase:
             self.params = P.load_params(spec, weights_path, seed=seed, warn=lambda m: print(f"[parakeet] {m}"))
         if compute_dtype != "float32":
             self.params = P.cast_params(self.params, _dtype_of(compute_dtype))
+        if quantize:
+            if quantize != "int8":
+                raise ValueError(f"unsupported quantize mode {quantize!r} (want 'int8')")
+            from parakeet_tpu.quantize import quantize_params
+
+            self.params = quantize_params(self.params)
         self._act_sharding = None
         if mesh is not None:
             from parakeet_tpu.parallel.mesh import activation_sharding, shard_params

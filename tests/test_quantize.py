@@ -1,0 +1,147 @@
+"""Weight-only INT8 quantization tests (reference Tier-3 roadmap item:
+"Model quantization — INT8/INT4 weight quantization")."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from parakeet_tpu import config as C
+from parakeet_tpu import params as P
+from parakeet_tpu.ops.layers import linear
+from parakeet_tpu.params import Params
+from parakeet_tpu.quantize import (
+    SCALE_SUFFIX,
+    dequantize_tensor,
+    quantize_params,
+    quantize_tensor,
+    quantized_fraction,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 128).astype(np.float32) * 0.1
+    q, s = quantize_tensor(w)
+    assert q.dtype == np.int8 and s.shape == (64,)
+    err = np.abs(dequantize_tensor(q, s) - w)
+    # symmetric rounding: per-element error ≤ half a quant step of its row
+    assert np.all(err <= s[:, None] * 0.5 + 1e-7)
+    # max-abs calibration: the largest magnitude per row is exactly representable
+    rows = np.argmax(np.abs(w), axis=1)
+    np.testing.assert_allclose(
+        dequantize_tensor(q, s)[np.arange(64), rows], w[np.arange(64), rows], rtol=1e-2
+    )
+
+
+def test_linear_int8_equals_manual_dequant():
+    rng = np.random.RandomState(1)
+    w = rng.randn(32, 48).astype(np.float32) * 0.2
+    b = rng.randn(32).astype(np.float32)
+    x = rng.randn(5, 48).astype(np.float32)
+    q, s = quantize_tensor(w)
+
+    params = {"m.weight": jnp.asarray(q), "m.weight" + SCALE_SUFFIX: jnp.asarray(s),
+              "m.bias": jnp.asarray(b)}
+    got = np.asarray(linear(Params(params).sub("m"), jnp.asarray(x)))
+    want = x @ dequantize_tensor(q, s).T + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _tiny_cfg():
+    return C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=16, hidden_size=32,
+                                num_layers=2, num_heads=4, ffn_intermediate=64),
+        prediction=C.PredictionConfig(vocab_size=21, pred_hidden=16, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=32, pred_hidden=16, joint_hidden=16,
+                            vocab_size=21),
+        ctc_vocab_size=21,
+    )
+
+
+def test_quantize_params_selection():
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=3)
+    qp = quantize_params(params, min_elems=256)
+    # linear weights quantized, embeddings/norms/biases/convs untouched
+    assert qp["encoder_.layers_.0.ffn1_.fc1_.weight"].dtype == jnp.int8
+    assert ("encoder_.layers_.0.ffn1_.fc1_.weight" + SCALE_SUFFIX) in qp
+    assert qp["prediction_.embed_.weight"].dtype != jnp.int8
+    assert qp["encoder_.layers_.0.conv_.depthwise_conv_.weight"].dtype != jnp.int8
+    assert qp["encoder_.layers_.0.ffn1_.norm_.weight"].dtype != jnp.int8
+    assert 0.1 < quantized_fraction(qp) <= 1.0
+    # original dict untouched
+    assert params["encoder_.layers_.0.ffn1_.fc1_.weight"].dtype == jnp.float32
+
+
+def test_quantized_encoder_close_to_f32():
+    from parakeet_tpu.models.encoder import fastconformer_encode
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=5)
+    qp = quantize_params(params, min_elems=256)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32))
+    ref = np.asarray(fastconformer_encode(Params(params).sub("encoder_"), cfg.encoder, feats))
+    got = np.asarray(fastconformer_encode(Params(qp).sub("encoder_"), cfg.encoder, feats))
+    # int8 noise is small but compounds across layers: demand tight relative
+    # Frobenius error and near-perfect correlation
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_facade_quantized_transcribe():
+    from parakeet_tpu.transcribe import Decoder, Transcriber
+
+    cfg = _tiny_cfg()
+    t = np.arange(12000) / 16000.0
+    audio = (0.4 * np.sin(2 * np.pi * 523.25 * t) * np.exp(-t)).astype(np.float32)
+
+    tr_q = Transcriber(None, None, cfg, seed=42, quantize="int8")
+    assert quantized_fraction(tr_q.params) > 0.1
+    res = tr_q.transcribe(audio, Decoder.CTC)
+    assert isinstance(res.token_ids, list)
+    res_t = tr_q.transcribe(audio, Decoder.TDT)
+    assert isinstance(res_t.token_ids, list)
+
+    with pytest.raises(ValueError, match="int8"):
+        Transcriber(None, None, cfg, seed=42, quantize="int4")
+
+
+def test_quantized_safetensors_roundtrip(tmp_path):
+    from parakeet_tpu.io.safetensors import load_safetensors, save_safetensors
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=9)
+    qp = quantize_params(params, min_elems=256)
+    path = tmp_path / "q.safetensors"
+    save_safetensors({k: np.asarray(v) for k, v in qp.items()}, path)
+    back = load_safetensors(path)
+    key = "encoder_.layers_.0.ffn1_.fc1_.weight"
+    assert back[key].dtype == np.int8
+    np.testing.assert_array_equal(back[key], np.asarray(qp[key]))
+    np.testing.assert_array_equal(back[key + SCALE_SUFFIX], np.asarray(qp[key + SCALE_SUFFIX]))
+
+
+def test_load_params_dequantizes_int8_checkpoint(tmp_path):
+    """load_params must dequantize int8 checkpoints (scale sidecars), so a
+    quantized file loads with correct numerics everywhere."""
+    from parakeet_tpu.io.safetensors import save_safetensors
+
+    cfg = _tiny_cfg()
+    spec = P.tdt_ctc_spec(cfg)
+    params = P.init_params(spec, seed=11)
+    qp = quantize_params(params, min_elems=256)
+    path = tmp_path / "q.safetensors"
+    save_safetensors({k: np.asarray(v) for k, v in qp.items()}, path)
+
+    loaded = P.load_params(spec, str(path))
+    key = "encoder_.layers_.0.ffn1_.fc1_.weight"
+    assert loaded[key].dtype == jnp.float32
+    want = dequantize_tensor(np.asarray(qp[key]), np.asarray(qp[key + SCALE_SUFFIX]))
+    np.testing.assert_allclose(np.asarray(loaded[key]), want, rtol=1e-6)
+    # dequantized ≈ original within the quant error bound
+    err = np.abs(np.asarray(loaded[key]) - np.asarray(params[key]))
+    s = np.asarray(qp[key + SCALE_SUFFIX])
+    assert np.all(err <= s[:, None] * 0.5 + 1e-7)
