@@ -72,6 +72,7 @@ from parakeet_tpu.text.ngram_lm import NgramLM, rescore_nbest
 from parakeet_tpu.audio.vad import VadConfig, vad_segments
 from parakeet_tpu.quantize import quantize_params, quantized_fraction
 from parakeet_tpu.decode.keyword import HotwordDetector, keyword_log_odds
+from parakeet_tpu.serve import TranscriptionService
 from parakeet_tpu.models.encoder import (
     set_conv_layout,
     set_fused_attention,
@@ -95,6 +96,7 @@ __version__ = "0.1.0"
 __all__ = [
     "NgramLM",
     "HotwordDetector",
+    "TranscriptionService",
     "keyword_log_odds",
     "VadConfig",
     "quantize_params",
