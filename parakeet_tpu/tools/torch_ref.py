@@ -1,0 +1,164 @@
+"""Independent PyTorch rebuild of the FastConformer encoder from the SAME
+flat param dict — the cross-framework parity/benchmark reference.
+
+This mirrors the C++ reference's tier-3 parity strategy: its
+`scripts/compare_encoder.py:23-354` rebuilds the model in PyTorch from the
+same safetensors and diffs stage by stage, and its
+`scripts/pytorch_benchmark.py:51-189` times the PyTorch encoder for
+cross-engine comparison. Here the torch side uses torch.nn.functional
+layers directly (NCHW convs, NCT conv1d), NOT a port of our JAX code, so a
+shared mistake between the two implementations is unlikely.
+
+Consumers: tests/test_torch_oracle.py (numeric parity gate) and
+scripts/pytorch_benchmark.py (torch-CPU timing baseline).
+
+torch is an optional import at call time — the JAX package never needs it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _torch():
+    import torch  # noqa: PLC0415 — optional heavy dep, imported on use
+
+    return torch
+
+
+def t(params, key):
+    torch = _torch()
+    v = params[key]
+    if isinstance(v, torch.Tensor):
+        return v
+    return torch.from_numpy(np.array(v, np.float32))
+
+
+def to_torch_params(params):
+    """Pre-convert a flat param dict to torch tensors once — keeps weight
+    conversion out of timed benchmark loops (t() passes tensors through)."""
+    torch = _torch()
+    return {k: torch.from_numpy(np.array(v, np.float32)) for k, v in params.items()}
+
+
+def torch_subsampling(params, x, prefix="encoder_.subsampling_"):
+    """x: (B, T, mel) → (B, T/8, d). NCHW torch convs, channel-major flatten
+    (reference encoder.cpp:208-241; ReLU per the code, not the header
+    comment)."""
+    import torch.nn.functional as TF
+
+    h = x.unsqueeze(1)  # (B, 1, T, mel)
+    c = t(params, f"{prefix}.conv1_.weight").shape[0]
+    h = TF.relu(TF.conv2d(h, t(params, f"{prefix}.conv1_.weight"),
+                          t(params, f"{prefix}.conv1_.bias"), stride=2, padding=1))
+    h = TF.conv2d(h, t(params, f"{prefix}.dw1_.weight"),
+                  t(params, f"{prefix}.dw1_.bias"), stride=2, padding=1, groups=c)
+    h = TF.relu(TF.conv2d(h, t(params, f"{prefix}.conv2_.weight"),
+                          t(params, f"{prefix}.conv2_.bias")))
+    h = TF.conv2d(h, t(params, f"{prefix}.dw2_.weight"),
+                  t(params, f"{prefix}.dw2_.bias"), stride=2, padding=1, groups=c)
+    h = TF.relu(TF.conv2d(h, t(params, f"{prefix}.conv3_.weight"),
+                          t(params, f"{prefix}.conv3_.bias")))
+    b, ch, tt, f = h.shape
+    h = h.permute(0, 2, 1, 3).reshape(b, tt, ch * f)  # channel-major
+    return TF.linear(h, t(params, f"{prefix}.proj_.weight"), t(params, f"{prefix}.proj_.bias"))
+
+
+def torch_rel_shift(x):
+    """(B, H, T, 2T-1) → (B, H, T, T) pad-reshape trick (encoder.cpp:85-109)."""
+    import torch.nn.functional as TF
+
+    b, h, tt, pos = x.shape
+    x = TF.pad(x, (1, 0))
+    x = x.reshape(b, h, pos + 1, tt)[:, :, 1:, :].reshape(b, h, tt, pos)
+    return x[:, :, :, :tt]
+
+
+def torch_attention(params, x, pos_emb, heads, a):
+    """Rel-pos MHSA (encoder.cpp:79-186): content (Q+u)Kᵀ + shifted pos
+    (Q+v)Pᵀ, scale AFTER the sum."""
+    torch = _torch()
+    import torch.nn.functional as TF
+
+    b, tt, d = x.shape
+    hd = d // heads
+    q = TF.linear(x, t(params, f"{a}.mha_.q_proj.weight"), t(params, f"{a}.mha_.q_proj.bias"))
+    k = TF.linear(x, t(params, f"{a}.mha_.k_proj.weight"), t(params, f"{a}.mha_.k_proj.bias"))
+    v = TF.linear(x, t(params, f"{a}.mha_.v_proj.weight"), t(params, f"{a}.mha_.v_proj.bias"))
+    q = q.view(b, tt, heads, hd).transpose(1, 2)
+    k = k.view(b, tt, heads, hd).transpose(1, 2)
+    v = v.view(b, tt, heads, hd).transpose(1, 2)
+    u = t(params, f"{a}.pos_bias_u_")[None, :, None, :]
+    vb = t(params, f"{a}.pos_bias_v_")[None, :, None, :]
+    p = TF.linear(pos_emb, t(params, f"{a}.pos_proj_.weight"))  # bias-free
+    p = p.view(-1, heads, hd).transpose(0, 1)  # (H, 2T-1, hd)
+    content = (q + u) @ k.transpose(-2, -1)
+    pos_score = torch.einsum("bhtd,hsd->bhts", q + vb, p)
+    scores = (content + torch_rel_shift(pos_score)) / np.sqrt(hd)
+    attn = TF.softmax(scores, dim=-1)
+    out = (attn @ v).transpose(1, 2).reshape(b, tt, d)
+    return TF.linear(out, t(params, f"{a}.mha_.out_proj.weight"), t(params, f"{a}.mha_.out_proj.bias"))
+
+
+def torch_ffn(params, x, a):
+    """Macaron FFN with 0.5 half-step residual (encoder.cpp:34-46)."""
+    import torch.nn.functional as TF
+
+    h = TF.layer_norm(x, (x.shape[-1],), t(params, f"{a}.norm_.weight"), t(params, f"{a}.norm_.bias"))
+    h = TF.silu(TF.linear(h, t(params, f"{a}.fc1_.weight"), t(params, f"{a}.fc1_.bias")))
+    h = TF.linear(h, t(params, f"{a}.fc2_.weight"), t(params, f"{a}.fc2_.bias"))
+    return x + 0.5 * h
+
+
+def torch_conv_module(params, x, kernel, a):
+    """Pointwise→GLU→depthwise→inference-BN→SiLU→pointwise (encoder.cpp:50-75)."""
+    import torch.nn.functional as TF
+
+    d = x.shape[-1]
+    h = TF.layer_norm(x, (d,), t(params, f"{a}.norm_.weight"), t(params, f"{a}.norm_.bias"))
+    h = h.transpose(1, 2)  # (B, d, T)
+    h = TF.conv1d(h, t(params, f"{a}.pointwise_conv1_.weight"), t(params, f"{a}.pointwise_conv1_.bias"))
+    h = TF.glu(h, dim=1)
+    h = TF.conv1d(h, t(params, f"{a}.depthwise_conv_.weight"), t(params, f"{a}.depthwise_conv_.bias"),
+                  padding=(kernel - 1) // 2, groups=d)
+    h = TF.batch_norm(h, t(params, f"{a}.batch_norm_.running_mean"),
+                      t(params, f"{a}.batch_norm_.running_var"),
+                      t(params, f"{a}.batch_norm_.weight"), t(params, f"{a}.batch_norm_.bias"),
+                      training=False, eps=1e-5)
+    h = TF.silu(h)
+    h = TF.conv1d(h, t(params, f"{a}.pointwise_conv2_.weight"), t(params, f"{a}.pointwise_conv2_.bias"))
+    return x + h.transpose(1, 2)
+
+
+def torch_encoder(params, cfg, x, prefix="encoder_"):
+    """Full FastConformer forward (encoder.cpp:245-271) on torch tensors."""
+    torch = _torch()
+    import torch.nn.functional as TF
+
+    from parakeet_tpu.models import encoder as E
+
+    h = torch_subsampling(params, x, prefix=f"{prefix}.subsampling_")
+    pos = torch.from_numpy(np.asarray(E.sinusoidal_position_embedding(h.shape[1], cfg.hidden_size)))
+    for i in range(cfg.num_layers):
+        a = f"{prefix}.layers_.{i}"
+        h = torch_ffn(params, h, f"{a}.ffn1_")
+        attn_in = TF.layer_norm(h, (cfg.hidden_size,), t(params, f"{a}.attn_.norm_.weight"),
+                                t(params, f"{a}.attn_.norm_.bias"))
+        h = h + torch_attention(params, attn_in, pos, cfg.num_heads, f"{a}.attn_")
+        h = torch_conv_module(params, h, cfg.conv_kernel_size, f"{a}.conv_")
+        h = torch_ffn(params, h, f"{a}.ffn2_")
+        h = TF.layer_norm(h, (cfg.hidden_size,), t(params, f"{a}.final_norm_.weight"),
+                          t(params, f"{a}.final_norm_.bias"))
+    return h
+
+
+__all__ = [
+    "t",
+    "to_torch_params",
+    "torch_subsampling",
+    "torch_rel_shift",
+    "torch_attention",
+    "torch_ffn",
+    "torch_conv_module",
+    "torch_encoder",
+]
