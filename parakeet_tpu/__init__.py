@@ -72,7 +72,7 @@ from parakeet_tpu.text.ngram_lm import NgramLM, rescore_nbest
 from parakeet_tpu.audio.vad import VadConfig, vad_segments
 from parakeet_tpu.quantize import quantize_params, quantized_fraction
 from parakeet_tpu.decode.keyword import HotwordDetector, keyword_log_odds
-from parakeet_tpu.serve import TranscriptionService
+from parakeet_tpu.serve import StreamingService, TranscriptionService
 from parakeet_tpu.models.encoder import (
     set_conv_layout,
     set_fused_attention,
@@ -97,6 +97,7 @@ __all__ = [
     "NgramLM",
     "HotwordDetector",
     "TranscriptionService",
+    "StreamingService",
     "keyword_log_odds",
     "VadConfig",
     "quantize_params",

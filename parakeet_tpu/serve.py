@@ -156,4 +156,216 @@ class TranscriptionService:
                 return
 
 
-__all__ = ["TranscriptionService", "ServiceStats"]
+class StreamingSession:
+    """Handle for one live stream inside a StreamingService. Created by
+    `service.open()`; not constructed directly.
+
+    feed() is thread-safe and never blocks on the device: samples land in a
+    host-side buffer that the service worker drains into the slot's mel
+    frontend. Slow feeders never stall other sessions — the worker passes
+    lagging slots as `hold` to StreamingBatchTranscriber.step(), which is a
+    verified no-op for them (tests/test_streaming.py hold oracle)."""
+
+    def __init__(self, service: "StreamingService", slot: int, on_partial=None):
+        self._service = service
+        self.slot = slot
+        self.on_partial = on_partial
+        self._lock = threading.Lock()
+        self._pending: list = []
+        self._close_requested = False
+        self._closed = threading.Event()
+        self._final_text = ""
+        self._final_tokens: list[int] = []
+        self._final_timestamped: list = []
+        self.last_fed = time.monotonic()
+
+    def feed(self, samples) -> None:
+        """Enqueue raw PCM (float32 in [-1,1] or int16) for transcription."""
+        if self._close_requested or self._closed.is_set():
+            raise RuntimeError("session is closed")
+        with self._lock:
+            self._pending.append(samples)
+        self.last_fed = time.monotonic()
+
+    def text(self) -> str:
+        return self._service._bt.get_text(self.slot) if not self._closed.is_set() \
+            else self._final_text
+
+    def tokens(self) -> list[int]:
+        if self._closed.is_set():
+            return list(self._final_tokens)
+        return list(self._service._bt._tokens[self.slot])
+
+    def timestamped_tokens(self):
+        if self._closed.is_set():
+            return list(self._final_timestamped)
+        return self._service._bt.get_timestamped_tokens(self.slot)
+
+    @property
+    def closed(self) -> bool:
+        return self._closed.is_set()
+
+    def close(self, timeout: float | None = 30.0) -> str:
+        """Flush buffered audio through the model, free the slot, return the
+        final transcript."""
+        self._close_requested = True
+        self._service._wake.set()
+        if not self._closed.wait(timeout):
+            raise TimeoutError("session close timed out")
+        return self._final_text
+
+    # worker-side helpers ──────────────────────────────────────────────────
+    def _drain_pending(self) -> list:
+        with self._lock:
+            out, self._pending = self._pending, []
+        return out
+
+
+class StreamingService:
+    """Multiplex many live audio streams onto one device (TPU addition —
+    the reference serves exactly one stream per process).
+
+    A single worker thread owns a StreamingBatchTranscriber with B slots.
+    Sessions `open()`/`feed()`/`close()` concurrently; every device step is
+    ONE uniform batched program (encoder chunk + jitted decode), so cost is
+    amortized across all live streams and nothing ever recompiles. Slots
+    whose clients lag are passed as `hold` — a verified per-slot no-op — so
+    real-time streams are never blocked by slow ones (no head-of-line
+    blocking).
+
+    stall_timeout_s: a session that stops feeding for this long is closed
+    automatically (flushing what it buffered) so its slot can be reused.
+
+        service = StreamingService(StreamingBatchTranscriber(8, ...))
+        s = service.open(on_partial=lambda sess, delta: print(delta))
+        s.feed(chunk)          # 160 ms PCM chunks, any cadence
+        print(s.close())       # final transcript
+    """
+
+    def __init__(self, batch_transcriber, *, poll_ms: float = 2.0,
+                 stall_timeout_s: float | None = None):
+        self._bt = batch_transcriber
+        self._poll_s = poll_ms / 1e3
+        self._stall_s = stall_timeout_s
+        self.stats = ServiceStats()
+        self._lock = threading.Lock()
+        self._sessions: dict[int, StreamingSession] = {}
+        self._free = list(range(batch_transcriber.batch))
+        for slot in self._free:
+            self._bt.deactivate_slot(slot)
+        self._wake = threading.Event()
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="parakeet-stream-serve")
+        self._worker.start()
+
+    @property
+    def free_slots(self) -> int:
+        with self._lock:
+            return len(self._free)
+
+    def open(self, on_partial=None) -> StreamingSession:
+        """Claim a slot for a new stream. Raises RuntimeError when all
+        slots are busy (size the batch for peak concurrency)."""
+        if self._stop:
+            raise RuntimeError("service is closed")
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(f"all {self._bt.batch} slots busy")
+            slot = self._free.pop(0)
+            self._bt.reset_slot(slot)
+            sess = StreamingSession(self, slot, on_partial)
+            self._sessions[slot] = sess
+        self.stats.requests += 1
+        self._wake.set()
+        return sess
+
+    def close(self, timeout: float | None = 30.0) -> None:
+        """Close all sessions (flushing them) and stop the worker."""
+        if self._stop:
+            return
+        with self._lock:
+            live = list(self._sessions.values())
+        for sess in live:
+            sess._close_requested = True
+        self._stop = True
+        self._wake.set()
+        self._worker.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ── Worker ───────────────────────────────────────────────────────────
+
+    def _finalize(self, sess: StreamingSession) -> None:
+        """Flush a closing session: pad with silence so the mel frontend and
+        the mod-`mel_step` chunking emit everything buffered, step it
+        through (holding lagging neighbors), then free the slot."""
+        bt = self._bt
+        hop = bt._audio_cfg.hop_length
+        # enough silence to flush the STFT overlap buffer and reach the next
+        # mel-step boundary regardless of current queue fill
+        bt.push(sess.slot, [0.0] * ((bt._mel_step + 8) * hop))
+        while bt._queues[sess.slot].shape[0] >= bt._mel_step:
+            hold = [i for i in bt.lagging_slots() if i != sess.slot]
+            self._step_and_deliver(hold)
+        sess._final_text = bt.get_text(sess.slot)
+        sess._final_tokens = list(bt._tokens[sess.slot])
+        sess._final_timestamped = bt.get_timestamped_tokens(sess.slot)
+        bt.deactivate_slot(sess.slot)
+        with self._lock:
+            self._sessions.pop(sess.slot, None)
+            self._free.append(sess.slot)
+        sess._closed.set()
+
+    def _step_and_deliver(self, hold) -> None:
+        out = self._bt.step(hold=hold)
+        self.stats.batches += 1
+        self.stats.batch_sizes.append(
+            sum(1 for i, toks in enumerate(out) if i not in hold and self._bt._active[i])
+        )
+        for slot, toks in enumerate(out):
+            sess = self._sessions.get(slot)
+            if sess is not None and toks and sess.on_partial is not None:
+                try:
+                    sess.on_partial(sess, self._bt.tokenizer.decode(toks)
+                                    if self._bt.tokenizer.loaded else "")
+                except Exception:  # noqa: BLE001 — a callback must not kill the worker
+                    self.stats.errors += 1
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                live = list(self._sessions.values())
+            progressed = False
+            for sess in live:
+                for chunk in sess._drain_pending():
+                    self._bt.push(sess.slot, chunk)
+                    progressed = True
+            if self._bt.ready_any():
+                self._step_and_deliver(self._bt.lagging_slots())
+                progressed = True
+            now = time.monotonic()
+            for sess in live:
+                stalled = (self._stall_s is not None
+                           and now - sess.last_fed > self._stall_s)
+                if sess._close_requested or stalled:
+                    self._finalize(sess)
+                    progressed = True
+            if self._stop:
+                with self._lock:
+                    remaining = list(self._sessions.values())
+                if not remaining:
+                    return
+                for sess in remaining:
+                    sess._close_requested = True
+                continue
+            if not progressed:
+                self._wake.wait(self._poll_s)
+                self._wake.clear()
+
+
+__all__ = ["TranscriptionService", "StreamingService", "StreamingSession", "ServiceStats"]

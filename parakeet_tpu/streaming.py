@@ -280,22 +280,71 @@ class StreamingBatchTranscriber:
             if act
         )
 
-    def step(self) -> list[list[int]]:
+    def lagging_slots(self) -> list[int]:
+        """Active slots without enough buffered mel frames for a step —
+        candidates for `step(hold=...)` so they don't stall the cohort."""
+        return [
+            i for i, (q, act) in enumerate(zip(self._queues, self._active))
+            if act and q.shape[0] < self._mel_step
+        ]
+
+    def ready_any(self) -> bool:
+        """True when at least one active slot can step (lagging slots can be
+        passed as `hold`) — the serving-cadence variant of ready()."""
+        return any(
+            act and q.shape[0] >= self._mel_step
+            for q, act in zip(self._queues, self._active)
+        )
+
+    def step(self, hold=()) -> list[list[int]]:
         """Run one uniform batch step; returns new tokens per ACTIVE slot
-        (empty lists for inactive slots). Requires ready()."""
-        if not self.ready():
+        (empty lists for inactive slots).
+
+        hold: slot indices whose streams lag. Held slots ride through the
+        batched encoder/decoder (shapes stay uniform, nothing recompiles)
+        but ALL their state — KV/conv caches, valid counters, LSTM state,
+        last token, token lists, frame offsets, mel queues — is restored
+        afterwards, exactly as if the step never happened for them. This is
+        what lets a serving layer keep fast streams flowing while one
+        client's audio is late (see serve.StreamingService).
+        """
+        hold = {int(i) for i in hold}
+        for i in hold:
+            if not 0 <= i < self.batch:
+                raise ValueError(f"hold slot {i} out of range for batch {self.batch}")
+        runnable = [
+            act and (i not in hold) for i, act in enumerate(self._active)
+        ]
+        if not any(runnable):
+            raise RuntimeError("no active un-held slot to step")
+        if any(
+            self._queues[i].shape[0] < self._mel_step
+            for i, r in enumerate(runnable) if r
+        ):
             raise RuntimeError(
-                "not every active slot has enough buffered mel frames; check ready()"
+                "not every active un-held slot has enough buffered mel frames; "
+                "check ready()/lagging_slots()"
             )
         zeros = np.zeros((self._mel_step, self.config.encoder.mel_bins), np.float32)
         mel = np.stack([
-            q[: self._mel_step] if act else zeros
-            for q, act in zip(self._queues, self._active)
+            q[: self._mel_step] if r else zeros
+            for q, r in zip(self._queues, runnable)
         ])
         self._queues = [
-            q[self._mel_step :] if act else q
-            for q, act in zip(self._queues, self._active)
+            q[self._mel_step :] if r else q
+            for q, r in zip(self._queues, runnable)
         ]
+        held = sorted(i for i in hold if self._active[i])
+        if held:
+            idx = np.asarray(held)
+            old = {
+                "conv": self._cache["conv"][:, idx],
+                "key": self._cache["key"][:, idx],
+                "value": self._cache["value"][:, idx],
+                "valid": self._cache["valid"][idx],
+                "last_token": self._last_token[idx],
+                "lstm": self._lstm[:, :, idx],
+            }
 
         enc, self._cache = self._chunk_fn(
             self.params, jnp.asarray(mel), self._cache, cfg=self.config.encoder
@@ -315,10 +364,20 @@ class StreamingBatchTranscriber:
         )
         self._last_token = res.last_token
         self._lstm = res.lstm_state
+        if held:
+            # un-step the held slots: restore every piece of their state
+            self._cache = {
+                "conv": self._cache["conv"].at[:, idx].set(old["conv"]),
+                "key": self._cache["key"].at[:, idx].set(old["key"]),
+                "value": self._cache["value"].at[:, idx].set(old["value"]),
+                "valid": self._cache["valid"].at[idx].set(old["valid"]),
+            }
+            self._last_token = self._last_token.at[idx].set(old["last_token"])
+            self._lstm = self._lstm.at[:, :, idx].set(old["lstm"])
         chunk_len = enc.shape[1]
         out: list[list[int]] = []
         for i in range(self.batch):
-            if not self._active[i]:
+            if not self._active[i] or i in hold:
                 out.append([])
                 continue
             self._tokens[i].extend(res.tokens[i])

@@ -346,3 +346,63 @@ def test_streaming_batch_deactivate_slot():
     ts0 = bt.get_timestamped_tokens(0)
     starts = [t.start_frame for t in ts0]
     assert starts == sorted(starts)
+
+
+def test_streaming_batch_hold_slot():
+    """step(hold=[i]) must be a perfect no-op for slot i: a stream whose
+    audio arrives late (held for several cohort steps, then resumed) decodes
+    bit-identically to an uninterrupted run, and the flowing slot is
+    unaffected by its neighbor being held."""
+    from parakeet_tpu.streaming import StreamingBatchTranscriber
+
+    cfg = C.EOUConfig(
+        encoder=tiny_streaming_cfg(att_context_right=0),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=13),
+        ctc_vocab_size=13,
+    )
+    rng = np.random.RandomState(77)
+    audio_a = (rng.randn(12800) * 0.1).astype(np.float32)
+    audio_b = (rng.randn(12800) * 0.1).astype(np.float32)
+
+    # Reference: both streams uninterrupted
+    ref = StreamingBatchTranscriber(2, None, None, cfg, seed=31, mel_frames_per_step=16)
+    for s in range(0, 12800, 3200):
+        ref.push(0, audio_a[s : s + 3200])
+        ref.push(1, audio_b[s : s + 3200])
+        while ref.ready():
+            ref.step()
+    ref_a, ref_b = list(ref._tokens[0]), list(ref._tokens[1])
+
+    # Slot 1's client is slow: its audio only starts arriving after slot 0
+    # has pushed half its stream; meanwhile the cohort keeps stepping with
+    # slot 1 held.
+    bt = StreamingBatchTranscriber(2, None, None, cfg, seed=31, mel_frames_per_step=16)
+    for s in range(0, 6400, 3200):
+        bt.push(0, audio_a[s : s + 3200])
+        while bt.ready_any():
+            lag = bt.lagging_slots()
+            assert 1 in lag
+            bt.step(hold=lag)
+    assert bt._tokens[1] == [] and bt._frame_offset[1] == 0
+    assert bt._frame_offset[0] > 0  # slot 0 made progress while 1 was held
+
+    # slot 1 catches up; feed the remainder of both streams
+    bt.push(1, audio_b[:6400])
+    for s in range(6400, 12800, 3200):
+        bt.push(0, audio_a[s : s + 3200])
+        bt.push(1, audio_b[s : s + 3200])
+        while bt.ready_any():
+            bt.step(hold=bt.lagging_slots())
+    # drain: finish whichever slot still has buffered frames
+    while bt.ready_any():
+        bt.step(hold=bt.lagging_slots())
+
+    assert list(bt._tokens[0]) == ref_a, "flowing slot must be unaffected by holds"
+    assert list(bt._tokens[1]) == ref_b, "held slot must resume bit-identically"
+
+    # error cases: out-of-range hold, nothing runnable
+    with pytest.raises(ValueError):
+        bt.step(hold=[5])
+    with pytest.raises(RuntimeError):
+        bt.step(hold=[0, 1])
