@@ -24,6 +24,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -33,11 +34,19 @@ class ServiceStats:
     requests: int = 0
     batches: int = 0
     errors: int = 0
-    batch_sizes: list[int] = field(default_factory=list)
+    total_batched: int = 0  # sum of all recorded batch sizes
+    #: recent batch sizes only — bounded so a long-running service (one
+    #: append per device step) cannot grow memory without limit
+    batch_sizes: deque = field(default_factory=lambda: deque(maxlen=1024))
+
+    def record_batch(self, size: int) -> None:
+        self.batches += 1
+        self.total_batched += size
+        self.batch_sizes.append(size)
 
     @property
     def mean_batch(self) -> float:
-        return sum(self.batch_sizes) / len(self.batch_sizes) if self.batch_sizes else 0.0
+        return self.total_batched / self.batches if self.batches else 0.0
 
 
 class TranscriptionService:
@@ -142,8 +151,7 @@ class TranscriptionService:
                     for _, fut in batch:
                         if not fut.done():
                             fut.set_exception(e)
-                self.stats.batches += 1
-                self.stats.batch_sizes.append(len(batch))
+                self.stats.record_batch(len(batch))
             if stop:
                 # drain whatever raced in after the sentinel
                 try:
@@ -172,6 +180,7 @@ class StreamingSession:
         self.on_partial = on_partial
         self._lock = threading.Lock()
         self._pending: list = []
+        self._needs_reset = True  # slot state is initialized by the worker
         self._close_requested = False
         self._closed = threading.Event()
         self._final_text = ""
@@ -180,25 +189,37 @@ class StreamingSession:
         self.last_fed = time.monotonic()
 
     def feed(self, samples) -> None:
-        """Enqueue raw PCM (float32 in [-1,1] or int16) for transcription."""
-        if self._close_requested or self._closed.is_set():
-            raise RuntimeError("session is closed")
+        """Enqueue raw PCM (float32 in [-1,1] or int16) for transcription.
+
+        The closed-check and the append share the session lock with the
+        worker's finalize drain, so a feed either raises or its samples are
+        guaranteed to be transcribed — never silently dropped."""
         with self._lock:
+            if self._close_requested or self._closed.is_set():
+                raise RuntimeError("session is closed")
             self._pending.append(samples)
         self.last_fed = time.monotonic()
+        self._service._wake.set()
 
     def text(self) -> str:
-        return self._service._bt.get_text(self.slot) if not self._closed.is_set() \
-            else self._final_text
+        if self._closed.is_set():
+            return self._final_text
+        if self._needs_reset:  # slot still holds the previous occupant's state
+            return ""
+        return self._service._bt.get_text(self.slot)
 
     def tokens(self) -> list[int]:
         if self._closed.is_set():
             return list(self._final_tokens)
+        if self._needs_reset:
+            return []
         return list(self._service._bt._tokens[self.slot])
 
     def timestamped_tokens(self):
         if self._closed.is_set():
             return list(self._final_timestamped)
+        if self._needs_reset:
+            return []
         return self._service._bt.get_timestamped_tokens(self.slot)
 
     @property
@@ -273,7 +294,8 @@ class StreamingService:
             if not self._free:
                 raise RuntimeError(f"all {self._bt.batch} slots busy")
             slot = self._free.pop(0)
-            self._bt.reset_slot(slot)
+            # the worker thread owns ALL StreamingBatchTranscriber state;
+            # it performs the slot reset (sess._needs_reset) before first use
             sess = StreamingSession(self, slot, on_partial)
             self._sessions[slot] = sess
         self.stats.requests += 1
@@ -301,10 +323,19 @@ class StreamingService:
     # ── Worker ───────────────────────────────────────────────────────────
 
     def _finalize(self, sess: StreamingSession) -> None:
-        """Flush a closing session: pad with silence so the mel frontend and
-        the mod-`mel_step` chunking emit everything buffered, step it
-        through (holding lagging neighbors), then free the slot."""
+        """Flush a closing session: drain any audio still in its host
+        buffer, pad with silence so the mel frontend and the mod-`mel_step`
+        chunking emit everything buffered, step it through (holding lagging
+        neighbors), then free the slot."""
         bt = self._bt
+        # Atomically stop accepting feeds and take what was already fed:
+        # feed() holds the same lock for its closed-check + append, so
+        # nothing can slip in between and be silently lost.
+        with sess._lock:
+            sess._close_requested = True
+            pending, sess._pending = sess._pending, []
+        for chunk in pending:
+            bt.push(sess.slot, chunk)
         hop = bt._audio_cfg.hop_length
         # enough silence to flush the STFT overlap buffer and reach the next
         # mel-step boundary regardless of current queue fill
@@ -323,8 +354,7 @@ class StreamingService:
 
     def _step_and_deliver(self, hold) -> None:
         out = self._bt.step(hold=hold)
-        self.stats.batches += 1
-        self.stats.batch_sizes.append(
+        self.stats.record_batch(
             sum(1 for i, toks in enumerate(out) if i not in hold and self._bt._active[i])
         )
         for slot, toks in enumerate(out):
@@ -341,20 +371,27 @@ class StreamingService:
             with self._lock:
                 live = list(self._sessions.values())
             progressed = False
-            for sess in live:
-                for chunk in sess._drain_pending():
-                    self._bt.push(sess.slot, chunk)
+            try:
+                for sess in live:
+                    if sess._needs_reset:
+                        self._bt.reset_slot(sess.slot)
+                        sess._needs_reset = False
+                    for chunk in sess._drain_pending():
+                        self._bt.push(sess.slot, chunk)
+                        progressed = True
+                if self._bt.ready_any():
+                    self._step_and_deliver(self._bt.lagging_slots())
                     progressed = True
-            if self._bt.ready_any():
-                self._step_and_deliver(self._bt.lagging_slots())
-                progressed = True
-            now = time.monotonic()
-            for sess in live:
-                stalled = (self._stall_s is not None
-                           and now - sess.last_fed > self._stall_s)
-                if sess._close_requested or stalled:
-                    self._finalize(sess)
-                    progressed = True
+                now = time.monotonic()
+                for sess in live:
+                    stalled = (self._stall_s is not None
+                               and now - sess.last_fed > self._stall_s)
+                    if sess._close_requested or stalled:
+                        self._finalize(sess)
+                        progressed = True
+            except Exception:  # noqa: BLE001 — a dead worker bricks every session
+                self.stats.errors += 1
+                progressed = False  # back off to the poll wait, don't spin
             if self._stop:
                 with self._lock:
                     remaining = list(self._sessions.values())

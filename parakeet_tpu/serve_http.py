@@ -56,13 +56,22 @@ def _read_body_chunks(handler):
 
 
 def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
-                quiet=False):
+                quiet=False, request_timeout: float | None = 600.0,
+                close_timeout: float = 600.0):
     """Build a ThreadingHTTPServer over a TranscriptionService (+ optional
     StreamingService for /stream). Caller owns serve_forever()/shutdown()
-    and closing the services."""
+    and closing the services.
+
+    request_timeout: socket timeout for request reads — a client that goes
+    silent mid-upload gets dropped (and its stream session closed) instead
+    of pinning a handler thread and a stream slot forever.
+    close_timeout: how long /stream waits for the session flush; generous
+    because the FIRST step on a real TPU pays a 30-120 s remote compile."""
     import numpy as np
 
     class Handler(BaseHTTPRequestHandler):
+        timeout = request_timeout  # BaseRequestHandler applies it in setup()
+
         def _json(self, code: int, payload: dict) -> None:
             out = json.dumps(payload).encode()
             self.send_response(code)
@@ -74,8 +83,11 @@ def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
         def do_POST(self):  # noqa: N802 — BaseHTTPRequestHandler API
             path = self.path.rstrip("/")
             if path == "/transcribe":
-                n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n)
+                try:
+                    body = b"".join(_read_body_chunks(self))
+                except (ConnectionError, ValueError, OSError) as e:
+                    self.send_error(400, explain=str(e))
+                    return
                 try:
                     res = service.submit(bytes(body)).result(timeout=600)
                     self._json(200, {
@@ -101,7 +113,7 @@ def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
                         leftover = data[usable:]
                         if usable:
                             sess.feed(np.frombuffer(data[:usable], np.int16))
-                    text = sess.close()
+                    text = sess.close(timeout=close_timeout)
                     self._json(200, {
                         "text": text,
                         "token_ids": sess.tokens(),
@@ -114,7 +126,7 @@ def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
                 except Exception as e:  # noqa: BLE001
                     if not sess.closed:
                         try:
-                            sess.close(timeout=5.0)
+                            sess.close(timeout=close_timeout)
                         except Exception:  # noqa: BLE001 — already reporting
                             pass
                     self.send_error(400, explain=str(e))
@@ -156,6 +168,11 @@ def main(argv=None) -> int:
     ap.add_argument("--stream-slots", type=int, default=8,
                     help="concurrent live streams for /stream")
     ap.add_argument("--streaming-weights", default="models/eou.safetensors")
+    ap.add_argument("--stream-stall-s", type=float, default=300.0,
+                    help="auto-close a live stream after this long without "
+                         "audio so silent clients can't leak slots")
+    ap.add_argument("--request-timeout", type=float, default=600.0,
+                    help="socket timeout for request reads")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -178,9 +195,10 @@ def main(argv=None) -> int:
 
         sweights = None if args.random_weights else args.streaming_weights
         bt = StreamingBatchTranscriber(args.stream_slots, sweights, vocab)
-        stream_service = StreamingService(bt)
+        stream_service = StreamingService(bt, stall_timeout_s=args.stream_stall_s)
 
-    httpd = make_server(service, stream_service, host=args.host, port=args.port)
+    httpd = make_server(service, stream_service, host=args.host, port=args.port,
+                        request_timeout=args.request_timeout)
     print(f"[serve] listening on {args.host}:{args.port} "
           f"(POST /transcribe{', POST /stream' if stream_service else ''}, GET /stats)",
           file=sys.stderr)

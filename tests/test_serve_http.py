@@ -157,3 +157,21 @@ def test_stream_disabled_404():
     finally:
         httpd.shutdown()
         service.close()
+
+
+def test_transcribe_endpoint_chunked(server):
+    """/transcribe must honor chunked transfer-encoding like /stream."""
+    host, port = server
+    rng = np.random.RandomState(3)
+    body = _wav_bytes((0.1 * rng.randn(8000)).astype(np.float32))
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.putrequest("POST", "/transcribe")
+    conn.putheader("Transfer-Encoding", "chunked")
+    conn.endheaders()
+    for i in range(0, len(body), 4096):
+        chunk = body[i : i + 4096]
+        conn.send(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
+    conn.send(b"0\r\n\r\n")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert isinstance(json.loads(resp.read())["token_ids"], list)
