@@ -198,8 +198,9 @@ class StreamingBatchTranscriber:
         batch: int,
         weights_path: str | None = None,
         vocab_path: str | None = None,
-        config: EOUConfig | None = None,
+        config=None,
         *,
+        model: str = "eou",  # "eou" | "nemotron" — picks preset + weight schema
         params: dict | None = None,
         mel_frames_per_step: int = 16,  # multiple of 8 (subsampling stride)
         seed: int = 0,
@@ -211,14 +212,21 @@ class StreamingBatchTranscriber:
 
         if mel_frames_per_step % 8:
             raise ValueError("mel_frames_per_step must be a multiple of 8")
+        if model not in ("eou", "nemotron"):
+            raise ValueError(f"model must be 'eou' or 'nemotron', got {model!r}")
+        proto_cls = StreamingTranscriber if model == "eou" else NemotronTranscriber
         self.batch = batch
-        self.config = config or make_eou_120m_config()
+        self.config = config or (
+            make_eou_120m_config() if model == "eou" else None
+        )
         self._mel_step = mel_frames_per_step
         self._chunk_fn = streaming_encoder_chunk
         self._init_cache_fn = init_encoder_cache
+        self._joint_prefix = proto_cls.joint_prefix
 
-        proto = StreamingTranscriber(weights_path, vocab_path, self.config,
-                                     params=params, seed=seed)
+        proto = proto_cls(weights_path, vocab_path, self.config,
+                          params=params, seed=seed)
+        self.config = proto.config  # resolved preset when config was None
         self.params = proto.params
         self.tokenizer = proto.tokenizer
         self._blank_id = proto._blank_id
@@ -357,7 +365,7 @@ class StreamingBatchTranscriber:
             durations=tuple(self.config.durations),
             blank_id=self._blank_id,
             is_tdt=True,
-            joint_prefix="tdt_joint_",
+            joint_prefix=self._joint_prefix,
             init_token=self._last_token,
             init_lstm=self._lstm,
             clamp_end=False,

@@ -2,15 +2,16 @@
 """XLA flag sweep for the encoder headline (TUNING lever: profile-guided
 XLA flag tuning — the last untried encoder lever after round 2).
 
-Runs `bench.py --no-e2e` as a subprocess under each candidate XLA_FLAGS /
-LIBTPU_INIT_ARGS setting and records ms/forward. Subprocesses are required
-because XLA flags are read once at backend init.
+Runs `bench.py --no-e2e --compiler-options k=v,...` as a subprocess per
+candidate option set and records ms/forward.
 
-Caveat for this environment: TPU compilation goes through a remote-compile
-HTTP relay (see TUNING.md), so the FIRST config to check is whether local
-flags propagate at all — config "sanity_tiny_vmem" sets an absurdly small
-scoped-VMEM limit; if its timing matches baseline, flags do not reach the
-compiler and the whole lever is dead (document and stop).
+Why compiler_options and not XLA_FLAGS: probed 2026-08-16 — XLA_FLAGS is
+parsed by the LOCAL client XLA build, which does not know the xla_tpu_*
+flags (F-level crash: "Unknown flag in XLA_FLAGS"), while
+jit(compiler_options=...) is serialized with the computation and honored
+by the remote compile helper (a bogus option name or an absurd value like
+scoped_vmem=1 KiB makes the helper subprocess fail → options are really
+applied, not silently dropped).
 
 Usage: python scripts/bench_xla_flags.py [--batch 128] [--iters 5] [--runs 1]
 Writes one JSON line per run to stdout and /tmp/xla_flag_sweep.jsonl.
@@ -29,28 +30,38 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS: list[tuple[str, str]] = [
+    # (name, comma-separated k=v compiler options passed to bench.py
+    #  --compiler-options; "" = baseline). Probed 2026-08-16: XLA_FLAGS env
+    #  is parsed by the LOCAL client build which doesn't know xla_tpu_*
+    #  flags (hard crash), but jit(compiler_options=...) reaches the remote
+    #  compile helper (invalid names/values fail its subprocess) — so the
+    #  sweep rides bench.py --compiler-options.
     ("baseline", ""),
-    # propagation probe: 4 MiB scoped VMEM should visibly change (or break)
-    # compilation if flags reach the compiler at all
-    ("sanity_tiny_vmem", "--xla_tpu_scoped_vmem_limit_kib=4096"),
-    ("vmem_96m", "--xla_tpu_scoped_vmem_limit_kib=98304"),
-    ("no_lhs", "--xla_latency_hiding_scheduler_rerun=0"),
-    ("flm_off", "--xla_tpu_enable_flash_loop_mosaic=false"),
-    ("aggressive_fusion", "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true"),
-    ("no_rwb", "--xla_tpu_rwb_fusion=false"),
-    ("mbl_opt", "--xla_tpu_memory_bound_loop_optimizer_options=enabled:true"),
+    ("vmem_32m", "xla_tpu_scoped_vmem_limit_kib=32768"),
+    ("vmem_64m", "xla_tpu_scoped_vmem_limit_kib=65536"),
+    ("vmem_96m", "xla_tpu_scoped_vmem_limit_kib=98304"),
+    ("no_dot_sr", "xla_tpu_enable_dot_strength_reduction=false"),
+    ("no_rwb", "xla_tpu_rwb_fusion=false"),
+    ("no_lhs", "xla_tpu_enable_latency_hiding_scheduler=false"),
+    ("mbl_opt", "xla_tpu_memory_bound_loop_optimizer_options=enabled:true"),
+    # round 2: raising scoped vmem hurt (more vmem → less MSA prefetch
+    # headroom?) — probe the other direction, and combine the two configs
+    # that measured mildly positive in round 1
+    ("vmem_8m", "xla_tpu_scoped_vmem_limit_kib=8192"),
+    ("vmem_16m", "xla_tpu_scoped_vmem_limit_kib=16384"),
+    ("combo_mbl_dotsr", "xla_tpu_memory_bound_loop_optimizer_options=enabled:true,"
+                        "xla_tpu_enable_dot_strength_reduction=false"),
 ]
 
 
 def run_one(name: str, flags: str, args) -> dict:
     env = dict(os.environ)
-    if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-        env["LIBTPU_INIT_ARGS"] = (env.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"),
         "--no-e2e", "--batch", str(args.batch), "--iters", str(args.iters),
     ]
+    if flags:
+        cmd += ["--compiler-options", flags]
     t0 = time.time()
     proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True, text=True,
                           timeout=900)

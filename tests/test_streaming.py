@@ -406,3 +406,40 @@ def test_streaming_batch_hold_slot():
         bt.step(hold=[5])
     with pytest.raises(RuntimeError):
         bt.step(hold=[0, 1])
+
+
+def test_streaming_batch_nemotron_model():
+    """StreamingBatchTranscriber(model='nemotron') resolves the Nemotron
+    weight schema (joint_ prefix, no CTC head) and a B=2 run with one held
+    slot matches a B=1 run — the same batch-equivalence bar as EOU."""
+    from parakeet_tpu.streaming import StreamingBatchTranscriber
+
+    cfg = C.NemotronConfig(
+        encoder=tiny_streaming_cfg(att_context_right=1),
+        prediction=C.PredictionConfig(vocab_size=11, pred_hidden=8, num_lstm_layers=2),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=11),
+        latency_frames=1,
+    )
+    rng = np.random.RandomState(13)
+    audio = (rng.randn(12800) * 0.1).astype(np.float32)
+
+    bt = StreamingBatchTranscriber(2, None, None, cfg, model="nemotron",
+                                   seed=17, mel_frames_per_step=16)
+    assert bt._joint_prefix == "joint_"
+    assert any(k.startswith("joint_.") for k in bt.params)
+    assert not any(k.startswith("tdt_joint_") for k in bt.params)
+
+    ref = StreamingBatchTranscriber(1, None, None, cfg, model="nemotron",
+                                    seed=17, mel_frames_per_step=16)
+    for s in range(0, 12800, 3200):
+        bt.push(0, audio[s : s + 3200])
+        ref.push(0, audio[s : s + 3200])
+        while bt.ready_any():
+            bt.step(hold=bt.lagging_slots())  # slot 1 never fed → held
+        while ref.ready():
+            ref.step()
+    assert bt._tokens[0] == ref._tokens[0]
+    assert bt._tokens[1] == []
+
+    with pytest.raises(ValueError, match="model must be"):
+        StreamingBatchTranscriber(1, None, None, cfg, model="bogus")
