@@ -164,7 +164,9 @@ def main(argv=None) -> int:
     ap.add_argument("--device", default=None, choices=[None, "cpu"])
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--streaming", action="store_true",
-                    help="enable POST /stream (eou-120m streaming model)")
+                    help="enable POST /stream (live chunked-PCM sessions)")
+    ap.add_argument("--streaming-model", default="eou", choices=["eou", "nemotron"],
+                    help="streaming model family for /stream")
     ap.add_argument("--stream-slots", type=int, default=8,
                     help="concurrent live streams for /stream")
     ap.add_argument("--streaming-weights", default="models/eou.safetensors")
@@ -194,7 +196,8 @@ def main(argv=None) -> int:
         from parakeet_tpu.streaming import StreamingBatchTranscriber
 
         sweights = None if args.random_weights else args.streaming_weights
-        bt = StreamingBatchTranscriber(args.stream_slots, sweights, vocab)
+        bt = StreamingBatchTranscriber(args.stream_slots, sweights, vocab,
+                                       model=args.streaming_model)
         stream_service = StreamingService(bt, stall_timeout_s=args.stream_stall_s)
 
     httpd = make_server(service, stream_service, host=args.host, port=args.port,
