@@ -426,6 +426,18 @@ def _decode_loop_lookahead(
     )
 
 
+@jax.jit
+def _pack_outputs(out_tok, out_start, out_end, out_conf, n_out):
+    """Concatenate decode outputs into one (B, 4*max_out+1) int32 array so
+    the host needs a single fetch; f32 confidences are bitcast to int32."""
+    conf_bits = jax.lax.bitcast_convert_type(out_conf.astype(jnp.float32), jnp.int32)
+    return jnp.concatenate(
+        [out_tok.astype(jnp.int32), out_start.astype(jnp.int32),
+         out_end.astype(jnp.int32), conf_bits,
+         n_out.astype(jnp.int32)[:, None]], axis=1,
+    )
+
+
 def transducer_greedy_decode(
     params: dict,
     enc: jnp.ndarray,
@@ -501,11 +513,18 @@ def transducer_greedy_decode(
         clamp_end=clamp_end,
     )
 
-    out_tok = np.asarray(out_tok)
-    out_start = np.asarray(out_start)
-    out_end = np.asarray(out_end)
-    out_conf = np.asarray(out_conf)
-    n_out = np.asarray(n_out)
+    # ONE device→host fetch for all five outputs: on relay-attached TPUs
+    # every fetch pays a full round trip (~25 ms here — TUNING.md), and
+    # sequential per-array np.asarray calls made decode latency-bound for
+    # streaming steps. Pack into a single int32 buffer on device
+    # (confidence f32 rides as bitcast), fetch once, unpack with views.
+    m = out_tok.shape[1]
+    packed = np.asarray(_pack_outputs(out_tok, out_start, out_end, out_conf, n_out))
+    out_tok = packed[:, :m]
+    out_start = packed[:, m : 2 * m]
+    out_end = packed[:, 2 * m : 3 * m]
+    out_conf = np.ascontiguousarray(packed[:, 3 * m : 4 * m]).view(np.float32)
+    n_out = packed[:, 4 * m]
 
     tokens: list[list[int]] = []
     timestamped: list[list[TimestampedToken]] = []
