@@ -49,8 +49,11 @@ def vad_segments(
         db = 20.0 * np.log10(rms + 1e-12)
         return [(0, x.size)] if db > cfg.abs_floor_db else []
 
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
-    energy = np.sqrt(np.mean(x[idx] ** 2, axis=1) + 1e-12)
+    # O(n) via a squared-sample cumsum: a materialized (n_frames, frame)
+    # fancy-index gather is ~GBs on the hour-long inputs VAD targets
+    csum = np.concatenate([[0.0], np.cumsum(x.astype(np.float64) ** 2)])
+    starts = np.arange(n_frames) * hop
+    energy = np.sqrt((csum[starts + frame] - csum[starts]) / frame + 1e-12)
     db = 20.0 * np.log10(energy + 1e-12)
 
     floor = np.percentile(db, cfg.floor_percentile)

@@ -159,16 +159,8 @@ def main(argv=None) -> int:
                 results = out if isinstance(out, list) else [out]
                 args.audio = [f"{args.features}[{i}]" for i in range(len(results))]
             elif args.vad:
-                from parakeet_tpu.decode.timestamp import TimestampMode as _TM
-
-                results = [
-                    tr.transcribe_vad(
-                        a, decoder, boost_phrases=boost,
-                        boost_score=args.boost_score,
-                        timestamp_mode=_TM(args.timestamp_mode),
-                    )
-                    for a in args.audio
-                ]
+                # full opts ride along so --beam-size/--lm apply under --vad
+                results = [tr.transcribe_vad(a, decoder, opts=opts) for a in args.audio]
             else:
                 results = tr.transcribe_batch(args.audio, opts)
             t0 = _stage("transcribe", t0)

@@ -86,9 +86,14 @@ def ctc_beam_search(
     lm_state0 = lm.start_state() if fuse else None
     beams: dict[tuple[int, ...], list] = {(): [0.0, _NEG, (), lm_state0, 0.0]}
 
+    # the insertion bonus exists to counter the LM's shrinkage bias — per
+    # the documented contract it is inert without fusion, so lm=None
+    # results stay identical to the plain search for ANY length_bonus
+    bonus = length_bonus if fuse else 0.0
+
     def rank(entry) -> float:
         pb, pnb, frames, _, lm_total = entry
-        return _lse(pb, pnb) + lm_total + length_bonus * len(frames)
+        return _lse(pb, pnb) + lm_total + bonus * len(frames)
 
     for t in range(t_len):
         frame = lp[t]

@@ -140,7 +140,11 @@ class HotwordDetector:
         return keyword_log_odds(lp, self.keyword, self.tr._ctc_blank())
 
     def feed(self, samples) -> float | None:
-        """Add audio; returns the trigger score when the phrase fires."""
+        """Add audio; returns the trigger score when the phrase fires.
+
+        A trigger clears the rolling buffer (rearm): one spoken phrase
+        fires ONCE, not again on every following hop while it remains
+        inside the window."""
         x = np.asarray(samples, np.float32).reshape(-1)
         self._buf = np.concatenate([self._buf, x])[-self._window :]
         self._since_eval += x.size
@@ -148,7 +152,10 @@ class HotwordDetector:
             return None
         self._since_eval = 0
         score = self.score_window(self._buf)
-        return score if score >= self.threshold else None
+        if score >= self.threshold:
+            self._buf = np.zeros(0, np.float32)  # rearm
+            return score
+        return None
 
 
 __all__ = ["keyword_log_odds", "HotwordDetector"]

@@ -63,6 +63,11 @@ def set_fused_attention(mode) -> None:
         raise ValueError(f"unknown fused attention mode {mode!r}")
 
 
+def get_fused_attention() -> str | bool:
+    """Current process-global fused-attention mode (False = XLA path)."""
+    return _FUSED_ATTENTION
+
+
 # ─── Sinusoidal relative position embedding (encoder.cpp:9-30) ──────────────
 
 
@@ -165,7 +170,9 @@ def _ffn_fusable(p: Params, x: jnp.ndarray) -> bool:
     if x.shape[1] < 64:
         return False
     w1 = p["fc1_.weight"]
-    if w1.dtype == jnp.int8:
+    # the kernel consumes BOTH weight matrices — partial quantization
+    # (quantize_params include=/exclude=) can int8 either one independently
+    if w1.dtype == jnp.int8 or p["fc2_.weight"].dtype == jnp.int8:
         return False  # int8 weights decode via the XLA linear path
     return 2 * w1.size * w1.dtype.itemsize <= 8 * 1024 * 1024
 
@@ -323,7 +330,13 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray) -> bool:
     110m T=125 (~3.8 MB) and 600m T=125 (~12.7 MB); long offline clips
     (T' in the thousands) must fall back — a (3456,3456) f32 score buffer
     alone is ~47 MB."""
-    if p["mha_.q_proj.weight"].dtype == jnp.int8:
+    # the kernel consumes all five projection matrices — guard each, since
+    # partial quantization can int8 any subset independently
+    if any(
+        p[k].dtype == jnp.int8
+        for k in ("mha_.q_proj.weight", "mha_.k_proj.weight", "mha_.v_proj.weight",
+                  "mha_.out_proj.weight", "pos_proj_.weight")
+    ):
         return False  # int8 weights decode via the XLA linear path
     t = x.shape[1]
     tp = -(-t // 128) * 128

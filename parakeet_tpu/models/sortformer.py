@@ -72,12 +72,21 @@ def _speaker_head(root: Params, trans_out: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _sortformer_tail(params: dict, enc: jnp.ndarray, *, cfg: SortformerConfig) -> jnp.ndarray:
-    """projection → transformer → speaker head (shared by full + chunk paths)."""
+def _sortformer_tail_states(
+    params: dict, enc: jnp.ndarray, *, cfg: SortformerConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """projection → transformer → speaker head; returns (pre-head states,
+    probs). Single implementation shared by every tail consumer so the
+    embedding states can never diverge from diarize()'s probs."""
     root = Params(params)
     proj = linear(root.sub("projection_"), enc)
     trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj)
-    return _speaker_head(root, trans)
+    return trans, _speaker_head(root, trans)
+
+
+def _sortformer_tail(params: dict, enc: jnp.ndarray, *, cfg: SortformerConfig) -> jnp.ndarray:
+    """projection → transformer → speaker head (shared by full + chunk paths)."""
+    return _sortformer_tail_states(params, enc, cfg=cfg)[1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -99,9 +108,7 @@ def sortformer_states(
     layers" hooks here."""
     root = Params(params)
     enc = fastconformer_encode(root.sub("nest_encoder_"), cfg.nest_encoder, features)
-    proj = linear(root.sub("projection_"), enc)
-    trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj)
-    return trans, _speaker_head(root, trans)
+    return _sortformer_tail_states(params, enc, cfg=cfg)
 
 
 def speaker_embeddings(

@@ -74,6 +74,7 @@ class TranscriptionService:
         self.stats = ServiceStats()
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True, name="parakeet-serve")
         self._worker.start()
 
@@ -82,11 +83,15 @@ class TranscriptionService:
     def submit(self, source) -> Future:
         """Enqueue one clip (path / bytes / samples); resolves to a
         TranscribeResult."""
-        if self._closed:
-            raise RuntimeError("service is closed")
         fut: Future = Future()
-        self.stats.requests += 1
-        self._q.put((source, fut))
+        # closed-check + put are atomic with close()'s sentinel enqueue, so
+        # an accepted item is always FIFO-ahead of the sentinel and will be
+        # drained — its Future can never be silently abandoned
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self.stats.requests += 1
+            self._q.put((source, fut))
         return fut
 
     def transcribe(self, source):
@@ -95,10 +100,11 @@ class TranscriptionService:
 
     def close(self, timeout: float | None = 30.0) -> None:
         """Stop accepting work, drain the queue, join the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # sentinel: drain-then-exit
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # sentinel: drain-then-exit
         self._worker.join(timeout=timeout)
 
     def __enter__(self):
@@ -138,6 +144,12 @@ class TranscriptionService:
     def _run(self) -> None:
         while True:
             batch, stop = self._collect()
+            # a cancelled Future must not join the device batch, and a
+            # set_result on it would raise InvalidStateError mid-fan-out,
+            # poisoning the other callers' results
+            batch = [
+                (s, fut) for s, fut in batch if fut.set_running_or_notify_cancel()
+            ]
             if batch:
                 sources = [s for s, _ in batch]
                 try:

@@ -34,6 +34,7 @@ from parakeet_tpu.decode.phrase_boost import (
     ctc_greedy_decode_with_timestamps_boosted,
 )
 from parakeet_tpu.decode.timestamp import (
+    FRAME_DURATION_S,
     TimestampedToken,
     TimestampMode,
     WordTimestamp,
@@ -133,6 +134,22 @@ class _TranscriberBase:
         self.config = config
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        # Validate the kernels × mesh combination BEFORE touching the
+        # process-global kernel mode, against the EFFECTIVE mode (kernels
+        # is None = keep whatever global is already set): Pallas kernels
+        # are per-device programs and can't ride a sequence-parallel
+        # (GSPMD-partitioned-over-time) encoder.
+        if mesh is not None:
+            from parakeet_tpu.models.encoder import get_fused_attention
+            from parakeet_tpu.parallel.mesh import activation_sharding
+
+            effective = (get_fused_attention() if kernels is None
+                         else False if kernels is False else kernels)
+            if activation_sharding(mesh) is not None and effective:
+                raise ValueError(
+                    "sequence-parallel mesh requires the XLA attention path; "
+                    "pass kernels=False (Pallas kernels are per-device programs)"
+                )
         if kernels is not None:
             from parakeet_tpu.models.encoder import set_fused_attention
 
@@ -155,12 +172,7 @@ class _TranscriberBase:
             from parakeet_tpu.parallel.mesh import activation_sharding, shard_params
 
             self.params = shard_params(self.params, mesh)  # replicated (no TP rules hit at batch DP)
-            self._act_sharding = activation_sharding(mesh)
-            if self._act_sharding is not None and kernels not in (None, False):
-                raise ValueError(
-                    "sequence-parallel mesh requires the XLA attention path; "
-                    "pass kernels=None (Pallas kernels are per-device programs)"
-                )
+            self._act_sharding = activation_sharding(mesh)  # validated above
         self.tokenizer = Tokenizer(vocab_path) if vocab_path else Tokenizer()
         self._audio_cfg = AudioConfig(n_mels=config.encoder.mel_bins)
         self._blank_id = config.joint.vocab_size - 1
@@ -499,7 +511,7 @@ class _TranscriberBase:
                 if s0 + win >= len(samples)
                 else offset_s + window_s - overlap_s / 2.0
             )
-            frame_off = int(round(offset_s / 0.08))
+            frame_off = int(round(offset_s / FRAME_DURATION_S))
 
             words: list[list[TimestampedToken]] = []
             for t in res.timestamped_tokens:
@@ -519,7 +531,7 @@ class _TranscriberBase:
                 else:
                     words[-1].append(shifted)
             for word in words:
-                abs_start_s = word[0].start_frame * 0.08
+                abs_start_s = word[0].start_frame * FRAME_DURATION_S
                 if keep_lo <= abs_start_s < keep_hi:
                     owned_words.append(word)
             if s0 + win >= len(samples):
@@ -533,6 +545,7 @@ class _TranscriberBase:
         source,
         decoder: Decoder = Decoder.TDT,
         *,
+        opts: TranscribeOptions | None = None,
         vad_config=None,
         boost_phrases: list[str] | None = None,
         boost_score: float = DEFAULT_BOOST_SCORE,
@@ -542,22 +555,34 @@ class _TranscriberBase:
         audio/vad.py — the reference's unchecked Tier-2 roadmap item "skip
         silent regions, reduce compute"). All speech segments run as ONE
         batched device call; timestamps are shifted back to absolute time
-        in the original audio, so word spans match the untrimmed file."""
+        in the original audio, so word spans match the untrimmed file.
+
+        opts: full decode configuration (beam_size, lm, boosting, …) — the
+        same object every other facade entry point takes; timestamps are
+        forced on (required for the absolute-time shift). The legacy
+        keyword args apply only when opts is None."""
+        import dataclasses
+
         from parakeet_tpu.audio.vad import vad_segments
 
+        if opts is None:
+            opts = TranscribeOptions(
+                decoder, True, list(boost_phrases or []), boost_score,
+                timestamp_mode,
+            )
+        else:
+            opts = dataclasses.replace(opts, timestamps=True)
+            timestamp_mode = opts.timestamp_mode
         samples = self._to_samples(source)
         sr = self._audio_cfg.sample_rate
         segments = vad_segments(samples, sr, vad_config)
         if not segments:
             return TranscribeResult()
-        opts = TranscribeOptions(
-            decoder, True, list(boost_phrases or []), boost_score
-        )
         chunks = [samples[lo:hi] for lo, hi in segments]
         results = self.transcribe_batch(chunks, opts)
         merged: list[TimestampedToken] = []
         for (lo, _), res in zip(segments, results):
-            frame_off = int(round(lo / sr / 0.08))
+            frame_off = int(round(lo / sr / FRAME_DURATION_S))
             merged.extend(
                 TimestampedToken(
                     t.token_id, t.start_frame + frame_off,

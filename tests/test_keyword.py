@@ -97,3 +97,38 @@ def test_detector_facade(tmp_path):
     assert det._buf.size == 0
     with pytest.raises(ValueError, match="tokenizes to nothing"):
         HotwordDetector(tr, "")
+
+
+def test_detector_rearms_after_trigger(monkeypatch):
+    """One spoken phrase fires ONCE: a trigger clears the rolling buffer so
+    the same audio can't re-fire on every following hop (review finding)."""
+
+    class _FakeTok:
+        def encode(self, s):
+            return [1, 2]
+
+    class _FakeTr:
+        has_ctc = True
+        tokenizer = _FakeTok()
+
+        class _audio_cfg:  # noqa: N801 — mimic attribute access
+            sample_rate = 16000
+
+    det = HotwordDetector.__new__(HotwordDetector)
+    det.tr = _FakeTr()
+    det.keyword = [1, 2]
+    det.threshold = -8.0
+    det._sr = 16000
+    det._window = 16000
+    det._hop = 4000
+    det.reset()
+
+    # score high (trigger) the first time the window is evaluated, then low
+    scores = iter([-1.0, -100.0, -100.0, -100.0])
+    monkeypatch.setattr(det, "score_window", lambda buf: next(scores))
+
+    chunk = np.zeros(4000, np.float32)
+    assert det.feed(chunk) == -1.0      # fires
+    assert det._buf.size == 0           # buffer cleared: rearmed
+    assert det.feed(chunk) is None      # same audio epoch: no re-fire
+    assert det.feed(chunk) is None

@@ -163,12 +163,24 @@ def test_seq_parallel_rejects_pallas_kernels():
     from parakeet_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(8, seq_parallel=2)
-    with pytest.raises(ValueError, match="XLA attention path"):
-        Transcriber(None, None, tiny_cfg(), seed=1, mesh=mesh, kernels="block")
-    # global kernel state must not stay flipped after the rejected init
     from parakeet_tpu.models import encoder as E
 
-    E.set_fused_attention(False)
+    with pytest.raises(ValueError, match="XLA attention path"):
+        Transcriber(None, None, tiny_cfg(), seed=1, mesh=mesh, kernels="block")
+    # the rejected init must NOT have flipped the process-global kernel mode
+    assert E.get_fused_attention() is False
+
+    # kernels=None inherits the global mode — with a fused global already
+    # set, a seq-parallel mesh must be rejected too (validated against the
+    # EFFECTIVE mode, not the argument)
+    E.set_fused_attention("block")
+    try:
+        with pytest.raises(ValueError, match="XLA attention path"):
+            Transcriber(None, None, tiny_cfg(), seed=1, mesh=mesh, kernels=None)
+        # kernels=False explicitly restores the XLA path: allowed
+        Transcriber(None, None, tiny_cfg(), seed=1, mesh=mesh, kernels=False)
+    finally:
+        E.set_fused_attention(False)
 
 
 def test_seq_parallel_train_step_matches_dp():

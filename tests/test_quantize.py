@@ -145,3 +145,31 @@ def test_load_params_dequantizes_int8_checkpoint(tmp_path):
     err = np.abs(np.asarray(loaded[key]) - np.asarray(params[key]))
     s = np.asarray(qp[key + SCALE_SUFFIX])
     assert np.all(err <= s[:, None] * 0.5 + 1e-7)
+
+
+def test_partially_quantized_fusable_guards():
+    """Partial quantization (include= regex) can int8 any subset of a fused
+    kernel's weights; the fusable guards must check EVERY tensor the kernel
+    consumes and reject (review finding: guards checked only fc1/q_proj, so
+    include='fc2' fed raw int8 into Pallas)."""
+    from parakeet_tpu.models.encoder import _attn_block_fusable, _ffn_fusable
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=5)
+    x = jnp.zeros((2, 64, cfg.encoder.hidden_size))
+    ffn = Params(params).sub("encoder_").sub("layers_").sub("0").sub("ffn1_")
+    attn = Params(params).sub("encoder_").sub("layers_").sub("0").sub("attn_")
+    assert _ffn_fusable(ffn, x) and _attn_block_fusable(attn, x)
+
+    for pattern, guard, sub in (
+        (r"fc1", _ffn_fusable, "ffn1_"),
+        (r"fc2", _ffn_fusable, "ffn1_"),
+        (r"q_proj", _attn_block_fusable, "attn_"),
+        (r"k_proj", _attn_block_fusable, "attn_"),
+        (r"v_proj", _attn_block_fusable, "attn_"),
+        (r"out_proj", _attn_block_fusable, "attn_"),
+        (r"pos_proj", _attn_block_fusable, "attn_"),
+    ):
+        qp = quantize_params(params, min_elems=256, include=pattern)
+        q = Params(qp).sub("encoder_").sub("layers_").sub("0").sub(sub)
+        assert not guard(q, x), f"guard must reject int8 {pattern}"
