@@ -137,8 +137,16 @@ class TrainDataLoader:
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
         ]
-        if drop_last and len(self._buckets) > 1 and len(self._buckets[-1]) < self.batch_size:
+        if drop_last and self._buckets and len(self._buckets[-1]) < self.batch_size:
             self._buckets = self._buckets[:-1]
+            if not self._buckets:
+                # a lone partial bucket would reach the sharded step with a
+                # batch dim the mesh can't divide — fail loudly instead
+                raise ValueError(
+                    f"dataset ({len(dataset)} clips) is smaller than "
+                    f"batch_size ({batch_size}) with drop_last=True; shrink "
+                    "batch_size or pass drop_last=False"
+                )
 
     def __len__(self) -> int:
         return len(self._buckets)
@@ -186,24 +194,41 @@ class TrainDataLoader:
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         _END, _ERR = object(), object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator — otherwise the producer blocks on a full queue
+            # forever, leaking the thread and `prefetch` decoded batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for idx in buckets:
-                    q.put(self._build_batch(idx))
-                q.put(_END)
+                    if not _put(self._build_batch(idx)):
+                        return
+                _put(_END)
             except BaseException as exc:  # surface in the consumer
-                q.put((_ERR, exc))
+                _put((_ERR, exc))
 
         worker = threading.Thread(target=produce, daemon=True, name="parakeet-data")
         worker.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()  # runs on GeneratorExit too (abandoned iterator)
 
 
 __all__ = ["ManifestDataset", "TrainDataLoader"]

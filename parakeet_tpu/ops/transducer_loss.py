@@ -163,7 +163,8 @@ def tdt_loss(
 
     Returns: (B,) f32.
     """
-    if list(durations) != sorted(set(durations)) or durations[0] < 0:
+    if (not durations or list(durations) != sorted(set(durations))
+            or durations[0] < 0):
         raise ValueError(f"durations must be sorted unique non-negative, got {durations}")
     label_log_probs = label_log_probs.astype(_F32) - sigma
     duration_log_probs = duration_log_probs.astype(_F32)

@@ -107,7 +107,15 @@ def transducer_forward(
     tdt.cpp:56-59) so row u conditions on the first u labels.
     """
     if joint_prefix is None:
-        joint_prefix = "tdt_joint_" if loss == "tdt" else "joint_"
+        # resolve from the weight schema: the tdt-ctc-110m family keys its
+        # TDT joint "tdt_joint_", the 600m presets key theirs "joint_"
+        # (params.py tdt_spec/rnnt_spec) — sniff for the head this loss
+        # needs so every preset trains without explicit plumbing
+        head = "label_proj_" if loss == "tdt" else "out_proj_"
+        prefs = ("tdt_joint_", "joint_") if loss == "tdt" else ("joint_", "tdt_joint_")
+        joint_prefix = next(
+            (p for p in prefs if f"{p}.{head}.weight" in params), prefs[0]
+        )
     root = Params(params)
     enc = fastconformer_encode(
         root.sub("encoder_"), cfg.encoder, feats, mel_lengths, act_sharding=act_sharding

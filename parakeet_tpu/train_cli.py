@@ -119,6 +119,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
+    import jax.numpy as jnp
     import numpy as np
 
     from parakeet_tpu import params as P
@@ -171,6 +172,24 @@ def main(argv=None) -> int:
         ck = Path(args.checkpoint_dir)
         if (ck / "params.safetensors").exists():
             p2, o2, s2 = load_train_state(ck, state.opt_state)
+            # re-apply the trainer's device placement: load_train_state
+            # returns host arrays, and committing them with the fresh
+            # state's shardings preserves the TP/seq layout the step_fn was
+            # compiled for (else a 600m resume replicates params+opt state
+            # on every chip). Leaves whose fresh sharding isn't a
+            # NamedSharding (e.g. the optimizer's scalar count, committed
+            # to one device by jit) are replicated over the whole mesh so
+            # every input lives on the same device set.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def _placed(host, ref):
+                sh = ref.sharding
+                if not isinstance(sh, NamedSharding):
+                    sh = NamedSharding(mesh, PartitionSpec())
+                return jax.device_put(jnp.asarray(host), sh)
+
+            p2 = jax.tree.map(_placed, p2, state.params)
+            o2 = jax.tree.map(_placed, o2, state.opt_state)
             state = TrainState(p2, o2, s2)
             print(f"# resumed at step {s2}", file=sys.stderr)
 
@@ -199,7 +218,7 @@ def main(argv=None) -> int:
         else:
             from parakeet_tpu.io.safetensors import save_safetensors
 
-            save_safetensors(args.export, {k: np.asarray(v) for k, v in params.items()})
+            save_safetensors({k: np.asarray(v) for k, v in params.items()}, args.export)
         print(f"# exported: {args.export}", file=sys.stderr)
     return 0
 

@@ -159,3 +159,44 @@ def test_hybrid_train_step_reduces_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"hybrid loss did not decrease: {losses}"
+
+
+def test_tdt600m_schema_trains():
+    """The 600m presets key their joint 'joint_' (params.tdt_spec), not
+    'tdt_joint_'; the trainer must resolve the prefix from the weight
+    schema (review finding: loss='tdt' hard-defaulted to 'tdt_joint_',
+    making the tdt-600m preset untrainable)."""
+    import optax as _optax
+
+    from parakeet_tpu.train import make_transducer_train_step
+
+    base = tiny_cfg()
+    cfg = C.TDTConfig(encoder=base.encoder, prediction=base.prediction,
+                      joint=base.joint)
+    params = P.init_params(P.tdt_spec(cfg), seed=3)
+    assert any(k.startswith("joint_.") for k in params)
+    assert not any(k.startswith("tdt_joint_") for k in params)
+    opt = _optax.adam(3e-3)
+    step = make_transducer_train_step(cfg, opt, loss="tdt", sigma=0.05)
+    opt_state = opt.init(params)
+    batch = synthetic_batch(cfg, batch=2, mel_frames=64, max_labels=6)
+    params, opt_state, loss = step(params, opt_state, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_rnnt600m_schema_trains():
+    import optax as _optax
+
+    from parakeet_tpu.train import make_transducer_train_step
+
+    base = tiny_cfg()
+    cfg = C.RNNTConfig(encoder=base.encoder, prediction=base.prediction,
+                       joint=base.joint)
+    params = P.init_params(P.rnnt_spec(cfg), seed=4)
+    assert any(k.startswith("joint_.") for k in params)
+    opt = _optax.adam(3e-3)
+    step = make_transducer_train_step(cfg, opt, loss="rnnt")
+    opt_state = opt.init(params)
+    batch = synthetic_batch(cfg, batch=2, mel_frames=64, max_labels=6)
+    params, opt_state, loss = step(params, opt_state, batch)
+    assert np.isfinite(float(loss))

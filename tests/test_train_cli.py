@@ -71,3 +71,32 @@ def test_tiny_end_to_end(tmp_path):
     cfg = _fit_vocab(cfg, kind, Tokenizer(v))
     loaded = P.load_params(_spec_for(cfg, kind), str(out), strict=True)
     assert "encoder_.layers_.0.ffn1_.fc1_.weight" in loaded
+
+
+def test_export_without_checkpoint_dir(tmp_path):
+    """--export with no --checkpoint-dir must write the trained weights
+    (review finding: save_safetensors args were swapped, crashing after
+    training and losing the run)."""
+    m, v = write_corpus(tmp_path)
+    out = tmp_path / "direct.safetensors"
+    rc = main([
+        "--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+        "--batch-size", "2", "--data-parallel", "2", "--steps", "1",
+        "--frame-multiple", "32", "--label-multiple", "8",
+        "--export", str(out), "--log-every", "1",
+    ])
+    assert rc == 0 and out.exists()
+    from parakeet_tpu.io.safetensors import load_safetensors
+
+    weights = load_safetensors(out)
+    assert any(k.startswith("encoder_") for k in weights)
+
+
+def test_loader_rejects_dataset_smaller_than_batch(tmp_path):
+    """A lone partial bucket would hit the sharded step with an indivisible
+    batch dim; the loader must fail loudly at construction."""
+    m, v = write_corpus(tmp_path, n=2)
+    with pytest.raises(ValueError, match="smaller than"):
+        main(["--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+              "--batch-size", "4", "--data-parallel", "2", "--steps", "1",
+              "--frame-multiple", "32", "--label-multiple", "8"])
