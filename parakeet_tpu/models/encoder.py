@@ -347,6 +347,23 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray) -> bool:
     return weights + live <= 14 * 1024 * 1024
 
 
+def _mega_fusable(p: Params, x: jnp.ndarray) -> bool:
+    """COMBINED VMEM guard for the mega kernel: it keeps the ffn1 weights
+    AND the five attention projections AND the score/rotation live set
+    resident at once, so passing _ffn_fusable and _attn_block_fusable
+    individually is not sufficient (their budgets would double-book VMEM
+    for mid-sized configs like f32 D=512/F=1920/T=384)."""
+    w1 = p["ffn1_.fc1_.weight"]
+    ffn_w = 2 * w1.size * w1.dtype.itemsize
+    t = x.shape[1]
+    tp = -(-t // 128) * 128
+    d = x.shape[-1]
+    itemsize = x.dtype.itemsize
+    attn_w = 5 * d * d * itemsize
+    live = 2 * tp * tp * 4 + 3 * tp * d * 4 + 2 * tp * d * itemsize
+    return ffn_w + attn_w + live <= 14 * 1024 * 1024
+
+
 def rel_position_attention(
     p: Params,
     x: jnp.ndarray,
@@ -440,6 +457,7 @@ def conformer_block(
         and (mask is None or lengths is not None)
         and _ffn_fusable(p.sub("ffn1_"), x)
         and _attn_block_fusable(p.sub("attn_"), x)
+        and _mega_fusable(p, x)
     ):
         from parakeet_tpu.ops.pallas_attention import fused_ffn_attention
 

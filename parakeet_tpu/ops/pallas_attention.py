@@ -12,9 +12,12 @@ layer. This kernel keeps the whole per-(batch, head) attention in VMEM:
 
 Mosaic constraints shape the implementation: dynamic lane slicing must be
 128-aligned and `pltpu.roll` needs aligned operands, so inputs are padded
-to lane-aligned shapes (T→⌈T/128⌉·128) and the shift is realized as one
-dynamic roll per row with pad columns masked to -inf; only Q/K/V/P and the
-(T,hd) output touch HBM. Scores/softmax in f32 (same as the XLA path).
+to lane-aligned shapes (T→⌈T/128⌉·128) and the shift is realized as
+⌈log₂T⌉ static full-matrix roll rounds with masked selects (binary
+decomposition of the per-row shift amounts; pad columns masked to -inf);
+only Q/K/V/P and the (T,hd) output touch HBM. Scores/softmax in f32 (same
+as the XLA path). The block/mega variants avoid the rolls entirely via
+the angle-addition factorization (see _attention_core).
 
 Grid: (B, H). T≈125, hd=64 → all operands ≪ 1 MB.
 """
@@ -31,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from parakeet_tpu.ops.pallas_utils import (
     kernel_layer_norm,
+    kernel_precision,
     round_up,
     silu_kernelside,
     whole_block,
@@ -53,7 +57,7 @@ def _attn_kernel(
 
     # HIGHEST only matters (and is only Mosaic-supported) for f32 operands;
     # bf16 MXU products accumulate in f32 regardless.
-    hi = jax.lax.Precision.HIGHEST if qu.dtype == _F32 else jax.lax.Precision.DEFAULT
+    hi = kernel_precision(qu.dtype)
     content = jax.lax.dot_general(
         qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
     )  # (TP, TP)
@@ -171,7 +175,7 @@ def _attention_core(
     tp, d = x.shape
     hd = d // heads
     d2 = sin_ref.shape[1]
-    hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
+    hi = kernel_precision(x.dtype)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     sin_t = sin_ref[...].astype(_F32)
@@ -282,7 +286,7 @@ def _ffn_attn_kernel(
     heads: int,
 ):
     x = x_ref[0]
-    hi = jax.lax.Precision.HIGHEST if x.dtype == _F32 else jax.lax.Precision.DEFAULT
+    hi = kernel_precision(x.dtype)
 
     # macaron FFN 1 (LN → fc1 → SiLU → fc2 → +0.5·)
     h = kernel_layer_norm(x, fnw_ref[0], fnb_ref[0], eps)

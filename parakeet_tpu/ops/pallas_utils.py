@@ -51,7 +51,7 @@ def silu_kernelside(x):
 def whole_block(arr) -> pl.BlockSpec:
     """Whole-array VMEM block with a constant index map — Mosaic keeps the
     block resident across grid steps (weights fetched once per call)."""
-    return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(arr.shape, lambda *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
 
 def fold_batch_norm(bn_w, bn_b, bn_mean, bn_var, d: int, dtype):
