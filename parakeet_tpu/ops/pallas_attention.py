@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parakeet_tpu.ops.pallas_utils import (
+    ffn_body,
     kernel_layer_norm,
     kernel_precision,
     round_up,
@@ -286,18 +287,10 @@ def _ffn_attn_kernel(
     heads: int,
 ):
     x = x_ref[0]
-    hi = kernel_precision(x.dtype)
 
-    # macaron FFN 1 (LN → fc1 → SiLU → fc2 → +0.5·)
-    h = kernel_layer_norm(x, fnw_ref[0], fnb_ref[0], eps)
-    h = jax.lax.dot_general(
-        h, f1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    ) + g1_ref[0].astype(_F32)
-    h = silu_kernelside(h.astype(x.dtype))
-    y = jax.lax.dot_general(
-        h, f2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    ) + g2_ref[0].astype(_F32)
-    x2 = (x.astype(_F32) + 0.5 * y).astype(x.dtype)
+    # macaron FFN 1 — the shared body every fused variant runs
+    x2 = ffn_body(x, fnw_ref[0], fnb_ref[0], f1_ref[...], g1_ref[0],
+                  f2_ref[...], g2_ref[0], eps)
 
     attn_in = kernel_layer_norm(x2, anw_ref[0], anb_ref[0], eps)
     kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)

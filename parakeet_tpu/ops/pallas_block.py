@@ -27,27 +27,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parakeet_tpu.ops.pallas_utils import (
+    conv_module_body,
     depthwise_taps,
+    ffn_body,
     fold_batch_norm,
     kernel_layer_norm,
-    kernel_precision,
     round_up,
-    sigmoid_f32,
-    silu_kernelside,
     whole_block,
 )
 
 _F32 = jnp.float32
-
-
-def _matmul_t(x, w, b, hi):
-    """y = x @ wᵀ (+ b), f32 accumulate, cast back to x.dtype."""
-    y = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    )
-    if b is not None:
-        y = y + b.astype(_F32)
-    return y.astype(x.dtype)
 
 
 def _conv_ffn_kernel(
@@ -69,40 +58,17 @@ def _conv_ffn_kernel(
     t_real: int,
 ):
     x = x_ref[0]
-    tp, d = x.shape
-    hi = kernel_precision(x.dtype)
-
-    # ── conv module ──
-    h = kernel_layer_norm(x, cnw_ref[0], cnb_ref[0], eps)
-    y = _matmul_t(h, w1_ref[...], b1_ref[0], hi)  # (TP, 2D)
-    a, g = y[:, :d], y[:, d:]
-    h = (a.astype(_F32) * sigmoid_f32(g)).astype(x.dtype)  # GLU
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (tp, d), 0)
     valid = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
-    h = jnp.where(row < valid, h, jnp.zeros_like(h))
 
-    pad = (kernel_size - 1) // 2
-    hp = jnp.pad(h.astype(_F32), ((pad, pad), (0, 0)))
-    acc = jnp.zeros((tp, d), _F32)
-    for k in range(kernel_size):
-        acc = acc + hp[k : k + tp, :] * wd_ref[k][None, :].astype(_F32)
-    acc = acc + bd_ref[0].astype(_F32)
-    acc = acc * bnw_ref[0].astype(_F32) + bnb_ref[0].astype(_F32)
-    acc = silu_kernelside(acc.astype(x.dtype))
-    o = _matmul_t(acc, w2_ref[...], b2_ref[0], hi)
-    x2 = (x.astype(_F32) + o.astype(_F32)).astype(x.dtype)  # conv residual
-
-    # ── macaron FFN 2 ──
-    h = kernel_layer_norm(x2, fnw_ref[0], fnb_ref[0], eps)
-    h = _matmul_t(h, f1_ref[...], g1_ref[0], hi)
-    h = (h.astype(_F32) * sigmoid_f32(h)).astype(x.dtype)  # SiLU
-    yf = jax.lax.dot_general(
-        h, f2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    ) + g2_ref[0].astype(_F32)
-    x3 = (x2.astype(_F32) + 0.5 * yf).astype(x.dtype)
-
-    # ── final LayerNorm ──
+    # conv module + ffn2 share the single body implementations in
+    # pallas_utils (same code pallas_conv / pallas_ffn run standalone)
+    x2 = conv_module_body(
+        x, valid, cnw_ref[0], cnb_ref[0], w1_ref[...], b1_ref[0],
+        wd_ref[...], bd_ref[0], bnw_ref[0], bnb_ref[0], w2_ref[...], b2_ref[0],
+        eps, kernel_size,
+    )
+    x3 = ffn_body(x2, fnw_ref[0], fnb_ref[0], f1_ref[...], g1_ref[0],
+                  f2_ref[...], g2_ref[0], eps)
     out_ref[0] = kernel_layer_norm(x3, onw_ref[0], onb_ref[0], eps).astype(out_ref.dtype)
 
 

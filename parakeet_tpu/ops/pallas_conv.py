@@ -30,13 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parakeet_tpu.ops.pallas_utils import (
+    conv_module_body,
     depthwise_taps,
     fold_batch_norm,
-    kernel_layer_norm,
-    kernel_precision,
     round_up,
-    sigmoid_f32,
-    silu_kernelside,
     whole_block,
 )
 
@@ -58,46 +55,14 @@ def _conv_module_kernel(
     t_real: int,
 ):
     x = x_ref[0]  # (TP, D)
-    tp, d = x.shape
-    hi = kernel_precision(x.dtype)
-
-    h = kernel_layer_norm(x, nw_ref[0], nb_ref[0], eps)
-
-    # pointwise d → 2d (y = h @ W1.T + b1)
-    y = jax.lax.dot_general(
-        h, w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    ) + b1_ref[0].astype(_F32)
-    y = y.astype(x.dtype)
-    a, g = y[:, :d], y[:, d:]
-    # GLU (lane split at d — 128-aligned); sigmoid in f32 (pallas_utils)
-    h = (a.astype(_F32) * sigmoid_f32(g)).astype(x.dtype)
-
-    # zero invalid rows so depthwise taps can't smear pad garbage into the
-    # valid region (the XLA path has no pad rows / masks them)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tp, d), 0)
     valid = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
-    h = jnp.where(row < valid, h, jnp.zeros_like(h))
-
-    # depthwise conv over time: K sublane-shifted slices. h is zero-padded
-    # conceptually on both sides by (k-1)//2; realize via one padded scratch.
-    pad = (kernel_size - 1) // 2
-    hp = jnp.pad(h.astype(_F32), ((pad, pad), (0, 0)))
-    acc = jnp.zeros((tp, d), _F32)
-    for k in range(kernel_size):  # static loop
-        acc = acc + hp[k : k + tp, :] * wd_ref[k][None, :].astype(_F32)
-    acc = acc + bd_ref[0].astype(_F32)
-
-    # inference BN folded to scale/bias, then SiLU. The XLA path casts the
-    # BN output to x.dtype before SiLU; mirror that rounding, but keep the
-    # sigmoid itself in f32 (Mosaic bf16-logistic bug, see GLU above).
-    acc = acc * bnw_ref[0].astype(_F32) + bnb_ref[0].astype(_F32)
-    acc = silu_kernelside(acc.astype(x.dtype))
-
-    # pointwise d → d, residual
-    o = jax.lax.dot_general(
-        acc, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    ) + b2_ref[0].astype(_F32)
-    out_ref[0] = (x.astype(_F32) + o).astype(out_ref.dtype)
+    # single shared body (pallas_utils.conv_module_body) — also what the
+    # fused second-half kernel (pallas_block) runs, so rounding can't drift
+    out_ref[0] = conv_module_body(
+        x, valid, nw_ref[0], nb_ref[0], w1_ref[...], b1_ref[0],
+        wd_ref[...], bd_ref[0], bnw_ref[0], bnb_ref[0], w2_ref[...], b2_ref[0],
+        eps, kernel_size,
+    ).astype(out_ref.dtype)
 
 
 def fused_conv_module(

@@ -29,10 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parakeet_tpu.ops.pallas_utils import (
+    ffn_body,
     kernel_layer_norm,
-    kernel_precision,
     round_up,
-    silu_kernelside,
     whole_block,
 )
 
@@ -51,17 +50,10 @@ def _ffn_kernel(
     final_norm: bool,
 ):
     x = x_ref[0]
-    hi = kernel_precision(x.dtype)
-
-    h = kernel_layer_norm(x, nw_ref[0], nb_ref[0], eps)
-    h = jax.lax.dot_general(
-        h, w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    ) + b1_ref[0].astype(_F32)
-    h = silu_kernelside(h.astype(x.dtype))
-    y = jax.lax.dot_general(
-        h, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
-    ) + b2_ref[0].astype(_F32)
-    out = (x.astype(_F32) + 0.5 * y).astype(x.dtype)
+    # single shared body (pallas_utils.ffn_body) — also what pallas_block
+    # and the mega attention kernel run, so rounding can't drift
+    out = ffn_body(x, nw_ref[0], nb_ref[0], w1_ref[...], b1_ref[0],
+                   w2_ref[...], b2_ref[0], eps)
     if final_norm:
         out = kernel_layer_norm(out, fw_ref[0], fb_ref[0], eps)
     out_ref[0] = out.astype(out_ref.dtype)

@@ -70,6 +70,58 @@ def depthwise_taps(wd, k: int):
     return jnp.pad(jnp.transpose(wd[:, 0, :], (1, 0)), ((0, k8 - k), (0, 0)))
 
 
+def ffn_body(x, nw, nb, w1, b1, w2, b2, eps: float):
+    """Macaron FFN half-step on VALUES: LN → fc1 → SiLU → fc2 → x + 0.5·y.
+    (TP, D) x.dtype in/out; matmuls f32-accumulated; SiLU rounds through
+    x.dtype like the XLA path. SINGLE implementation shared by
+    pallas_ffn / pallas_block / pallas_attention(mega) so rounding can't
+    drift between the fused variants."""
+    hi = kernel_precision(x.dtype)
+    h = kernel_layer_norm(x, nw, nb, eps)
+    h = jax.lax.dot_general(
+        h, w1, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    ) + b1.astype(_F32)
+    h = silu_kernelside(h.astype(x.dtype))
+    y = jax.lax.dot_general(
+        h, w2, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    ) + b2.astype(_F32)
+    return (x.astype(_F32) + 0.5 * y).astype(x.dtype)
+
+
+def conv_module_body(x, valid, nw, nb, w1, b1, wd_taps, bd, bn_scale, bn_bias,
+                     w2, b2, eps: float, kernel_size: int):
+    """Conformer conv module on VALUES: LN → pw1 → GLU → zero pad rows →
+    depthwise (static tap loop) → folded BN → SiLU → pw2 → +x residual
+    (residual held in f32). Shared by pallas_conv / pallas_block."""
+    tp, d = x.shape
+    hi = kernel_precision(x.dtype)
+    h = kernel_layer_norm(x, nw, nb, eps)
+    y = jax.lax.dot_general(
+        h, w1, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    ) + b1.astype(_F32)
+    y = y.astype(x.dtype)
+    a, g = y[:, :d], y[:, d:]
+    h = (a.astype(_F32) * sigmoid_f32(g)).astype(x.dtype)  # GLU
+
+    # zero invalid rows so depthwise taps can't smear pad garbage inward
+    row = jax.lax.broadcasted_iota(jnp.int32, (tp, d), 0)
+    h = jnp.where(row < valid, h, jnp.zeros_like(h))
+
+    pad = (kernel_size - 1) // 2
+    hp = jnp.pad(h.astype(_F32), ((pad, pad), (0, 0)))
+    acc = jnp.zeros((tp, d), _F32)
+    for k in range(kernel_size):  # static loop
+        acc = acc + hp[k : k + tp, :] * wd_taps[k][None, :].astype(_F32)
+    acc = acc + bd.astype(_F32)
+    # folded inference BN, then SiLU with the XLA path's x.dtype rounding
+    acc = acc * bn_scale.astype(_F32) + bn_bias.astype(_F32)
+    acc = silu_kernelside(acc.astype(x.dtype))
+    o = jax.lax.dot_general(
+        acc, w2, (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi
+    ) + b2.astype(_F32)
+    return (x.astype(_F32) + o).astype(x.dtype)
+
+
 __all__ = [
     "round_up",
     "kernel_precision",
@@ -79,4 +131,6 @@ __all__ = [
     "whole_block",
     "fold_batch_norm",
     "depthwise_taps",
+    "ffn_body",
+    "conv_module_body",
 ]
