@@ -101,9 +101,19 @@ def mp3_decode(data: bytes):
             if done.value:
                 chunks.append(bytes(buf[: done.value]))
             if rc == _MPG123_NEW_FORMAT:
+                if chunks:
+                    # PCM from two formats must not be concatenated under
+                    # one (rate, channels) label — wrong-speed audio
+                    raise ValueError("MP3 stream changes format mid-stream")
                 lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(channels), ctypes.byref(enc))
                 sample_rate, n_ch = int(rate.value), int(channels.value)
                 use_float = bool(enc.value & _ENC_FLOAT_32)
+                if not use_float and enc.value != _ENC_SIGNED_16:
+                    # anything else would be silently misparsed as s16le
+                    raise ValueError(
+                        f"unsupported mpg123 output encoding 0x{enc.value:x} "
+                        "(expected float32 or signed 16-bit)"
+                    )
             elif rc in (_MPG123_OK,):
                 continue
             elif rc in (_MPG123_NEED_MORE, _MPG123_DONE):

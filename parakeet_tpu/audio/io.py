@@ -180,6 +180,10 @@ def _decode_with_backend(data: bytes, fmt: str):
         return x.reshape(-1), sr, x.shape[1]
     except ImportError:
         pass
+    except Exception as e:  # noqa: BLE001 — a failing backend must not
+        # preempt the next one (e.g. libsndfile without MP3 support raises
+        # LibsndfileError while librosa could still decode the stream)
+        native_err = native_err or e
     try:
         import librosa  # type: ignore
 
@@ -189,6 +193,8 @@ def _decode_with_backend(data: bytes, fmt: str):
         return x.T.reshape(-1).astype(np.float32), int(sr), x.shape[0]
     except ImportError:
         pass
+    except Exception as e:  # noqa: BLE001 — keep the first real failure
+        native_err = native_err or e
     if native_err is not None:
         raise RuntimeError(
             f"Decoding {fmt} failed: {native_err} (no python fallback backend available)"
@@ -307,11 +313,18 @@ def read_audio(
         arr = np.asarray(source)
         if sample_rate is None:
             raise ValueError("sample_rate= required for raw PCM input")
+        if arr.ndim == 2:
+            ch = arr.shape[1]  # (frames, channels) → interleave for downmix
+            arr = arr.reshape(-1)
+        elif arr.ndim == 1:
+            ch = 1
+        else:
+            raise ValueError(f"raw PCM input must be 1D or (frames, channels), got shape {arr.shape}")
         if arr.dtype == np.int16:
             inter = arr.astype(np.float32) / 32768.0
         else:
             inter = arr.astype(np.float32)
-        sr, ch, fmt = int(sample_rate), 1, "raw"
+        sr, fmt = int(sample_rate), "raw"
 
     mono = downmix_to_mono(inter, ch)
     n_orig = len(mono)
@@ -410,8 +423,11 @@ def get_audio_duration(path: str | Path) -> float:
         d = _ogg_granule_duration(data)
         if d is not None:
             return d
-    audio = read_audio(data, target_sample_rate=16000, format_hint=fmt)
-    return audio.duration
+    # full-decode fallback (MP3 etc.): duration needs only the decoded
+    # sample count at the ORIGINAL rate — skip the resampler entirely
+    # (materializing a resample of an hour-long file just to discard it)
+    inter, sr, ch, _ = _decode_bytes(data, fmt)
+    return len(inter) / ch / sr if sr else 0.0
 
 
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int = 16000) -> None:

@@ -205,6 +205,7 @@ def convert(
         state_dict = _load_state_dict(Path(nemo_path))
     mapping = build_mapping(preset)
     vocab_size = preset["vocab_size"]
+    num_durations = preset["num_durations"]
     joint_prefix = preset["joint_prefix"]
     is_rnnt = preset.get("is_rnnt", False)
 
@@ -224,6 +225,16 @@ def convert(
     # Joint output split (TDT) / passthrough (RNNT)
     jw = state_dict.get("joint.joint_net.2.weight")
     jb = state_dict.get("joint.joint_net.2.bias")
+    if jw is not None and joint_prefix and not is_rnnt:
+        # guard the split: a preset/vocab mismatch would silently slice the
+        # joint into plausibly-shaped but wrong label/duration heads
+        expected = vocab_size + num_durations
+        if jw.shape[0] != expected:
+            raise ValueError(
+                f"joint output dim {jw.shape[0]} != vocab_size ({vocab_size}) + "
+                f"durations ({num_durations}) = {expected} — wrong --model preset "
+                "for this checkpoint?"
+            )
     if jw is not None and joint_prefix:
         if is_rnnt:
             out[f"{joint_prefix}.out_proj_.weight"] = jw

@@ -113,6 +113,14 @@ def report_diff(name: str, ours: np.ndarray, ref_flat: np.ndarray, shape_hint=""
 
 def compare_ref(args) -> int:
     ref_dir = Path(args.compare_ref)
+    if args.weights is None:
+        # random-init params diffed against real reference dumps look
+        # exactly like a catastrophic parity regression — be loud
+        print(
+            "WARNING: --compare-ref without --weights runs RANDOM-INIT "
+            "params; every stage past 'features' will show huge diffs.",
+            file=sys.stderr,
+        )
     stages = compute_stages(args.audio, args.weights)
     if args.outdir:
         out = Path(args.outdir)
@@ -148,8 +156,15 @@ def dump(args) -> int:
 def compare(dir_a: str, dir_b: str) -> int:
     a_dir, b_dir = Path(dir_a), Path(dir_b)
     status = 0
-    for f in sorted(a_dir.glob("*.npy")):
-        other = b_dir / f.name
+    names = sorted(
+        {f.name for f in a_dir.glob("*.npy")} | {f.name for f in b_dir.glob("*.npy")}
+    )
+    for name in names:
+        f, other = a_dir / name, b_dir / name
+        if not f.exists():
+            print(f"{name}: MISSING in {a_dir}")
+            status = 1
+            continue
         if not other.exists():
             print(f"{f.name}: MISSING in {b_dir}")
             status = 1

@@ -182,3 +182,17 @@ def test_wav_parser_fuzz_no_crash():
             read_audio(blob)
         except (ValueError, RuntimeError):
             pass
+
+
+def test_raw_pcm_2d_stereo_downmixes():
+    """(frames, channels) raw arrays downmix like the byte overloads
+    (review finding: 2D input was silently mislabeled mono and left 2D)."""
+    left = np.linspace(-0.5, 0.5, 1600, dtype=np.float32)
+    right = -left
+    stereo = np.stack([left, right], axis=1)  # (N, 2)
+    a = read_audio(stereo, sample_rate=16000)
+    assert a.num_channels == 2
+    assert a.samples.ndim == 1 and a.num_samples == 1600
+    np.testing.assert_allclose(a.samples, (left + right) / 2, atol=1e-7)
+    with pytest.raises(ValueError, match="1D or"):
+        read_audio(np.zeros((4, 2, 2), np.float32), sample_rate=16000)

@@ -293,3 +293,15 @@ def test_extract_vocab_neither_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         extract_vocab(nemo, tmp_path / "v.txt")
+
+
+def test_convert_rejects_wrong_joint_dim():
+    """A joint matrix whose output dim != vocab+durations means the wrong
+    preset was chosen; the split must refuse instead of silently slicing
+    (review finding)."""
+    cfg = small_110m()
+    sd = synthetic_nemo_110m(cfg)
+    key = "joint.joint_net.2.weight"
+    sd[key] = np.concatenate([sd[key], sd[key][:3]], axis=0)  # 3 extra rows
+    with pytest.raises(ValueError, match="wrong --model preset"):
+        convert(None, None, "110m-tdt-ctc", state_dict=sd, verbose=False)
