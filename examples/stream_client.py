@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Live-streaming client for the parakeet-serve /stream endpoint.
+
+Feeds a WAV file to the server in real-time-paced 160 ms chunks of raw
+s16le PCM over one chunked-transfer POST — exactly what a microphone
+client does — and prints the final transcript with token timestamps.
+
+    parakeet-serve --streaming --random-weights --device cpu &   # or real weights
+    python examples/stream_client.py clip.wav --host localhost --port 8077
+    python examples/stream_client.py clip.wav --no-pace   # as fast as possible
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import sys
+import time
+
+import numpy as np
+
+from parakeet_tpu.audio.io import read_audio
+
+CHUNK_SAMPLES = 2560  # 160 ms at 16 kHz (reference CLI cadence, main.cpp:400-417)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("audio")
+    ap.add_argument("--host", default="localhost")
+    ap.add_argument("--port", type=int, default=8077)
+    ap.add_argument("--no-pace", action="store_true",
+                    help="send as fast as possible instead of real-time pacing")
+    args = ap.parse_args(argv)
+
+    audio = read_audio(args.audio, target_sample_rate=16000)
+    pcm = (np.clip(audio.samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+    conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
+    conn.putrequest("POST", "/stream")
+    conn.putheader("Transfer-Encoding", "chunked")
+    conn.endheaders()
+
+    step = CHUNK_SAMPLES * 2  # bytes per 160 ms chunk
+    t0 = time.monotonic()
+    for n, i in enumerate(range(0, len(pcm), step)):
+        chunk = pcm[i : i + step]
+        conn.send(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
+        if not args.no_pace:
+            # sleep until this chunk's real-time deadline
+            target = (n + 1) * CHUNK_SAMPLES / 16000
+            delay = t0 + target - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+    conn.send(b"0\r\n\r\n")
+
+    resp = conn.getresponse()
+    body = resp.read()
+    if resp.status != 200:
+        print(f"HTTP {resp.status}: {body[:200]!r}", file=sys.stderr)
+        return 1
+    payload = json.loads(body)
+    print(payload["text"] if payload["text"] else f"(token ids) {payload['token_ids']}")
+    for t in payload["tokens"]:
+        print(f"  [{t['start_frame'] * 0.08:6.2f}s - {t['end_frame'] * 0.08:6.2f}s] "
+              f"({t['confidence']:.2f}) id={t['id']}")
+    print(f"# streamed {audio.duration:.1f}s in {time.monotonic() - t0:.1f}s wall",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
