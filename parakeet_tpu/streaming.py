@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from parakeet_tpu import params as P
@@ -232,6 +233,36 @@ class StreamingBatchTranscriber:
         self._blank_id = proto._blank_id
         self._audio_cfg = proto._audio_cfg
 
+        # ONE jitted program per step: encoder chunk + full decode loop +
+        # output packing co-traced, so a serving step pays a single device
+        # dispatch and a single host fetch (each dispatch/fetch is a full
+        # round trip on relay-attached TPUs — TUNING.md "Streaming
+        # multiplexing"). Traced bodies are exactly the ones the unfused
+        # paths run; bit-identity is pinned by the batch/hold oracles.
+        from parakeet_tpu.decode import transducer as TR
+
+        enc_cfg = self.config.encoder
+        chunk_out = mel_frames_per_step // 8
+        self._decode_max_out = chunk_out * 10
+        decode_kw = dict(
+            num_lstm_layers=self.config.prediction.num_lstm_layers,
+            durations=tuple(self.config.durations),
+            blank_id=self._blank_id, max_symbols=10,
+            max_out=self._decode_max_out, is_tdt=True,
+            joint_prefix=self._joint_prefix, boost_score=0.0,
+            clamp_end=False,  # streaming decode does not clamp (eou.cpp:81-84)
+        )
+
+        def _step_fused(p, mel, cache, last_token, lstm):
+            enc, new_cache = streaming_encoder_chunk(p, mel, cache, cfg=enc_cfg)
+            enc_len = jnp.full((mel.shape[0],), enc.shape[1], jnp.int32)
+            outs = TR._decode_loop(p, enc, enc_len, last_token, lstm, None, None,
+                                   **decode_kw)
+            packed = TR._pack_outputs(outs[0], outs[1], outs[2], outs[3], outs[4])
+            return packed, outs[5], outs[6], new_cache
+
+        self._step_fused = jax.jit(_step_fused)
+
         self.reset()
 
     def reset(self) -> None:
@@ -354,24 +385,9 @@ class StreamingBatchTranscriber:
                 "lstm": self._lstm[:, :, idx],
             }
 
-        enc, self._cache = self._chunk_fn(
-            self.params, jnp.asarray(mel), self._cache, cfg=self.config.encoder
+        packed, self._last_token, self._lstm, self._cache = self._step_fused(
+            self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm
         )
-        res = transducer_greedy_decode(
-            self.params,
-            enc,
-            pred_hidden=self.config.prediction.pred_hidden,
-            num_lstm_layers=self.config.prediction.num_lstm_layers,
-            durations=tuple(self.config.durations),
-            blank_id=self._blank_id,
-            is_tdt=True,
-            joint_prefix=self._joint_prefix,
-            init_token=self._last_token,
-            init_lstm=self._lstm,
-            clamp_end=False,
-        )
-        self._last_token = res.last_token
-        self._lstm = res.lstm_state
         if held:
             # un-step the held slots: restore every piece of their state
             self._cache = {
@@ -382,20 +398,32 @@ class StreamingBatchTranscriber:
             }
             self._last_token = self._last_token.at[idx].set(old["last_token"])
             self._lstm = self._lstm.at[:, :, idx].set(old["lstm"])
-        chunk_len = enc.shape[1]
+
+        # ONE host fetch for the whole step's decode output (see __init__)
+        packed = np.asarray(packed)
+        m = self._decode_max_out
+        conf = np.ascontiguousarray(packed[:, 3 * m : 4 * m]).view(np.float32)
+        chunk_len = self._mel_step // 8
         out: list[list[int]] = []
         for i in range(self.batch):
             if not self._active[i] or i in hold:
                 out.append([])
                 continue
-            self._tokens[i].extend(res.tokens[i])
+            n = int(packed[i, 4 * m])
+            toks = packed[i, :n].tolist()
+            self._tokens[i].extend(toks)
             off = self._frame_offset[i]
             self._timestamped[i].extend(
-                TimestampedToken(t.token_id, t.start_frame + off, t.end_frame + off, t.confidence)
-                for t in res.timestamped[i]
+                TimestampedToken(
+                    int(packed[i, j]),
+                    int(packed[i, m + j]) + off,
+                    int(packed[i, 2 * m + j]) + off,
+                    float(conf[i, j]),
+                )
+                for j in range(n)
             )
             self._frame_offset[i] += chunk_len
-            out.append(res.tokens[i])
+            out.append(toks)
         return out
 
     def get_text(self, slot: int) -> str:
