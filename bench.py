@@ -158,6 +158,10 @@ def main() -> int:
                     help="fused conv+ffn2+final-norm kernel (encoder.set_fused_block2)")
     ap.add_argument("--no-e2e", action="store_true",
                     help="skip the end-to-end audio→text measurement")
+    ap.add_argument("--compiler-options", default=None,
+                    help="comma-separated k=v XLA/libtpu options forwarded to "
+                         "the headline jit (e.g. xla_tpu_scoped_vmem_limit_kib=65536); "
+                         "invalid names/values fail the remote compile")
     ap.add_argument("--e2e-json", action="store_true",
                     help="print the e2e metric as the stdout JSON line instead "
                          "of a stderr annotation (stdout keeps ONE JSON line)")
@@ -200,8 +204,10 @@ def main() -> int:
 
     mel_frames = args.secs * 100  # 100 frames/s pre-subsampling (bench.cpp)
     k = args.iters
+    copts = None
+    if args.compiler_options:
+        copts = dict(kv.split("=", 1) for kv in args.compiler_options.split(","))
 
-    @jax.jit
     def chained(p, feats):
         # k data-dependent forwards; a single scalar leaves the device.
         # Unrolled python loop (not fori_loop): a pallas_call inside a loop
@@ -214,6 +220,8 @@ def main() -> int:
                 out = ctc_log_probs(Params(p).sub("ctc_decoder_"), out)
             acc = jnp.sum(out).astype(jnp.float32)
         return acc
+
+    chained = jax.jit(chained, compiler_options=copts)
 
     feats = jnp.asarray(
         np.random.RandomState(0).randn(args.batch, mel_frames, cfg.encoder.mel_bins),

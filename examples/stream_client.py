@@ -21,6 +21,7 @@ import time
 import numpy as np
 
 from parakeet_tpu.audio.io import read_audio
+from parakeet_tpu.decode.timestamp import FRAME_DURATION_S
 
 CHUNK_SAMPLES = 2560  # 160 ms at 16 kHz (reference CLI cadence, main.cpp:400-417)
 
@@ -37,23 +38,29 @@ def main(argv=None) -> int:
     audio = read_audio(args.audio, target_sample_rate=16000)
     pcm = (np.clip(audio.samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
-    conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
-    conn.putrequest("POST", "/stream")
-    conn.putheader("Transfer-Encoding", "chunked")
-    conn.endheaders()
-
     step = CHUNK_SAMPLES * 2  # bytes per 160 ms chunk
     t0 = time.monotonic()
-    for n, i in enumerate(range(0, len(pcm), step)):
-        chunk = pcm[i : i + step]
-        conn.send(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
-        if not args.no_pace:
-            # sleep until this chunk's real-time deadline
-            target = (n + 1) * CHUNK_SAMPLES / 16000
-            delay = t0 + target - time.monotonic()
-            if delay > 0:
-                time.sleep(delay)
-    conn.send(b"0\r\n\r\n")
+
+    def paced_chunks():
+        for n, i in enumerate(range(0, len(pcm), step)):
+            yield pcm[i : i + step]
+            if not args.no_pace:
+                # sleep until this chunk's real-time deadline
+                target = (n + 1) * CHUNK_SAMPLES / 16000
+                delay = t0 + target - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+
+    conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
+    try:
+        # stdlib does the chunked-transfer framing for a generator body
+        conn.request("POST", "/stream", body=paced_chunks(),
+                     headers={"Transfer-Encoding": "chunked"}, encode_chunked=True)
+    except (BrokenPipeError, ConnectionError, OSError):
+        # the server may reject mid-upload (e.g. 503 all slots busy) and
+        # close the socket while we are still sending — fall through and
+        # read whatever response it wrote
+        pass
 
     resp = conn.getresponse()
     body = resp.read()
@@ -63,7 +70,8 @@ def main(argv=None) -> int:
     payload = json.loads(body)
     print(payload["text"] if payload["text"] else f"(token ids) {payload['token_ids']}")
     for t in payload["tokens"]:
-        print(f"  [{t['start_frame'] * 0.08:6.2f}s - {t['end_frame'] * 0.08:6.2f}s] "
+        print(f"  [{t['start_frame'] * FRAME_DURATION_S:6.2f}s - "
+              f"{t['end_frame'] * FRAME_DURATION_S:6.2f}s] "
               f"({t['confidence']:.2f}) id={t['id']}")
     print(f"# streamed {audio.duration:.1f}s in {time.monotonic() - t0:.1f}s wall",
           file=sys.stderr)

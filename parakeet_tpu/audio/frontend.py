@@ -265,6 +265,32 @@ def _process_chunk_jit(x: jnp.ndarray, cfg: AudioConfig, n_frames: int) -> jnp.n
     return jnp.log(mel + LOG_GUARD)  # no normalization mid-stream
 
 
+def streaming_log_mel_batch(
+    x: jnp.ndarray, prev: jnp.ndarray, cfg: AudioConfig, n_frames: int
+) -> jnp.ndarray:
+    """Batched streaming mel: (B, S) raw samples + (B,) preemphasis
+    carry-in → (B, n_frames, n_mels) unnormalized log-mel, center=False.
+
+    The per-slot frontend of the whole serving cohort as ONE traced
+    computation — StreamingBatchTranscriber(frontend="fused") calls this
+    inside its fused step so a B-stream step pays zero per-slot frontend
+    dispatches (each dispatch is a full round trip on relay-attached TPUs).
+    S must equal (n_frames-1)*hop + win: every step consumes exactly
+    n_frames windows with the (win-hop) overlap inside the slice — the
+    reference's grid-restart-at-consumed semantics (audio.cpp:232-235)
+    applied at a fixed step size. Same math per slot as
+    StreamingAudioPreprocessor.process_chunk fed S-sample pushes."""
+    fb = jnp.asarray(_fb_for(cfg))
+
+    def one(xi, pi):
+        pre = _preemphasis(xi, 0.97, pi)
+        power = _stft_power(pre, cfg, center=False, n_frames=n_frames)
+        mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
+        return jnp.log(mel + LOG_GUARD)
+
+    return jax.vmap(one)(x, prev)
+
+
 class StreamingAudioPreprocessor:
     """Stateful chunk-wise mel frontend (reference: audio.cpp:171-259).
 
@@ -309,5 +335,6 @@ __all__ = [
     "LOG_GUARD",
     "mel_filterbank",
     "preprocess_audio",
+    "streaming_log_mel_batch",
     "StreamingAudioPreprocessor",
 ]

@@ -352,7 +352,7 @@ class StreamingService:
         # enough silence to flush the STFT overlap buffer and reach the next
         # mel-step boundary regardless of current queue fill
         bt.push(sess.slot, [0.0] * ((bt._mel_step + 8) * hop))
-        while bt._queues[sess.slot].shape[0] >= bt._mel_step:
+        while bt._queues[sess.slot].shape[0] >= bt._step_units:
             hold = [i for i in bt.lagging_slots() if i != sess.slot]
             self._step_and_deliver(hold)
         sess._final_text = bt.get_text(sess.slot)

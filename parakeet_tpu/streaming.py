@@ -202,10 +202,25 @@ class StreamingBatchTranscriber:
         config=None,
         *,
         model: str = "eou",  # "eou" | "nemotron" — picks preset + weight schema
+        frontend: str = "per_push",  # "per_push" | "fused" (see below)
         params: dict | None = None,
         mel_frames_per_step: int = 16,  # multiple of 8 (subsampling stride)
         seed: int = 0,
     ):
+        """frontend="per_push": each push() runs the slot's mel frontend
+        (reference StreamingAudioPreprocessor semantics — the mel grid
+        restarts at every push, so output depends on push cadence; one
+        device program per push).
+
+        frontend="fused": push() only buffers RAW samples on the host; the
+        fused batch step slices a fixed `mel_frames_per_step*hop +
+        (win-hop)` samples per slot and computes the WHOLE cohort's mel
+        inside the same jitted program as the encoder/decoder — zero
+        per-slot frontend dispatches, and output is independent of client
+        push cadence (the grid is the internal fixed step). This is the
+        serving configuration (serve.StreamingService capacity numbers are
+        measured with it); numerics per slot equal per_push fed exactly
+        step-sized chunks."""
         from parakeet_tpu.models.streaming_encoder import (
             init_encoder_cache,
             streaming_encoder_chunk,
@@ -215,12 +230,15 @@ class StreamingBatchTranscriber:
             raise ValueError("mel_frames_per_step must be a multiple of 8")
         if model not in ("eou", "nemotron"):
             raise ValueError(f"model must be 'eou' or 'nemotron', got {model!r}")
+        if frontend not in ("per_push", "fused"):
+            raise ValueError(f"frontend must be 'per_push' or 'fused', got {frontend!r}")
         proto_cls = StreamingTranscriber if model == "eou" else NemotronTranscriber
         self.batch = batch
         self.config = config or (
             make_eou_120m_config() if model == "eou" else None
         )
         self._mel_step = mel_frames_per_step
+        self._frontend = frontend
         self._chunk_fn = streaming_encoder_chunk
         self._init_cache_fn = init_encoder_cache
         self._joint_prefix = proto_cls.joint_prefix
@@ -253,15 +271,36 @@ class StreamingBatchTranscriber:
             clamp_end=False,  # streaming decode does not clamp (eou.cpp:81-84)
         )
 
-        def _step_fused(p, mel, cache, last_token, lstm):
-            enc, new_cache = streaming_encoder_chunk(p, mel, cache, cfg=enc_cfg)
-            enc_len = jnp.full((mel.shape[0],), enc.shape[1], jnp.int32)
+        def _decode_pack(p, enc, last_token, lstm):
+            enc_len = jnp.full((enc.shape[0],), enc.shape[1], jnp.int32)
             outs = TR._decode_loop(p, enc, enc_len, last_token, lstm, None, None,
                                    **decode_kw)
             packed = TR._pack_outputs(outs[0], outs[1], outs[2], outs[3], outs[4])
-            return packed, outs[5], outs[6], new_cache
+            return packed, outs[5], outs[6]
+
+        def _step_fused(p, mel, cache, last_token, lstm):
+            enc, new_cache = streaming_encoder_chunk(p, mel, cache, cfg=enc_cfg)
+            packed, last, lstm2 = _decode_pack(p, enc, last_token, lstm)
+            return packed, last, lstm2, new_cache
 
         self._step_fused = jax.jit(_step_fused)
+
+        acfg = self._audio_cfg
+        self._chunk_samples = (
+            mel_frames_per_step * acfg.hop_length + acfg.win_length - acfg.hop_length
+        )
+        if frontend == "fused":
+            from parakeet_tpu.audio.frontend import streaming_log_mel_batch
+
+            n_mel_frames = mel_frames_per_step
+
+            def _step_fused_audio(p, raw, prev, cache, last_token, lstm):
+                mel = streaming_log_mel_batch(raw, prev, acfg, n_mel_frames)
+                enc, new_cache = streaming_encoder_chunk(p, mel, cache, cfg=enc_cfg)
+                packed, last, lstm2 = _decode_pack(p, enc, last_token, lstm)
+                return packed, last, lstm2, new_cache
+
+            self._step_fused_audio = jax.jit(_step_fused_audio)
 
         self.reset()
 
@@ -269,7 +308,12 @@ class StreamingBatchTranscriber:
         cfg = self.config
         self._cache = self._init_cache_fn(cfg.encoder, self.batch)
         self._pre = [StreamingAudioPreprocessor(self._audio_cfg) for _ in range(self.batch)]
-        self._queues = [np.zeros((0, cfg.encoder.mel_bins), np.float32) for _ in range(self.batch)]
+        if self._frontend == "fused":
+            # raw-sample queues; mel is computed inside the fused step
+            self._queues = [np.zeros((0,), np.float32) for _ in range(self.batch)]
+            self._preemph_prev = np.zeros(self.batch, np.float32)
+        else:
+            self._queues = [np.zeros((0, cfg.encoder.mel_bins), np.float32) for _ in range(self.batch)]
         self._last_token = jnp.full((self.batch,), self._blank_id, jnp.int32)
         self._lstm = prediction_zero_state(
             cfg.prediction.num_lstm_layers, self.batch, cfg.prediction.pred_hidden
@@ -288,7 +332,11 @@ class StreamingBatchTranscriber:
         """Clear one stream's state in place and (re)activate it."""
         self._active[slot] = True
         self._pre[slot].reset()
-        self._queues[slot] = np.zeros((0, self.config.encoder.mel_bins), np.float32)
+        if self._frontend == "fused":
+            self._queues[slot] = np.zeros((0,), np.float32)
+            self._preemph_prev[slot] = 0.0
+        else:
+            self._queues[slot] = np.zeros((0, self.config.encoder.mel_bins), np.float32)
         self._cache = {
             "conv": self._cache["conv"].at[:, slot].set(0.0),
             "key": self._cache["key"].at[:, slot].set(0.0),
@@ -302,19 +350,31 @@ class StreamingBatchTranscriber:
         self._frame_offset[slot] = 0
 
     def push(self, slot: int, samples) -> None:
-        """Feed raw PCM to one slot's frontend."""
+        """Feed raw PCM to one slot. per_push: runs the slot's mel frontend
+        now (one device program). fused: host-side buffer only — the mel is
+        computed for the whole cohort inside step()."""
         x = np.asarray(samples)
         if x.dtype == np.int16:
             x = x.astype(np.float32) / 32768.0
-        feats = self._pre[slot].process_chunk(x.astype(np.float32).reshape(-1))
+        x = x.astype(np.float32).reshape(-1)
+        if self._frontend == "fused":
+            self._queues[slot] = np.concatenate([self._queues[slot], x])
+            return
+        feats = self._pre[slot].process_chunk(x)
         if feats is not None:
             self._queues[slot] = np.concatenate(
                 [self._queues[slot], np.asarray(feats)[0]], axis=0
             )
 
+    @property
+    def _step_units(self) -> int:
+        """Queue units one step consumes: mel frames (per_push) or raw
+        samples (fused)."""
+        return self._mel_step if self._frontend == "per_push" else self._chunk_samples
+
     def ready(self) -> bool:
         return any(self._active) and all(
-            q.shape[0] >= self._mel_step
+            q.shape[0] >= self._step_units
             for q, act in zip(self._queues, self._active)
             if act
         )
@@ -324,14 +384,14 @@ class StreamingBatchTranscriber:
         candidates for `step(hold=...)` so they don't stall the cohort."""
         return [
             i for i, (q, act) in enumerate(zip(self._queues, self._active))
-            if act and q.shape[0] < self._mel_step
+            if act and q.shape[0] < self._step_units
         ]
 
     def ready_any(self) -> bool:
         """True when at least one active slot can step (lagging slots can be
         passed as `hold`) — the serving-cadence variant of ready()."""
         return any(
-            act and q.shape[0] >= self._mel_step
+            act and q.shape[0] >= self._step_units
             for q, act in zip(self._queues, self._active)
         )
 
@@ -357,20 +417,28 @@ class StreamingBatchTranscriber:
         if not any(runnable):
             raise RuntimeError("no active un-held slot to step")
         if any(
-            self._queues[i].shape[0] < self._mel_step
+            self._queues[i].shape[0] < self._step_units
             for i, r in enumerate(runnable) if r
         ):
             raise RuntimeError(
-                "not every active un-held slot has enough buffered mel frames; "
+                "not every active un-held slot has enough buffered input; "
                 "check ready()/lagging_slots()"
             )
-        zeros = np.zeros((self._mel_step, self.config.encoder.mel_bins), np.float32)
-        mel = np.stack([
-            q[: self._mel_step] if r else zeros
-            for q, r in zip(self._queues, runnable)
-        ])
+        if self._frontend == "fused":
+            cs = self._chunk_samples
+            zeros = np.zeros((cs,), np.float32)
+            raw = np.stack([
+                q[:cs] if r else zeros for q, r in zip(self._queues, runnable)
+            ])
+            prev = self._preemph_prev.copy()
+        else:
+            zeros = np.zeros((self._mel_step, self.config.encoder.mel_bins), np.float32)
+            mel = np.stack([
+                q[: self._mel_step] if r else zeros
+                for q, r in zip(self._queues, runnable)
+            ])
         self._queues = [
-            q[self._mel_step :] if r else q
+            q[self._step_units :] if r else q
             for q, r in zip(self._queues, runnable)
         ]
         held = sorted(i for i in hold if self._active[i])
@@ -385,9 +453,18 @@ class StreamingBatchTranscriber:
                 "lstm": self._lstm[:, :, idx],
             }
 
-        packed, self._last_token, self._lstm, self._cache = self._step_fused(
-            self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm
-        )
+        if self._frontend == "fused":
+            packed, self._last_token, self._lstm, self._cache = self._step_fused_audio(
+                self.params, jnp.asarray(raw), jnp.asarray(prev),
+                self._cache, self._last_token, self._lstm,
+            )
+            for i, r in enumerate(runnable):
+                if r:  # held/inactive slots keep their preemphasis carry
+                    self._preemph_prev[i] = raw[i, -1]
+        else:
+            packed, self._last_token, self._lstm, self._cache = self._step_fused(
+                self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm
+            )
         if held:
             # un-step the held slots: restore every piece of their state
             self._cache = {

@@ -31,22 +31,39 @@ def bench_one(model: str, batch: int, steps: int, mel_step: int = 16) -> dict:
     from parakeet_tpu.streaming import StreamingBatchTranscriber
 
     bt = StreamingBatchTranscriber(batch, None, None, model=model,
-                                   mel_frames_per_step=mel_step, seed=0)
+                                   mel_frames_per_step=mel_step, seed=0,
+                                   frontend="fused")
     hop = bt._audio_cfg.hop_length
-    step_s = mel_step * hop / bt._audio_cfg.sample_rate  # audio seconds/step
+    win = bt._audio_cfg.win_length
+    # The streaming frontend's grid-restart-at-consumed semantics (inherited
+    # from the reference, audio.cpp:232-235) re-pay the (win-hop) window
+    # overlap on every push: exactly mel_step frames come out of
+    # mel_step*hop + (win-hop) samples, with zero queue drift. That is the
+    # honest audio-seconds-per-step for real-time capacity.
+    chunk_samples = mel_step * hop + (win - hop)
+    step_s = chunk_samples / bt._audio_cfg.sample_rate
     rng = np.random.RandomState(0)
-    # pre-buffer enough mel frames for warmup + timed steps in every slot
-    need_samples = (steps + 8) * mel_step * hop + 16000
+    audio = (0.05 * rng.randn((steps + 12) * chunk_samples + 16000)).astype(np.float32)
+    # small pre-buffer so the queue never runs a slot dry mid-loop
     for slot in range(batch):
-        bt.push(slot, (0.05 * rng.randn(need_samples)).astype(np.float32))
+        bt.push(slot, audio[: 4 * chunk_samples])
+    pos = 4 * chunk_samples
 
-    for _ in range(4):  # warmup: compile encoder chunk + decode loop
+    for _ in range(3):  # warmup: compile encoder chunk + decode loop
+        for slot in range(batch):
+            bt.push(slot, audio[pos : pos + chunk_samples])
+        pos += chunk_samples
         bt.step()
-    # synchronize: token lists are host-side already (step fetches), so the
-    # wall clock below includes every host<->device round trip per step —
-    # exactly what a serving worker pays
+    # The timed loop is the FULL serving step: per-slot raw-audio feed
+    # through the mel frontend (one device program per slot — a real cost
+    # on relay-attached TPUs) + the fused batched encoder/decode step +
+    # the single host fetch. Token lists land host-side each step, so the
+    # wall clock includes every host<->device round trip a worker pays.
     t0 = time.perf_counter()
     for _ in range(steps):
+        for slot in range(batch):
+            bt.push(slot, audio[pos : pos + chunk_samples])
+        pos += chunk_samples
         bt.step()
     dt = (time.perf_counter() - t0) / steps
     streams = batch * step_s / dt

@@ -55,7 +55,6 @@ CONFIGS: list[tuple[str, str]] = [
 
 
 def run_one(name: str, flags: str, args) -> dict:
-    env = dict(os.environ)
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"),
         "--no-e2e", "--batch", str(args.batch), "--iters", str(args.iters),
@@ -63,8 +62,14 @@ def run_one(name: str, flags: str, args) -> dict:
     if flags:
         cmd += ["--compiler-options", flags]
     t0 = time.time()
-    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True, text=True,
-                          timeout=900)
+    try:
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                              timeout=900)
+    except subprocess.TimeoutExpired:
+        # a pathological flag can hang the remote compile — record it and
+        # keep sweeping the remaining configs
+        return {"config": name, "flags": flags, "ms_fwd": None, "rtfx": None,
+                "rc": None, "timeout": True, "wall_s": round(time.time() - t0, 1)}
     wall = time.time() - t0
     ms = rtfx = None
     m = re.search(r"batch \d+: ([\d.]+) ms/forward, RTFx (\d+)", proc.stderr)

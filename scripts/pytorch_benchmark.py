@@ -32,28 +32,32 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 
+#: FastConformer-encoder subset of parakeet_tpu.benchmark.MODELS (the torch
+#: reference implements the encoder only; sortformer's transformer head is
+#: out of scope here)
 MODELS = ("110m", "tdt-600m", "rnnt-600m")
 
 
 def get_encoder_cfg(model: str):
     from parakeet_tpu import config as C
+    from parakeet_tpu.benchmark import MODELS as _BENCH_MODELS
 
-    if model == "110m":
-        return C.make_110m_config().encoder
-    if model == "tdt-600m":
-        return C.make_tdt_600m_config().encoder
-    if model == "rnnt-600m":
-        return C.make_rnnt_600m_config().encoder
-    raise SystemExit(f"unknown model {model!r}; choose from {MODELS}")
+    if model not in MODELS:
+        raise SystemExit(f"unknown model {model!r}; choose from {MODELS}")
+    factory_name, enc_attr = _BENCH_MODELS[model]  # single dispatch table
+    return getattr(getattr(C, factory_name)(), enc_attr)
 
 
 def bench_torch_encoder(params, cfg, feats_np, runs: int = 5, warmup: int = 2):
-    """Time torch_ref.torch_encoder on CPU. Returns dict with mean/std ms."""
+    """Time torch_ref.torch_encoder on CPU. Returns dict with mean/std ms.
+    Callers benchmarking several durations should pre-convert params with
+    to_torch_params once (t() passes torch tensors through)."""
     import torch
 
     from parakeet_tpu.tools.torch_ref import to_torch_params, torch_encoder
 
-    params = to_torch_params(params)  # conversion excluded from timing
+    if not all(isinstance(v, torch.Tensor) for v in params.values()):
+        params = to_torch_params(params)  # conversion excluded from timing
     x = torch.from_numpy(feats_np)
     with torch.no_grad():
         for _ in range(warmup):
@@ -108,12 +112,13 @@ def main() -> int:
     ap.add_argument("--json", action="store_true", help="emit one JSON line per row")
     args = ap.parse_args()
 
-    if args.jax_cpu:
-        # must happen before any jax backend use; the TPU plugin ignores
-        # JAX_PLATFORMS env (CLAUDE.md), config update is the reliable path
-        import jax
+    # This is a CPU benchmark: force the CPU backend unconditionally BEFORE
+    # any jax use (the TPU plugin ignores JAX_PLATFORMS env — CLAUDE.md).
+    # Without this, load_params would init every weight on the relay TPU
+    # and the np.asarray fetch below would pay hundreds of round trips.
+    import jax
 
-        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
     import torch
 
@@ -126,6 +131,9 @@ def main() -> int:
     spec = P.encoder_spec(cfg, "encoder_")
     params = P.load_params(spec, args.weights, warn=lambda m: print(f"# {m}", file=sys.stderr))
     params = {k: np.asarray(v) for k, v in params.items()}
+    from parakeet_tpu.tools.torch_ref import to_torch_params
+
+    torch_params = to_torch_params(params)  # once, outside every timed sweep
 
     print(f"# {args.model}: {cfg.num_layers} layers, d={cfg.hidden_size}, "
           f"{cfg.mel_bins} mel; torch {torch.__version__}, "
@@ -135,7 +143,7 @@ def main() -> int:
     for secs in args.secs:
         feats = np.random.RandomState(0).randn(
             args.batch, secs * 100, cfg.mel_bins).astype(np.float32)
-        r = bench_torch_encoder(params, cfg, feats, runs=args.runs, warmup=args.warmup)
+        r = bench_torch_encoder(torch_params, cfg, feats, runs=args.runs, warmup=args.warmup)
         audio_s = args.batch * secs
         row = {
             "engine": "torch-cpu", "model": args.model, "secs": secs,

@@ -443,3 +443,61 @@ def test_streaming_batch_nemotron_model():
 
     with pytest.raises(ValueError, match="model must be"):
         StreamingBatchTranscriber(1, None, None, cfg, model="bogus")
+
+
+def test_streaming_batch_fused_frontend():
+    """frontend='fused': push() buffers raw samples only; the step slices a
+    fixed chunk and runs mel+encoder+decode as ONE program. Must be (a)
+    independent of client push cadence, (b) token-identical to per_push fed
+    exactly step-sized chunks, (c) hold-safe, batch==single."""
+    from parakeet_tpu.streaming import StreamingBatchTranscriber
+
+    cfg = C.EOUConfig(
+        encoder=tiny_streaming_cfg(att_context_right=0),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=13),
+        ctc_vocab_size=13,
+    )
+    rng = np.random.RandomState(55)
+    audio_a = (rng.randn(12800) * 0.1).astype(np.float32)
+    audio_b = (rng.randn(12800) * 0.1).astype(np.float32)
+
+    fus = StreamingBatchTranscriber(2, None, None, cfg, seed=31,
+                                    mel_frames_per_step=16, frontend="fused")
+    cs = fus._chunk_samples
+    assert cs == 16 * 160 + 240
+
+    # (a)+(c): batch fused with arbitrary cadences + holds
+    fus.push(0, audio_a)  # one blob
+    for s in range(0, 12800, 999):  # pathological odd chunks
+        fus.push(1, audio_b[s : s + 999])
+        while fus.ready_any():
+            fus.step(hold=fus.lagging_slots())
+    while fus.ready_any():
+        fus.step(hold=fus.lagging_slots())
+
+    # single-slot fused reference, different cadence again
+    ref = StreamingBatchTranscriber(1, None, None, cfg, seed=31,
+                                    mel_frames_per_step=16, frontend="fused")
+    for s in range(0, 12800, 3200):
+        ref.push(0, audio_a[s : s + 3200])
+        while ref.ready():
+            ref.step()
+    assert fus._tokens[0] == ref._tokens[0], "fused must be cadence-independent"
+
+    # (b): per_push fed EXACTLY cs-sized pushes has the same mel grid
+    pp = StreamingBatchTranscriber(1, None, None, cfg, seed=31,
+                                   mel_frames_per_step=16, frontend="per_push")
+    for s in range(0, (12800 // cs) * cs, cs):
+        pp.push(0, audio_b[s : s + cs])
+        while pp.ready():
+            pp.step()
+    ref_b = StreamingBatchTranscriber(1, None, None, cfg, seed=31,
+                                      mel_frames_per_step=16, frontend="fused")
+    ref_b.push(0, audio_b[: (12800 // cs) * cs])
+    while ref_b.ready():
+        ref_b.step()
+    assert ref_b._tokens[0] == pp._tokens[0], "fused grid == per_push at step-sized pushes"
+
+    with pytest.raises(ValueError, match="frontend must be"):
+        StreamingBatchTranscriber(1, None, None, cfg, frontend="bogus")
