@@ -198,7 +198,7 @@ def main(argv=None) -> int:
         sweights = None if args.random_weights else args.streaming_weights
         bt = StreamingBatchTranscriber(args.stream_slots, sweights, vocab,
                                        model=args.streaming_model,
-                                       frontend="fused")
+                                       frontend="fused", wire_dtype="int16")
         stream_service = StreamingService(bt, stall_timeout_s=args.stream_stall_s)
 
     httpd = make_server(service, stream_service, host=args.host, port=args.port,

@@ -203,6 +203,7 @@ class StreamingBatchTranscriber:
         *,
         model: str = "eou",  # "eou" | "nemotron" — picks preset + weight schema
         frontend: str = "per_push",  # "per_push" | "fused" (see below)
+        wire_dtype: str = "float32",  # "float32" | "int16" (fused only)
         params: dict | None = None,
         mel_frames_per_step: int = 16,  # multiple of 8 (subsampling stride)
         seed: int = 0,
@@ -220,7 +221,14 @@ class StreamingBatchTranscriber:
         push cadence (the grid is the internal fixed step). This is the
         serving configuration (serve.StreamingService capacity numbers are
         measured with it); numerics per slot equal per_push fed exactly
-        step-sized chunks."""
+        step-sized chunks.
+
+        wire_dtype="int16" (fused only): raw queues and the per-step device
+        upload stay s16le — HALF the host→device bytes (the upload is the
+        dominant batch-scaling cost on tunnel-attached TPUs), converted to
+        float on device exactly like the int16 read path (x/32768).
+        Numerics identical for clients that feed int16 PCM (what
+        /stream receives); float inputs are quantized to int16 on push."""
         from parakeet_tpu.models.streaming_encoder import (
             init_encoder_cache,
             streaming_encoder_chunk,
@@ -232,6 +240,10 @@ class StreamingBatchTranscriber:
             raise ValueError(f"model must be 'eou' or 'nemotron', got {model!r}")
         if frontend not in ("per_push", "fused"):
             raise ValueError(f"frontend must be 'per_push' or 'fused', got {frontend!r}")
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be 'float32' or 'int16', got {wire_dtype!r}")
+        if wire_dtype == "int16" and frontend != "fused":
+            raise ValueError("wire_dtype='int16' requires frontend='fused'")
         proto_cls = StreamingTranscriber if model == "eou" else NemotronTranscriber
         self.batch = batch
         self.config = config or (
@@ -239,6 +251,7 @@ class StreamingBatchTranscriber:
         )
         self._mel_step = mel_frames_per_step
         self._frontend = frontend
+        self._wire_dtype = np.int16 if wire_dtype == "int16" else np.float32
         self._chunk_fn = streaming_encoder_chunk
         self._init_cache_fn = init_encoder_cache
         self._joint_prefix = proto_cls.joint_prefix
@@ -295,6 +308,8 @@ class StreamingBatchTranscriber:
             n_mel_frames = mel_frames_per_step
 
             def _step_fused_audio(p, raw, prev, cache, last_token, lstm):
+                if raw.dtype == jnp.int16:
+                    raw = raw.astype(jnp.float32) / 32768.0
                 mel = streaming_log_mel_batch(raw, prev, acfg, n_mel_frames)
                 enc, new_cache = streaming_encoder_chunk(p, mel, cache, cfg=enc_cfg)
                 packed, last, lstm2 = _decode_pack(p, enc, last_token, lstm)
@@ -310,7 +325,7 @@ class StreamingBatchTranscriber:
         self._pre = [StreamingAudioPreprocessor(self._audio_cfg) for _ in range(self.batch)]
         if self._frontend == "fused":
             # raw-sample queues; mel is computed inside the fused step
-            self._queues = [np.zeros((0,), np.float32) for _ in range(self.batch)]
+            self._queues = [np.zeros((0,), self._wire_dtype) for _ in range(self.batch)]
             self._preemph_prev = np.zeros(self.batch, np.float32)
         else:
             self._queues = [np.zeros((0, cfg.encoder.mel_bins), np.float32) for _ in range(self.batch)]
@@ -333,7 +348,7 @@ class StreamingBatchTranscriber:
         self._active[slot] = True
         self._pre[slot].reset()
         if self._frontend == "fused":
-            self._queues[slot] = np.zeros((0,), np.float32)
+            self._queues[slot] = np.zeros((0,), self._wire_dtype)
             self._preemph_prev[slot] = 0.0
         else:
             self._queues[slot] = np.zeros((0, self.config.encoder.mel_bins), np.float32)
@@ -353,10 +368,15 @@ class StreamingBatchTranscriber:
         """Feed raw PCM to one slot. per_push: runs the slot's mel frontend
         now (one device program). fused: host-side buffer only — the mel is
         computed for the whole cohort inside step()."""
-        x = np.asarray(samples)
+        x = np.asarray(samples).reshape(-1)
+        if self._frontend == "fused" and self._wire_dtype == np.int16:
+            if x.dtype != np.int16:  # float callers: quantize to the wire
+                x = np.clip(x.astype(np.float32) * 32768.0, -32768, 32767).astype(np.int16)
+            self._queues[slot] = np.concatenate([self._queues[slot], x])
+            return
         if x.dtype == np.int16:
             x = x.astype(np.float32) / 32768.0
-        x = x.astype(np.float32).reshape(-1)
+        x = x.astype(np.float32)
         if self._frontend == "fused":
             self._queues[slot] = np.concatenate([self._queues[slot], x])
             return
@@ -426,7 +446,7 @@ class StreamingBatchTranscriber:
             )
         if self._frontend == "fused":
             cs = self._chunk_samples
-            zeros = np.zeros((cs,), np.float32)
+            zeros = np.zeros((cs,), self._wire_dtype)
             raw = np.stack([
                 q[:cs] if r else zeros for q, r in zip(self._queues, runnable)
             ])
@@ -460,7 +480,10 @@ class StreamingBatchTranscriber:
             )
             for i, r in enumerate(runnable):
                 if r:  # held/inactive slots keep their preemphasis carry
-                    self._preemph_prev[i] = raw[i, -1]
+                    last = raw[i, -1]
+                    self._preemph_prev[i] = (
+                        last / 32768.0 if raw.dtype == np.int16 else last
+                    )
         else:
             packed, self._last_token, self._lstm, self._cache = self._step_fused(
                 self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm

@@ -27,12 +27,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 
 
-def bench_one(model: str, batch: int, steps: int, mel_step: int = 16) -> dict:
+def bench_one(model: str, batch: int, steps: int, mel_step: int = 16,
+              wire_dtype: str = "int16") -> dict:
     from parakeet_tpu.streaming import StreamingBatchTranscriber
 
     bt = StreamingBatchTranscriber(batch, None, None, model=model,
                                    mel_frames_per_step=mel_step, seed=0,
-                                   frontend="fused")
+                                   frontend="fused", wire_dtype=wire_dtype)
     hop = bt._audio_cfg.hop_length
     win = bt._audio_cfg.win_length
     # The streaming frontend's grid-restart-at-consumed semantics (inherited
@@ -44,6 +45,8 @@ def bench_one(model: str, batch: int, steps: int, mel_step: int = 16) -> dict:
     step_s = chunk_samples / bt._audio_cfg.sample_rate
     rng = np.random.RandomState(0)
     audio = (0.05 * rng.randn((steps + 12) * chunk_samples + 16000)).astype(np.float32)
+    if wire_dtype == "int16":
+        audio = (audio * 32768.0).clip(-32768, 32767).astype(np.int16)
     # small pre-buffer so the queue never runs a slot dry mid-loop
     for slot in range(batch):
         bt.push(slot, audio[: 4 * chunk_samples])
@@ -79,10 +82,12 @@ def main() -> int:
     ap.add_argument("--model", default="eou", choices=["eou", "nemotron"])
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32, 64])
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--wire-dtype", default="int16", choices=["float32", "int16"],
+                    help="raw-audio upload dtype (int16 = serving config, half the bytes)")
     args = ap.parse_args()
 
     for b in args.batches:
-        rec = bench_one(args.model, b, args.steps)
+        rec = bench_one(args.model, b, args.steps, wire_dtype=args.wire_dtype)
         print(json.dumps(rec), flush=True)
     return 0
 

@@ -501,3 +501,33 @@ def test_streaming_batch_fused_frontend():
 
     with pytest.raises(ValueError, match="frontend must be"):
         StreamingBatchTranscriber(1, None, None, cfg, frontend="bogus")
+
+
+def test_streaming_batch_int16_wire():
+    """wire_dtype='int16' (fused): int16 PCM clients get bit-identical
+    tokens to the float32 wire — int16→f32 and /32768 are exact — with half
+    the per-step upload bytes."""
+    from parakeet_tpu.streaming import StreamingBatchTranscriber
+
+    cfg = C.EOUConfig(
+        encoder=tiny_streaming_cfg(att_context_right=0),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=13),
+        ctc_vocab_size=13,
+    )
+    rng = np.random.RandomState(66)
+    pcm = (rng.randn(12800) * 3000).astype(np.int16)
+
+    def run(wire):
+        bt = StreamingBatchTranscriber(1, None, None, cfg, seed=31,
+                                       mel_frames_per_step=16,
+                                       frontend="fused", wire_dtype=wire)
+        bt.push(0, pcm)
+        while bt.ready():
+            bt.step()
+        return list(bt._tokens[0])
+
+    assert run("int16") == run("float32")
+
+    with pytest.raises(ValueError, match="requires frontend"):
+        StreamingBatchTranscriber(1, None, None, cfg, wire_dtype="int16")
