@@ -257,12 +257,20 @@ def preprocess_audio_fused(samples, config: AudioConfig = AudioConfig()) -> jnp.
 # ─── Streaming ───────────────────────────────────────────────────────────────
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _process_chunk_jit(x: jnp.ndarray, cfg: AudioConfig, n_frames: int) -> jnp.ndarray:
+def _streaming_log_mel(x: jnp.ndarray, cfg: AudioConfig, n_frames: int) -> jnp.ndarray:
+    """center=False power → Slaney fb matmul (HIGHEST) → log guard; no
+    normalization mid-stream. THE streaming mel body — both the per-push
+    path and the batched fused path call this, so their numerics cannot
+    drift."""
     power = _stft_power(x, cfg, center=False, n_frames=n_frames)
     fb = jnp.asarray(_fb_for(cfg))
     mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
-    return jnp.log(mel + LOG_GUARD)  # no normalization mid-stream
+    return jnp.log(mel + LOG_GUARD)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _process_chunk_jit(x: jnp.ndarray, cfg: AudioConfig, n_frames: int) -> jnp.ndarray:
+    return _streaming_log_mel(x, cfg, n_frames)
 
 
 def streaming_log_mel_batch(
@@ -280,13 +288,18 @@ def streaming_log_mel_batch(
     reference's grid-restart-at-consumed semantics (audio.cpp:232-235)
     applied at a fixed step size. Same math per slot as
     StreamingAudioPreprocessor.process_chunk fed S-sample pushes."""
-    fb = jnp.asarray(_fb_for(cfg))
+    need = (n_frames - 1) * cfg.hop_length + cfg.win_length
+    if x.shape[1] != need:
+        # JAX clamps out-of-bounds gather indices, so a short buffer would
+        # silently build the last frames from repeated edge samples
+        raise ValueError(
+            f"streaming_log_mel_batch needs exactly (n_frames-1)*hop + win "
+            f"= {need} samples per row, got {x.shape[1]}"
+        )
 
     def one(xi, pi):
         pre = _preemphasis(xi, 0.97, pi)
-        power = _stft_power(pre, cfg, center=False, n_frames=n_frames)
-        mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
-        return jnp.log(mel + LOG_GUARD)
+        return _streaming_log_mel(pre, cfg, n_frames)
 
     return jax.vmap(one)(x, prev)
 

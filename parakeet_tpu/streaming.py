@@ -185,11 +185,13 @@ class StreamingBatchTranscriber:
     """Serve B concurrent streaming sessions in lockstep (TPU addition —
     the reference is strictly single-stream).
 
-    Fixed B slots share ONE compiled encoder-chunk program and ONE jitted
-    decode loop. Each slot has its own mel preprocessor and frame queue;
-    `ready()`/`step()` run a uniform batch step once every ACTIVE slot has
-    ≥ `mel_frames_per_step` mel frames buffered. Inactive slots feed zero
-    frames and their decoded tokens are discarded. Streams leave with
+    Fixed B slots share ONE compiled program per step. Two frontend modes
+    (see __init__): per_push — each slot has its own mel preprocessor and
+    a mel-frame queue, step readiness = `mel_frames_per_step` frames
+    buffered; fused (the serving configuration) — slots hold RAW-sample
+    queues, readiness = `_chunk_samples` raw samples, and the whole
+    cohort's mel is computed inside the fused step. Inactive slots feed
+    zeros and their decoded tokens are discarded. Streams leave with
     `deactivate_slot(i)` and (re)join with `reset_slot(i)` — both are
     in-place state edits; nothing recompiles.
     """
@@ -322,7 +324,12 @@ class StreamingBatchTranscriber:
     def reset(self) -> None:
         cfg = self.config
         self._cache = self._init_cache_fn(cfg.encoder, self.batch)
-        self._pre = [StreamingAudioPreprocessor(self._audio_cfg) for _ in range(self.batch)]
+        # fused mode never touches per-slot preprocessors (the carry lives
+        # in _preemph_prev; mel runs on device) — don't allocate dead state
+        self._pre = (
+            [] if self._frontend == "fused"
+            else [StreamingAudioPreprocessor(self._audio_cfg) for _ in range(self.batch)]
+        )
         if self._frontend == "fused":
             # raw-sample queues; mel is computed inside the fused step
             self._queues = [np.zeros((0,), self._wire_dtype) for _ in range(self.batch)]
@@ -346,7 +353,8 @@ class StreamingBatchTranscriber:
     def reset_slot(self, slot: int) -> None:
         """Clear one stream's state in place and (re)activate it."""
         self._active[slot] = True
-        self._pre[slot].reset()
+        if self._frontend == "per_push":
+            self._pre[slot].reset()
         if self._frontend == "fused":
             self._queues[slot] = np.zeros((0,), self._wire_dtype)
             self._preemph_prev[slot] = 0.0

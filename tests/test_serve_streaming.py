@@ -142,3 +142,35 @@ def test_streaming_service_close_flushes_all(cfg):
     svc.close()  # service-level close must flush the live session
     assert s.closed
     assert s.tokens() == ref
+
+
+def test_streaming_service_fused_int16_production_config(cfg):
+    """The production serving configuration (frontend='fused',
+    wire_dtype='int16' — what serve_http hardcodes) through the FULL
+    service lifecycle: open/feed int16/close-flush, hold handling, and
+    equivalence with a direct fused run of the same audio."""
+    rng = np.random.RandomState(23)
+    pcm = (rng.randn(12800) * 3000).astype(np.int16)
+
+    def make_bt(batch):
+        return StreamingBatchTranscriber(batch, None, None, cfg, seed=31,
+                                         mel_frames_per_step=MEL_STEP,
+                                         frontend="fused", wire_dtype="int16")
+
+    # direct reference incl. the service's close-flush silence (fused mode
+    # is push-cadence independent, so one blob is fine)
+    ref = make_bt(1)
+    ref.push(0, pcm)
+    ref.push(0, np.zeros(FLUSH, np.float32))
+    while ref.ready():
+        ref.step()
+    ref_tokens = list(ref._tokens[0])
+
+    with StreamingService(make_bt(2), poll_ms=1.0) as svc:
+        s = svc.open()
+        for i in range(0, len(pcm), 3200):
+            s.feed(pcm[i : i + 3200])
+        final = s.close()
+        assert s.tokens() == ref_tokens
+        assert final == ""  # random weights: tokenizer not loaded
+        assert svc.free_slots == 2
