@@ -50,6 +50,30 @@ def _is_sentence_end(word: str) -> bool:
     return bool(word) and word[-1] in ".?!"
 
 
+def group_token_words(
+    tokens: list[TimestampedToken], pieces: list[str] | None
+) -> list[list[TimestampedToken]]:
+    """Group timestamped tokens into word-level token lists using the SAME
+    SentencePiece boundary rule as group_timestamps (a word starts at a
+    ▁-prefixed piece). Unlike group_timestamps this KEEPS every token
+    (out-of-range ids become continuations) — it exists for consumers that
+    need word-granular ownership of raw tokens (transcribe_long's
+    seam-ownership merge), not display strings. pieces=None → every token
+    is its own "word"."""
+    words: list[list[TimestampedToken]] = []
+    for t in tokens:
+        starts_word = (
+            pieces is None
+            or not words
+            or (0 <= t.token_id < len(pieces) and pieces[t.token_id].startswith(SP_MARKER))
+        )
+        if starts_word:
+            words.append([t])
+        else:
+            words[-1].append(t)
+    return words
+
+
 def group_timestamps(
     tokens: list[TimestampedToken],
     pieces: list[str],
@@ -122,6 +146,7 @@ def group_timestamps(
 
 
 __all__ = [
+    "group_token_words",
     "FRAME_DURATION_S",
     "frame_to_seconds",
     "TimestampedToken",

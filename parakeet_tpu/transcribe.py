@@ -39,6 +39,7 @@ from parakeet_tpu.decode.timestamp import (
     TimestampMode,
     WordTimestamp,
     group_timestamps,
+    group_token_words,
 )
 from parakeet_tpu.decode.transducer import transducer_greedy_decode
 from parakeet_tpu.models.ctc import (
@@ -212,7 +213,14 @@ class _TranscriberBase:
             return read_audio(source, self._audio_cfg.sample_rate).samples
         if isinstance(source, (bytes, bytearray)):
             return read_audio(bytes(source), self._audio_cfg.sample_rate).samples
-        return np.asarray(source, np.float32).reshape(-1)
+        arr = np.asarray(source)
+        if arr.dtype == np.int16 or arr.ndim > 1:
+            # int16 needs the 1/32768 scaling and (frames, channels) arrays
+            # need a downmix — blind reshape(-1) would interleave channels
+            # into spectrally corrupted "mono"; read_audio's raw-PCM overload
+            # handles both (and rejects >2-D)
+            return read_audio(arr, sample_rate=self._audio_cfg.sample_rate).samples
+        return arr.astype(np.float32).reshape(-1)
 
     # ── Public API ───────────────────────────────────────────────────────
 
@@ -247,8 +255,8 @@ class _TranscriberBase:
         compiled programs (e.g. 200 ≙ 2 s granularity); None = exact length
         (one compile per distinct max length)."""
         opts = opts or TranscribeOptions()
-        if self.has_ctc is False and opts.decoder == Decoder.CTC:
-            raise ValueError("this model has no CTC head; use Decoder.TDT")
+        if not sources:
+            return []
 
         waves = [self._to_samples(s) for s in sources]
         if len(waves) > 1:
@@ -309,6 +317,18 @@ class _TranscriberBase:
         pad_to_multiple: int | None = None,
     ) -> list[TranscribeResult]:
         n = len(mel_lens)
+        if n == 0:
+            return []
+        # validate BEFORE any device work: every public entry point funnels
+        # here, and the first encoder dispatch can cost a 30-120 s remote
+        # compile — option errors must be free
+        if opts.decoder == Decoder.CTC and not self.has_ctc:
+            raise ValueError("this model has no CTC head; use Decoder.TDT")
+        if opts.beam_size > 0 and opts.boost_phrases:
+            raise ValueError(
+                "phrase boosting composes with greedy decode only; "
+                "use beam_size=0 with boost_phrases"
+            )
         t_max = batch.shape[1]
         pad_t = 0
         if pad_to_multiple:
@@ -340,12 +360,7 @@ class _TranscriberBase:
 
         if opts.decoder == Decoder.CTC:
             _, log_probs = self._encode_ctc(self.params, feats_j, lengths)
-            if opts.beam_size > 0:
-                if trie is not None:
-                    raise ValueError(
-                        "phrase boosting composes with greedy CTC only; "
-                        "use beam_size=0 with boost_phrases"
-                    )
+            if opts.beam_size > 0:  # beam x boost rejected above
                 return self._ctc_beam_results(log_probs, enc_lens, opts, n)
             if opts.timestamps:
                 if trie is not None:
@@ -365,12 +380,7 @@ class _TranscriberBase:
 
         # Transducer path (TDT or RNNT)
         enc = self._encode(self.params, feats_j, lengths)
-        if opts.beam_size > 0:
-            if trie is not None:
-                raise ValueError(
-                    "phrase boosting composes with greedy decode only; "
-                    "use beam_size=0 with boost_phrases"
-                )
+        if opts.beam_size > 0:  # beam x boost rejected above
             return self._transducer_beam_results(enc, enc_lens, opts, n)
         boost = trie.device_boost(self.config.joint.vocab_size, enc.shape[0], opts.boost_score) if trie else None
         res = transducer_greedy_decode(
@@ -478,6 +488,12 @@ class _TranscriberBase:
         window we keep tokens whose START falls in its exclusive half of
         the overlap, so every instant is owned by exactly one window.
         """
+        if overlap_s < 0 or overlap_s >= window_s:
+            # hop <= 0 would silently decode nothing (negative) or crash
+            # in range() (zero)
+            raise ValueError(
+                f"overlap_s ({overlap_s}) must be >= 0 and < window_s ({window_s})"
+            )
         samples = self._to_samples(source)
         sr = self._audio_cfg.sample_rate
         win = int(window_s * sr)
@@ -489,53 +505,57 @@ class _TranscriberBase:
                 timestamp_mode=timestamp_mode,
             )
 
-        starts = list(range(0, len(samples), hop))
+        # A trailing sliver window is redundant ONLY when the previous
+        # window already reaches the end of the audio (its keep_hi is then
+        # unbounded); otherwise the sliver must run or its words would be
+        # owned by no window.
+        starts = []
+        for s0 in range(0, len(samples), hop):
+            if (len(samples) - s0 < sr // 4 and starts
+                    and starts[-1] + win >= len(samples)):
+                break
+            starts.append(s0)
+            if s0 + win >= len(samples):
+                break
+
         # ownership is WORD-level: a window owns every word whose start falls
         # in its exclusive half of the overlap, and contributes that word's
         # tokens wholesale — a word straddling the seam can't be split across
         # two windows' (possibly disagreeing) decodes. Without a tokenizer,
-        # every token is its own "word" (token-level ownership).
+        # every token is its own "word" (token-level ownership). Word
+        # boundary rule shared with group_timestamps (group_token_words).
         pieces = self.tokenizer.pieces if self.tokenizer.loaded else None
-        owned_words: list[list[TimestampedToken]] = []
         opts = TranscribeOptions(decoder, True, list(boost_phrases or []), boost_score)
-        for wi, s0 in enumerate(starts):
-            chunk = samples[s0 : s0 + win]
-            if len(chunk) < sr // 4 and wi > 0:  # ignore a trailing sliver
-                break
-            res = self.transcribe_batch([chunk], opts)[0]
+        # ONE batched device call for all windows (they pad to a uniform
+        # length inside transcribe_batch) instead of a dispatch per window
+        results = self.transcribe_batch(
+            [samples[s0 : s0 + win] for s0 in starts], opts
+        )
+
+        owned_words: list[list[TimestampedToken]] = []
+        for wi, (s0, res) in enumerate(zip(starts, results)):
             offset_s = s0 / sr
             # exclusive ownership range for this window (in seconds, absolute)
             keep_lo = 0.0 if wi == 0 else offset_s + overlap_s / 2.0
             keep_hi = (
                 float("inf")
-                if s0 + win >= len(samples)
+                if s0 + win >= len(samples) or wi == len(starts) - 1
                 else offset_s + window_s - overlap_s / 2.0
             )
             frame_off = int(round(offset_s / FRAME_DURATION_S))
-
-            words: list[list[TimestampedToken]] = []
-            for t in res.timestamped_tokens:
-                shifted = TimestampedToken(
+            shifted = [
+                TimestampedToken(
                     t.token_id,
                     t.start_frame + frame_off,
                     t.end_frame + frame_off,
                     t.confidence,
                 )
-                word_start = (
-                    pieces is None
-                    or not words
-                    or (t.token_id < len(pieces) and pieces[t.token_id].startswith("▁"))
-                )
-                if word_start:
-                    words.append([shifted])
-                else:
-                    words[-1].append(shifted)
-            for word in words:
+                for t in res.timestamped_tokens
+            ]
+            for word in group_token_words(shifted, pieces):
                 abs_start_s = word[0].start_frame * FRAME_DURATION_S
                 if keep_lo <= abs_start_s < keep_hi:
                     owned_words.append(word)
-            if s0 + win >= len(samples):
-                break
         owned_words.sort(key=lambda w: w[0].start_frame)
         merged = [t for w in owned_words for t in w]
         return self._result_from_ts(merged, timestamp_mode)

@@ -95,15 +95,17 @@ def test_word_straddling_ownership_boundary(tmp_path):
     calls = []
 
     def fake_batch(sources, opts=None, **kw):
-        calls.append(len(sources[0]))
-        toks = win0 if len(calls) == 1 else win1
-        return [TranscribeResult(timestamped_tokens=toks)]
+        # transcribe_long batches ALL windows into ONE device call
+        calls.append([len(s) for s in sources])
+        per_window = [win0, win1]
+        return [TranscribeResult(timestamped_tokens=per_window[i])
+                for i in range(len(sources))]
 
     tr.transcribe_batch = fake_batch
     audio = np.zeros(3 * 16000, np.float32)
     res = tr.transcribe_long(audio, Decoder.CTC, window_s=2.0, overlap_s=1.0)
 
-    assert len(calls) == 2
+    assert calls == [[32000, 32000]]  # one batched call, both windows
     got = [(t.token_id, t.start_frame) for t in res.timestamped_tokens]
     assert got == [(0, 17), (1, 20), (2, 35)], got  # word intact, once
     assert res.text == "portrait hello"
@@ -139,3 +141,49 @@ def test_sentences_mode_through_facade(tmp_path):
     ]
     if any(w.word.rstrip().endswith((".", "?", "!")) for w in words.word_timestamps):
         assert len(sents.word_timestamps) <= len(words.word_timestamps)
+
+
+def test_transcribe_long_validates_overlap(tiny):
+    audio = np.zeros(16000, np.float32)
+    with pytest.raises(ValueError, match="overlap_s"):
+        tiny.transcribe_long(audio, window_s=2.0, overlap_s=2.0)
+    with pytest.raises(ValueError, match="overlap_s"):
+        tiny.transcribe_long(audio, window_s=2.0, overlap_s=5.0)
+    with pytest.raises(ValueError, match="overlap_s"):
+        tiny.transcribe_long(audio, window_s=2.0, overlap_s=-1.0)
+
+
+def test_transcribe_batch_empty_and_stereo_and_int16(tiny):
+    """Facade input hygiene (review findings): empty batch returns [],
+    (frames, channels) arrays downmix, int16 arrays scale."""
+    assert tiny.transcribe_batch([]) == []
+
+    rng = np.random.RandomState(5)
+    mono = (0.1 * rng.randn(8000)).astype(np.float32)
+    ref = tiny.transcribe(mono, Decoder.CTC)
+    stereo = np.stack([mono, mono], axis=1)
+    assert tiny.transcribe(stereo, Decoder.CTC).token_ids == ref.token_ids
+    i16 = (mono * 32768.0).clip(-32768, 32767).astype(np.int16)
+    got = tiny.transcribe(i16, Decoder.CTC)
+    # int16 quantization is tiny; transcripts should match on this clip
+    assert got.token_ids == ref.token_ids
+
+
+def test_ctc_on_tdt_only_model_raises_cleanly():
+    """Every facade entry point (incl. transcribe_features, which used to
+    bypass the guard and AttributeError) rejects CTC on a CTC-less model
+    BEFORE any device work."""
+    from parakeet_tpu.transcribe import TDTTranscriber, TranscribeOptions
+
+    cfg = C.TDTConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                                num_layers=1, num_heads=2, ffn_intermediate=32),
+        prediction=C.PredictionConfig(vocab_size=9, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=9),
+    )
+    tr = TDTTranscriber(None, None, cfg, seed=1)
+    feats = np.zeros((1, 64, 80), np.float32)
+    with pytest.raises(ValueError, match="no CTC head"):
+        tr.transcribe_features(feats, TranscribeOptions(Decoder.CTC))
+    with pytest.raises(ValueError, match="no CTC head"):
+        tr.transcribe(np.zeros(8000, np.float32), Decoder.CTC)
