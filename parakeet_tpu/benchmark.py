@@ -34,6 +34,10 @@ def bench_encoder(model: str, seconds: int, batch: int, dtype_name: str, iters: 
     from parakeet_tpu.models.sortformer import sortformer_forward
     from parakeet_tpu.params import Params, cast_params
 
+    if model not in MODELS:
+        raise SystemExit(
+            f"unknown model {model!r}; choose from {', '.join(MODELS)}"
+        )
     factory_name, enc_attr = MODELS[model]
     cfg = getattr(C, factory_name)()
     enc_cfg = getattr(cfg, enc_attr)

@@ -92,7 +92,13 @@ def main(argv=None) -> int:
 
         for p, flag in ((args.weights, "--weights"),
                         (args.sortformer_weights, "--sortformer-weights")):
-            needed = flag == "--weights" or args.model in ("sortformer", "diarized")
+            # sortformer mode never loads the ASR weights; every other mode
+            # needs --weights, and only sortformer/diarized need the
+            # sortformer file
+            if flag == "--weights":
+                needed = args.model != "sortformer"
+            else:
+                needed = args.model in ("sortformer", "diarized")
             if needed and p and not os.path.isfile(p):
                 print(
                     f"Error: {flag} file not found: {p}\n"
@@ -113,6 +119,27 @@ def main(argv=None) -> int:
     boost = [p.strip() for p in args.boost.split(",") if p.strip()]
     decoder = Decoder.CTC if args.ctc else Decoder.TDT
     kw = dict(compute_dtype=args.dtype)
+
+    # offline-only flags must fail loudly on streaming/diarization modes —
+    # silently ignoring them would let the user believe VAD/LM/beam applied
+    if args.model not in ("tdt-ctc-110m", "tdt-600m", "rnnt-600m"):
+        unsupported = [
+            name for name, on in (
+                ("--features", bool(args.features)),
+                ("--vad", args.vad),
+                ("--beam-size", args.beam_size > 0),
+                ("--lm", bool(args.lm)),
+                ("--boost", bool(boost)),
+            ) if on
+        ]
+        if unsupported:
+            print(
+                f"Error: {', '.join(unsupported)} only supported for the "
+                f"offline models (tdt-ctc-110m/tdt-600m/rnnt-600m), "
+                f"not --model {args.model}",
+                file=sys.stderr,
+            )
+            return 1
 
     try:
         t0 = time.perf_counter()

@@ -89,7 +89,14 @@ class DiarizedTranscriber:
         if isinstance(source, (str, bytes, bytearray)) or hasattr(source, "__fspath__"):
             samples = read_audio(source, 16000).samples
         else:
-            samples = np.asarray(source, np.float32).reshape(-1)
+            arr = np.asarray(source)
+            if arr.dtype == np.int16 or arr.ndim > 1:
+                # int16 scaling + channel downmix — same raw-PCM hygiene as
+                # transcribe.py's _to_samples (blind reshape would interleave
+                # stereo and keep int16 at +/-32768 scale)
+                samples = read_audio(arr, sample_rate=16000).samples
+            else:
+                samples = arr.astype(np.float32).reshape(-1)
 
         # 1. ASR with word timestamps
         asr = self.transcriber.transcribe(samples, decoder, timestamps=True)

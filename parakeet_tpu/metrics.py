@@ -58,9 +58,13 @@ def _normalize(text: str) -> list[str]:
 
 
 def word_error_rate(reference: str, hypothesis: str) -> WerResult:
+    """WER = (S+D+I) / max(1, ref_words) — the same convention corpus_wer
+    aggregates with, so a single pair scores identically through either
+    entry point (an empty reference counts every hypothesis word as an
+    insertion over a denominator of 1, i.e. WER can exceed 1.0)."""
     ref, hyp = _normalize(reference), _normalize(hypothesis)
     if not ref:
-        return WerResult(0.0 if not hyp else 1.0, 0, 0, len(hyp), 0)
+        return WerResult(float(len(hyp)), 0, 0, len(hyp), 0)
     s, d, i, _ = _edit_distance(ref, hyp)
     return WerResult((s + d + i) / len(ref), s, d, i, len(ref))
 

@@ -27,7 +27,13 @@ def test_case_and_whitespace_normalized():
 
 def test_empty_reference():
     assert word_error_rate("", "").wer == 0.0
+    # empty reference: every hypothesis word is an insertion over a
+    # denominator of 1 — the SAME convention corpus_wer aggregates with
+    # (review finding: the two entry points used to disagree, 1.0 vs 2.0)
     assert word_error_rate("", "hello").wer == 1.0
+    assert word_error_rate("", "hello world").wer == 2.0
+    from parakeet_tpu.metrics import corpus_wer
+    assert corpus_wer([("", "hello world")]).wer == 2.0
 
 
 def test_wer_can_exceed_one():
