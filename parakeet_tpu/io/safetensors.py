@@ -61,6 +61,15 @@ def load_safetensors(path: str | Path) -> dict[str, np.ndarray]:
         if dtype is None:
             raise ValueError(f"Unsupported safetensors dtype {info['dtype']} for {name}")
         begin, end = info["data_offsets"]
+        nbytes = int(np.prod(info["shape"], dtype=np.int64)) * np.dtype(dtype).itemsize
+        # validate before slicing: Python's negative-index slicing would
+        # silently hand back a correctly-sized window of the WRONG bytes
+        if not (0 <= begin <= end <= len(buf)) or end - begin != nbytes:
+            raise ValueError(
+                f"corrupt safetensors: tensor {name!r} data_offsets "
+                f"[{begin}, {end}] invalid for shape {info['shape']} "
+                f"{info['dtype']} (buffer {len(buf)} bytes)"
+            )
         arr = buf[begin:end].view(dtype)
         out[name] = arr.reshape(info["shape"])
     return out

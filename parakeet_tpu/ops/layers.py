@@ -55,7 +55,9 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     materialized dequantized."""
     w = p["weight"]
     if w.dtype == jnp.int8:
-        scale = p["weight" + "##scale"]
+        from parakeet_tpu.quantize import SCALE_SUFFIX
+
+        scale = p["weight" + SCALE_SUFFIX]
         y = jax.lax.dot_general(
             x, w.astype(x.dtype), (((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=_F32, precision=matmul_precision(x.dtype),

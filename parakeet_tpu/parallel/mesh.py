@@ -41,6 +41,10 @@ def make_mesh(
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(devices)} available"
+        )
     devices = np.asarray(devices[:n_devices])
     if n_devices % (model_parallel * seq_parallel) != 0:
         raise ValueError(
@@ -88,7 +92,7 @@ _TP_RULES: list[tuple[str, PS]] = [
 def param_sharding_rules(key: str, mesh: Mesh) -> NamedSharding:
     """Sharding for one parameter by schema name; replicated if no rule hits
     or the sharded dim doesn't divide."""
-    if mesh.shape["model"] > 1:
+    if dict(mesh.shape).get("model", 1) > 1:
         for pattern, spec in _TP_RULES:
             if re.search(pattern, key):
                 return NamedSharding(mesh, spec)
@@ -102,7 +106,7 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     replication — with a warning, so a silent rule regression can't pass as
     "sharded" (every current test would otherwise stay green if the rules
     stopped matching)."""
-    tp = mesh.shape["model"]
+    tp = dict(mesh.shape).get("model", 1)
     out = {}
     for k, v in params.items():
         sh = param_sharding_rules(k, mesh)

@@ -309,9 +309,11 @@ def load_params(
         if w.dtype == np.int8:
             # int8-quantized checkpoint (quantize.py): dequantize on load;
             # pass Transcriber(quantize="int8") to re-quantize for runtime
-            scale = weights.get(key + "##scale")
+            from parakeet_tpu.quantize import SCALE_SUFFIX
+
+            scale = weights.get(key + SCALE_SUFFIX)
             if scale is None:
-                raise ValueError(f"int8 tensor {key} has no '{key}##scale' sidecar")
+                raise ValueError(f"int8 tensor {key} has no '{key}{SCALE_SUFFIX}' sidecar")
             w = w.astype(np.float32) * np.asarray(scale, np.float32)[:, None]
         params[key] = jnp.asarray(w, dtype=dtype)
     if missing:

@@ -64,6 +64,8 @@ def quantize_params(params: dict, *, min_elems: int = 4096, include: str | None 
         arr = np.asarray(v)
         eligible = (
             k.endswith(".weight")
+            and arr.dtype != np.int8  # already quantized: re-quantizing the
+            # raw codes would replace the real ##scale with ~1.0 (garbage)
             and arr.ndim == 2
             and arr.size >= min_elems
             and not _EXCLUDE.search(k)
@@ -79,7 +81,10 @@ def quantize_params(params: dict, *, min_elems: int = 4096, include: str | None 
 
 
 def quantized_fraction(params: dict) -> float:
-    """Fraction of parameter BYTES stored as int8 (observability)."""
+    """Fraction of parameter ELEMENTS stored as int8 (observability). The
+    byte fraction is lower (int8 elements are 1 byte vs 4 for f32) —
+    element count is what predicts how much of the weight set dequantizes
+    at runtime."""
     q = total = 0
     for k, v in params.items():
         if k.endswith(SCALE_SUFFIX):

@@ -21,7 +21,7 @@ SP_MARKER = "▁"  # ▁ SentencePiece word-boundary marker
 class Tokenizer:
     def __init__(self, vocab_path: str | Path | None = None):
         self._pieces: list[str] = []
-        self._piece_to_id: dict[str, int] | None = None
+        self._piece_to_id: dict[bytes, int] | None = None
         self._max_piece_len = 0
         if vocab_path is not None:
             self.load(vocab_path)
@@ -86,14 +86,20 @@ class Tokenizer:
     def _build_encode_table(self) -> None:
         if self._piece_to_id is not None:
             return
-        table: dict[str, int] = {}
+        # Match on raw BYTES, exactly like the reference (vocab.cpp indexes
+        # std::string bytes): pieces loaded with surrogateescape round-trip
+        # back to their original bytes, so raw-byte vocab entries match
+        # byte-substrings of the input instead of never matching a whole
+        # code point, and the no-match skip advances one byte, not one char.
+        table: dict[bytes, int] = {}
         max_len = 0
         for i, piece in enumerate(self._pieces):
             # Duplicates: LAST occurrence wins, matching the reference's
             # `map[piece] = id` assignment semantics (vocab.cpp operator[]).
-            table[piece] = i
-            if len(piece) > max_len:
-                max_len = len(piece)
+            pb = piece.encode("utf-8", "surrogateescape")
+            table[pb] = i
+            if len(pb) > max_len:
+                max_len = len(pb)
         self._piece_to_id = table
         self._max_piece_len = max_len
 
@@ -109,14 +115,15 @@ class Tokenizer:
             chars.append(SP_MARKER if c == " " else c)
         inp = "".join(chars)
 
+        data = inp.encode("utf-8", "surrogateescape")  # byte-level matching
         result: list[int] = []
         pos = 0
-        n = len(inp)
+        n = len(data)
         while pos < n:
             best_id = -1
             best_len = 0
             for length in range(min(self._max_piece_len, n - pos), 0, -1):
-                tid = self._piece_to_id.get(inp[pos : pos + length])
+                tid = self._piece_to_id.get(data[pos : pos + length])
                 if tid is not None:
                     best_id, best_len = tid, length
                     break
@@ -124,7 +131,7 @@ class Tokenizer:
                 result.append(best_id)
                 pos += best_len
             else:
-                pos += 1  # skip unknown character
+                pos += 1  # skip unknown byte (vocab.cpp:104-112)
         return result
 
 

@@ -173,3 +173,18 @@ def test_partially_quantized_fusable_guards():
         qp = quantize_params(params, min_elems=256, include=pattern)
         q = Params(qp).sub("encoder_").sub("layers_").sub("0").sub(sub)
         assert not guard(q, x), f"guard must reject int8 {pattern}"
+
+
+def test_quantize_params_idempotent_on_int8():
+    """Re-quantizing an already-quantized dict must be a no-op, not a
+    silent corruption of the scales (review finding)."""
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=5)
+    q1 = quantize_params(params, min_elems=256)
+    q2 = quantize_params(q1, min_elems=256)
+    key = "encoder_.layers_.0.ffn1_.fc1_.weight"
+    assert q2[key].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(q1[key]), np.asarray(q2[key]))
+    np.testing.assert_array_equal(
+        np.asarray(q1[key + SCALE_SUFFIX]), np.asarray(q2[key + SCALE_SUFFIX])
+    )

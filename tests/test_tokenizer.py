@@ -62,3 +62,28 @@ def test_encode_decode_roundtrip(tok):
 
 def test_encode_empty(tok):
     assert tok.encode("") == []
+
+
+def test_encode_matches_reference_byte_semantics():
+    """vocab.cpp matches raw BYTES: a raw-byte piece (loaded via
+    surrogateescape) must match inside multi-byte characters, and the
+    no-match skip advances one byte, not one code point."""
+    t = Tokenizer()
+    # piece 1 is the raw byte 0xE2 (first byte of '€' = E2 82 AC)
+    t.load_pieces(["▁a", b"\xe2".decode("utf-8", "surrogateescape"), "▁x"])
+    ids = t.encode("a €x")
+    # input bytes: ▁a | ▁(E2 96 81) € (E2 82 AC) x. '▁a' → 0. Then the
+    # unmatched ▁'s FIRST byte is 0xE2 → matches the raw-byte piece (1),
+    # 96 81 skipped; €'s first byte E2 → 1 again, 82 AC skipped; 'x' has
+    # no piece. Byte-level greedy matching, exactly vocab.cpp's semantics
+    # (code-point matching would emit [0] only — the raw-byte piece could
+    # never match).
+    assert ids == [0, 1, 1]
+
+
+def test_encode_multibyte_unknown_skips_bytewise_consistently():
+    """ASCII vocab + multi-byte unknown char: results must equal the old
+    code-point matching for well-formed UTF-8 (byte-level is a superset)."""
+    t = Tokenizer()
+    t.load_pieces(["▁hello", "▁world"])
+    assert t.encode("hello € world") == [0, 1]
