@@ -148,7 +148,7 @@ def main() -> int:
     ap.add_argument("--full", action="store_true", help="include CTC head")
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused Pallas attention kernel")
-    ap.add_argument("--fused-mode", default="block", choices=["v1", "block", "mega"],
+    ap.add_argument("--fused-mode", default="block", choices=["v1", "block", "block2", "block4", "block8", "mega"],
                     help="fused attention kernel variant (see encoder.set_fused_attention); "
                          "'block' (QKV/out fused, roll-free rel_shift) is the measured best")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])

@@ -5,8 +5,9 @@ extension then magic bytes (:37-94), WAV/FLAC/MP3/OGG decode, mean downmix
 to mono (:198-214), windowed-sinc Kaiser resampler (:96-195), header-only
 duration queries (:527-586).
 
-WAV is decoded natively (RIFF parser supporting PCM 8/16/24/32 and IEEE
-float — the dr_wav capability set we need). FLAC/MP3/OGG decode goes
+WAV is decoded natively (RIFF parser supporting PCM 8/16/24/32, IEEE
+float, and G.711 A-law/µ-law — the full dr_wav capability set the
+reference advertises, README.md:499-503). FLAC/MP3/OGG decode goes
 through optional backends (soundfile/librosa) when present and raises a
 clear error otherwise; the vendored-C decoders of the reference are not
 reproduced in round 1.
@@ -83,6 +84,29 @@ def detect_format_by_magic(data: bytes) -> str:
 # ─── WAV decode (native RIFF parser) ─────────────────────────────────────────
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry (alaw, mulaw) → int16 decode tables per ITU-T G.711
+    (the CCITT/Sun reference expansion; same numerics dr_wav uses for WAV
+    format tags 6/7, audio_io.cpp via drwav — reference README.md:503)."""
+    codes = np.arange(256, dtype=np.int32)
+
+    # A-law: toggle even bits, then segment/mantissa expansion
+    a = codes ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+
+    # µ-law: complement, biased mantissa, segment shift
+    u = (~codes) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    mulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    return alaw, mulaw
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_tables()
+
+
 def _parse_wav(data: bytes):
     """→ (interleaved float32 (N*ch,), sample_rate, channels)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -138,6 +162,11 @@ def _parse_wav(data: bytes):
             x = np.frombuffer(raw, "<f8").astype(np.float32)
         else:
             raise ValueError(f"Unsupported WAV float bit depth: {bits}")
+    elif audio_fmt in (6, 7):  # G.711 A-law / µ-law (8-bit codes)
+        if bits not in (0, 8):
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        table = _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
+        x = table[np.frombuffer(raw, "u1")].astype(np.float32) / 32768.0
     else:
         raise ValueError(f"Unsupported WAV format tag: {audio_fmt}")
     return x, sample_rate, channels

@@ -12,12 +12,19 @@ any host. Inference weights can be exported from a train checkpoint with
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import numpy as np
 import jax
 
 from parakeet_tpu.io.safetensors import load_safetensors, save_safetensors
+
+#: key prefixes reserved inside the single-file train state (the reference
+#: schema never uses '##', so param keys cannot collide)
+_OPT_PREFIX = "##opt."
+_META_STEP = "##meta.step"
+_META_TREEDEF = "##meta.treedef"
 
 
 def _flatten_opt_state(opt_state) -> tuple[dict[str, np.ndarray], str]:
@@ -28,36 +35,61 @@ def _flatten_opt_state(opt_state) -> tuple[dict[str, np.ndarray], str]:
 
 
 def save_train_state(path: str | Path, params: dict, opt_state, step: int) -> None:
-    """Atomic-ish overwrite: write the three files into a temp sibling dir,
-    then swap the filenames in one pass — a crash mid-save over an
-    existing checkpoint can no longer leave new params paired with stale
-    opt state/step (the old files stay intact until every new file is
-    fully written)."""
+    """Atomic overwrite: params + opt state + step are packed into ONE
+    `state.safetensors` written to a temp sibling, fsynced, then committed
+    with a single `os.replace` — a crash at any point leaves either the old
+    complete checkpoint or the new complete checkpoint, never new params
+    paired with stale opt state/step. (Rounds ≤2 wrote three files with
+    three sequential renames, which could mix generations mid-crash.)"""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    tmp = path / ".tmp_save"
-    tmp.mkdir(exist_ok=True)
-    save_safetensors({k: np.asarray(v) for k, v in params.items()}, tmp / "params.safetensors")
+    state: dict[str, np.ndarray] = {k: np.asarray(v) for k, v in params.items()}
     flat, treedef = _flatten_opt_state(opt_state)
-    save_safetensors(flat, tmp / "opt_state.safetensors")
-    (tmp / "meta.json").write_text(json.dumps({"step": int(step), "treedef": treedef}))
-    for name in ("params.safetensors", "opt_state.safetensors", "meta.json"):
-        (tmp / name).replace(path / name)  # atomic per file, all data on disk
-    tmp.rmdir()
+    for k, v in flat.items():
+        state["##" + k] = v
+    state[_META_STEP] = np.asarray([int(step)], np.int64)
+    state[_META_TREEDEF] = np.frombuffer(treedef.encode("utf-8"), np.uint8)
+    tmp = path / ".state.safetensors.tmp"
+    save_safetensors(state, tmp)
+    with open(tmp, "rb") as f:  # data durable before the rename commits it
+        os.fsync(f.fileno())
+    os.replace(tmp, path / "state.safetensors")
+    for legacy in ("params.safetensors", "opt_state.safetensors", "meta.json"):
+        try:  # drop stale pre-r3 files so the two layouts can't diverge
+            (path / legacy).unlink()
+        except OSError:
+            pass
+
+
+def _load_raw_state(path: Path) -> tuple[dict, dict[str, np.ndarray], dict]:
+    """Read either layout → (params, flat opt arrays keyed 'opt.N', meta)."""
+    single = path / "state.safetensors"
+    if single.exists():
+        blob = load_safetensors(single)
+        params = {k: v.copy() for k, v in blob.items() if not k.startswith("##")}
+        flat = {k[2:]: v for k, v in blob.items() if k.startswith(_OPT_PREFIX)}
+        meta = {
+            "step": int(blob[_META_STEP][0]),
+            "treedef": bytes(blob[_META_TREEDEF]).decode("utf-8"),
+        }
+        return params, flat, meta
+    # legacy three-file layout (rounds ≤2)
+    params = {k: v.copy() for k, v in load_safetensors(path / "params.safetensors").items()}
+    flat = load_safetensors(path / "opt_state.safetensors")
+    meta = json.loads((path / "meta.json").read_text())
+    return params, flat, meta
 
 
 def load_train_state(path: str | Path, opt_state_template) -> tuple[dict, object, int]:
     """Restore (params, opt_state, step). `opt_state_template` supplies the
     pytree structure (e.g. optimizer.init(params))."""
     path = Path(path)
-    params = {k: v.copy() for k, v in load_safetensors(path / "params.safetensors").items()}
-    flat = load_safetensors(path / "opt_state.safetensors")
+    params, flat, meta = _load_raw_state(path)
     leaves_t, treedef = jax.tree_util.tree_flatten(opt_state_template)
     if len(flat) != len(leaves_t):
         raise ValueError(
             f"opt state leaf count mismatch: checkpoint {len(flat)} vs template {len(leaves_t)}"
         )
-    meta = json.loads((path / "meta.json").read_text())
     saved_treedef = meta.get("treedef")
     if saved_treedef is not None and saved_treedef != str(treedef):
         raise ValueError(
@@ -88,7 +120,7 @@ def load_train_state(path: str | Path, opt_state_template) -> tuple[dict, object
 
 def export_weights(train_ckpt: str | Path, weights_path: str | Path) -> None:
     """Train checkpoint → plain inference safetensors (reference schema)."""
-    params = load_safetensors(Path(train_ckpt) / "params.safetensors")
+    params, _, _ = _load_raw_state(Path(train_ckpt))
     save_safetensors(dict(params), weights_path, metadata={"format": "pt"})
 
 

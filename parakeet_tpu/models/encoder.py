@@ -56,11 +56,20 @@ def set_fused_attention(mode) -> None:
         _FUSED_ATTENTION = False
     elif mode in (True, "v1"):
         _FUSED_ATTENTION = "v1"
-    elif mode in ("block", "mega"):
-        # "mega" = block kernel with the macaron ffn1 fused in as a prologue
+    elif mode in ("block", "block2", "block4", "block8", "mega"):
+        # "blockN" = block kernel with N batch items per program (the
+        # projection matmuls span N·TP rows — see fused_rel_attention_block
+        # batch_block); "mega" = block kernel with the macaron ffn1 fused in
         _FUSED_ATTENTION = mode
     else:
         raise ValueError(f"unknown fused attention mode {mode!r}")
+
+
+def _attn_batch_block() -> int:
+    """NB for the blockN modes (1 for plain block/mega)."""
+    if isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.startswith("block"):
+        return int(_FUSED_ATTENTION[5:] or 1)
+    return 1
 
 
 def get_fused_attention() -> str | bool:
@@ -342,8 +351,11 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray) -> bool:
     tp = -(-t // 128) * 128
     d = x.shape[-1]
     itemsize = x.dtype.itemsize
+    nb = _attn_batch_block()
     weights = 5 * d * d * itemsize  # q/k/v/out/pos head blocks
-    live = 2 * tp * tp * 4 + 3 * tp * d * 4 + 2 * tp * d * itemsize
+    # batch-blocked rows scale the x/out blocks, qkv temporaries, and the
+    # f32 AV scratch by NB; the per-item (TP,TP) score buffers do not
+    live = 2 * tp * tp * 4 + 3 * nb * tp * d * 4 + 2 * nb * tp * d * itemsize
     return weights + live <= 14 * 1024 * 1024
 
 
@@ -384,8 +396,8 @@ def rel_position_attention(
     mha = p.sub("mha_")
 
     if (
-        _FUSED_ATTENTION in ("block", "mega")  # mega degrades to block here
-        and (mask is None or lengths is not None)
+        _FUSED_ATTENTION in ("block", "block2", "block4", "block8", "mega")
+        and (mask is None or lengths is not None)  # mega degrades to block here
         and _attn_block_fusable(p, x)
     ):
         from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
@@ -399,6 +411,7 @@ def rel_position_attention(
             p["pos_proj_.weight"],
             mha["out_proj.weight"], mha["out_proj.bias"],
             lengths=lengths,
+            batch_block=_attn_batch_block(),
         )
 
     q = _split_heads(linear(mha.sub("q_proj"), x), num_heads)

@@ -148,8 +148,8 @@ def fused_rel_attention(
 
 
 def _attention_core(
-    x,                       # (TP, D) post-norm attention input (VALUE, not ref)
-    kv_len,                  # scalar valid key count
+    x,                       # (NB·TP, D) post-norm attention input (VALUE, not ref)
+    kv_lens,                 # list of NB scalar valid key counts (static unroll)
     wqkv_ref,                # (3D, D) stacked q|k|v projection weights (torch layout)
     bqkv_ref,                # (1, 3D) stacked biases
     u_ref, v_ref,            # (1, D) rel-pos biases flattened head-major
@@ -157,25 +157,29 @@ def _attention_core(
     sin_ref, cos_ref,        # (TP, D/2) sin(t·ω_k) / cos(t·ω_k) tables
     wo_ref,                  # (D, D) out-proj weight (torch layout)
     bo_ref,                  # (1, D)
-    acc_ref,                 # VMEM scratch (TP, D) f32 — per-head AV assembly
+    acc_ref,                 # VMEM scratch (NB·TP, D) f32 — per-head AV assembly
     *,
     scale: float,
     t_real: int,
     heads: int,
 ):
-    """Shared attention body for the fused kernels; returns (TP, D) f32.
+    """Shared attention body for the fused kernels; returns (NB·TP, D) f32.
 
     Structured as FEW, LARGE MXU ops (small matmuls stall the systolic
-    array on pipeline fill): q/k/v are ONE (TP,D)@(D,3D) matmul; per head
-    the content and position scores are ONE merged matmul
+    array on pipeline fill): q/k/v are ONE (NB·TP,D)@(D,3D) matmul; per
+    (item, head) the content and position scores are ONE merged matmul
     [ṽa|ṽb|qu_h] @ [cos|sin|k_h]ᵀ (the contractions simply concatenate);
-    per-head attention outputs are assembled into a (TP, D) scratch and
-    leave through ONE (TP,D)@(D,D) out-projection. Heads are STATIC lane
+    per-head attention outputs are assembled into a (NB·TP, D) scratch and
+    leave through ONE (NB·TP,D)@(D,D) out-projection. Heads are STATIC lane
     slices (hd-aligned static slices are fine; only dynamic lane slicing
-    needs 128 alignment)."""
-    tp, d = x.shape
+    needs 128 alignment). NB > 1 (batch-blocking) multiplies the M dim of
+    the projection/rotation matmuls, amortizing MXU pipeline fill — the
+    trace showed the NB=1 kernel at ~3× its FLOP floor (TUNING.md r3)."""
+    nbtp, d = x.shape
     hd = d // heads
     d2 = sin_ref.shape[1]
+    nb = len(kv_lens)
+    tp = nbtp // nb
     hi = kernel_precision(x.dtype)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
@@ -190,14 +194,13 @@ def _attention_core(
             preferred_element_type=_F32, precision=hi,
         )
         + bqkv_ref[0].astype(_F32)
-    ).astype(x.dtype)  # (TP, 3D); same per-element contraction as 3 matmuls
+    ).astype(x.dtype)  # (NB·TP, 3D); same per-element contraction as 3 matmuls
     q_full, k_full, v_full = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
     qu_full = q_full + u_ref[0].astype(x.dtype)
     qv_full = q_full + v_ref[0].astype(x.dtype)
 
     for h in range(heads):  # static loop; all temporaries stay in VMEM/regs
         sl = slice(h * hd, (h + 1) * hd)
-        qu, qv, k, v = qu_full[:, sl], qv_full[:, sl], k_full[:, sl], v_full[:, sl]
 
         # Roll-free rel-pos scores. pos_score[t,s] = (Q+v)[t]·W_p·pe(t−s)
         # (the pad-reshape rel_shift's index algebra: r = t−s). pe is
@@ -210,31 +213,39 @@ def _attention_core(
         # pairwise mixing is two 128-aligned lane halves — no strided lanes,
         # no rolls. This replaced the binary-decomposition roll rounds,
         # which were VMEM-bandwidth-bound (measured 4.8 ms of the 30 ms
-        # B=64 forward).
+        # B=64 forward). The rotation runs over all NB items at once; the
+        # per-item trig rows repeat every TP rows (jnp.tile below).
         vproj = jax.lax.dot_general(
-            qv, wpos_ref[h], (((1,), (0,)), ((), ())),
+            qv_full[:, sl], wpos_ref[h], (((1,), (0,)), ((), ())),
             preferred_element_type=_F32, precision=hi,
-        )  # (TP, D) — wpos block is (hd, D)
+        )  # (NB·TP, D) — wpos block is (hd, D)
         va, vb = vproj[:, :d2], vproj[:, d2:]
-        tva = (va * sin_t + vb * cos_t).astype(x.dtype)
-        tvb = (vb * sin_t - va * cos_t).astype(x.dtype)
+        sin_n = sin_t if nb == 1 else jnp.concatenate([sin_t] * nb, axis=0)
+        cos_n = cos_t if nb == 1 else jnp.concatenate([cos_t] * nb, axis=0)
+        tva = (va * sin_n + vb * cos_n).astype(x.dtype)
+        tvb = (vb * sin_n - va * cos_n).astype(x.dtype)
 
-        # content + position scores in ONE matmul: the (2·d2 + hd)-deep
-        # contraction [ṽa|ṽb|qu] · [cos|sin|k] = ṽa·cosᵀ + ṽb·sinᵀ + qu·kᵀ.
-        lhs = jnp.concatenate([tva, tvb, qu], axis=1)  # (TP, 2*d2+hd)
-        rhs = jnp.concatenate([cos_x, sin_x, k], axis=1)
-        scores = jax.lax.dot_general(
-            lhs, rhs, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
-            precision=hi,
-        ) * scale  # (TP, TP)
-        scores = jnp.where(col >= kv_len, _NEG_INF, scores)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        for i in range(nb):  # per-item score/softmax/AV (static unroll)
+            rows = slice(i * tp, (i + 1) * tp)
+            qu, k, v = qu_full[rows, sl], k_full[rows, sl], v_full[rows, sl]
 
-        acc_ref[:, sl] = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=_F32, precision=hi
-        )  # (TP, hd) — concat_h(av_h) assembled in scratch
+            # content + position scores in ONE matmul: the (2·d2 + hd)-deep
+            # contraction [ṽa|ṽb|qu]·[cos|sin|k] = ṽa·cosᵀ + ṽb·sinᵀ + qu·kᵀ.
+            lhs = jnp.concatenate([tva[rows], tvb[rows], qu], axis=1)
+            rhs = jnp.concatenate([cos_x, sin_x, k], axis=1)
+            scores = jax.lax.dot_general(
+                lhs, rhs, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
+                precision=hi,
+            ) * scale  # (TP, TP)
+            scores = jnp.where(col >= kv_lens[i], _NEG_INF, scores)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+
+            acc_ref[rows, sl] = jax.lax.dot_general(
+                attn, v, (((1,), (0,)), ((), ())), preferred_element_type=_F32,
+                precision=hi,
+            )  # (TP, hd) — concat_h(av_h) assembled in scratch
 
     out = jax.lax.dot_general(
         acc_ref[...].astype(x.dtype), wo_ref[...], (((1,), (1,)), ((), ())),
@@ -244,27 +255,32 @@ def _attention_core(
 
 
 def _attn_block_kernel(
-    len_ref,  # SMEM (B, 1)
-    x_ref,    # (1, TP, D) post-norm attention input
+    len_ref,  # SMEM (B_padded, 1)
+    x_ref,    # (NB, TP, D) post-norm attention input
     wqkv_ref, bqkv_ref,
     u_ref, v_ref,
     wpos_ref, sin_ref, cos_ref,
     wo_ref, bo_ref,
-    out_ref,                 # (1, TP, D)
-    acc_ref,                 # VMEM scratch (TP, D) f32
+    out_ref,                 # (NB, TP, D)
+    acc_ref,                 # VMEM scratch (NB·TP, D) f32
     *,
     scale: float,
     t_real: int,
     heads: int,
+    nb: int,
 ):
-    x = x_ref[0]
-    kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
+    nb_, tp, d = x_ref.shape
+    x = x_ref[...].reshape(nb * tp, d)  # leading-dim merge, layout no-op
+    kv_lens = [
+        jnp.minimum(len_ref[pl.program_id(0) * nb + i, 0], t_real)
+        for i in range(nb)
+    ]
     att = _attention_core(
-        x, kv_len, wqkv_ref, bqkv_ref,
+        x, kv_lens, wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
         scale=scale, t_real=t_real, heads=heads,
     )
-    out_ref[0] = att.astype(out_ref.dtype)
+    out_ref[...] = att.reshape(nb, tp, d).astype(out_ref.dtype)
 
 
 def _ffn_attn_kernel(
@@ -295,7 +311,7 @@ def _ffn_attn_kernel(
     attn_in = kernel_layer_norm(x2, anw_ref[0], anb_ref[0], eps)
     kv_len = jnp.minimum(len_ref[pl.program_id(0), 0], t_real)
     att = _attention_core(
-        attn_in, kv_len, wqkv_ref, bqkv_ref,
+        attn_in, [kv_len], wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
         scale=scale, t_real=t_real, heads=heads,
     )
@@ -323,6 +339,7 @@ def fused_rel_attention_block(
     pos_w: jnp.ndarray,  # pos_proj weight, torch layout (D, D), bias-free
     wo: jnp.ndarray, bo: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
+    batch_block: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole-block fused attention: QKV projections + rel-pos attention +
@@ -335,16 +352,25 @@ def fused_rel_attention_block(
     sinusoidal position table factors through the angle-addition identity
     (see the kernel comment), turning the shift into one elementwise
     rotation + two matmuls. HBM traffic per layer is one read of x and one
-    write of the output. VMEM high-water: ~3.5 MB for 110m (D=512)."""
+    write of the output. VMEM high-water: ~3.5 MB for 110m (D=512).
+
+    batch_block (NB): items per program. NB>1 merges NB items' rows into
+    the projection/rotation matmuls ((NB·TP, D) M-dims), amortizing MXU
+    pipeline fill that dominates at TP=128 (r3 trace: NB=1 ran ~3× above
+    its FLOP floor); scores/softmax/AV stay per-item."""
     b, t, d = x.shape
     heads, hd = bias_u.shape[0], bias_u.shape[1]
     scale = 1.0 / math.sqrt(hd)
     tp = round_up(t, 128)
+    nb = max(1, int(batch_block))
+    pad_b = (-b) % nb
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
-    lengths = lengths.astype(jnp.int32).reshape(b, 1)
+    lengths = jnp.pad(lengths.astype(jnp.int32), (0, pad_b), constant_values=t)
+    lengths = lengths.reshape(b + pad_b, 1)
 
-    x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    x = jnp.pad(x, ((0, pad_b), (0, tp - t), (0, 0)))
+    bp = b + pad_b
 
     # q|k|v stacked along the output axis → ONE in-kernel projection matmul
     wqkv = jnp.concatenate([wq, wk, wv], axis=0)  # (3D, D)
@@ -360,29 +386,29 @@ def fused_rel_attention_block(
     sin_t, cos_t = jnp.asarray(sin_np), jnp.asarray(cos_np)
 
     kernel = functools.partial(
-        _attn_block_kernel, scale=scale, t_real=t, heads=heads
+        _attn_block_kernel, scale=scale, t_real=t, heads=heads, nb=nb
     )
 
     u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)
     bo2 = bo.reshape(1, d)
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(bp // nb,),
         in_specs=[
-            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             whole_block(wqkv), whole_block(bqkv),
             whole_block(u2), whole_block(v2),
             whole_block(wpos_b), whole_block(sin_t), whole_block(cos_t),
             whole_block(wo), whole_block(bo2),
         ],
-        out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((tp, d), _F32)],
+        out_specs=pl.BlockSpec((nb, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, tp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((nb * tp, d), _F32)],
         interpret=interpret,
     )(lengths, x, wqkv, bqkv, u2, v2,
       wpos_b, sin_t, cos_t, wo, bo2)
-    return out[:, :t, :]
+    return out[:b, :t, :]
 
 
 def fused_ffn_attention(

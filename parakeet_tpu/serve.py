@@ -184,32 +184,57 @@ class StreamingSession:
     host-side buffer that the service worker drains into the slot's mel
     frontend. Slow feeders never stall other sessions — the worker passes
     lagging slots as `hold` to StreamingBatchTranscriber.step(), which is a
-    verified no-op for them (tests/test_streaming.py hold oracle)."""
+    verified no-op for them (tests/test_streaming.py hold oracle).
+
+    Backpressure: the host buffer is bounded (service `max_buffered_s`); a
+    client uploading faster than the device drains BLOCKS in feed() until
+    room frees up instead of growing host memory without limit."""
 
     def __init__(self, service: "StreamingService", slot: int, on_partial=None):
         self._service = service
         self.slot = slot
         self.on_partial = on_partial
         self._lock = threading.Lock()
+        self._room = threading.Condition(self._lock)
         self._pending: list = []
+        self._pending_samples = 0
         self._needs_reset = True  # slot state is initialized by the worker
         self._close_requested = False
         self._closed = threading.Event()
+        self._error: Exception | None = None
         self._final_text = ""
         self._final_tokens: list[int] = []
         self._final_timestamped: list = []
         self.last_fed = time.monotonic()
 
-    def feed(self, samples) -> None:
+    def feed(self, samples, timeout: float | None = 120.0) -> None:
         """Enqueue raw PCM (float32 in [-1,1] or int16) for transcription.
 
         The closed-check and the append share the session lock with the
         worker's finalize drain, so a feed either raises or its samples are
-        guaranteed to be transcribed — never silently dropped."""
-        with self._lock:
+        guaranteed to be transcribed — never silently dropped. Blocks while
+        the session's buffered-but-unprocessed audio exceeds the service's
+        `max_buffered_s` bound; raises TimeoutError after `timeout` s (a
+        wedged worker must not pin the caller forever)."""
+        n = len(samples)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._room:
+            while (
+                self._pending_samples + n > self._service._max_pending_samples
+                and self._pending_samples > 0  # one oversized feed still lands
+                and not (self._close_requested or self._closed.is_set())
+            ):
+                remaining = None if deadline is None else deadline - time.monotonic()
+                if remaining is not None and remaining <= 0:
+                    raise TimeoutError(
+                        "feed backpressure timeout: session buffer full "
+                        f"({self._pending_samples} samples pending)"
+                    )
+                self._room.wait(remaining)
             if self._close_requested or self._closed.is_set():
                 raise RuntimeError("session is closed")
             self._pending.append(samples)
+            self._pending_samples += n
         self.last_fed = time.monotonic()
         self._service._wake.set()
 
@@ -240,17 +265,29 @@ class StreamingSession:
 
     def close(self, timeout: float | None = 30.0) -> str:
         """Flush buffered audio through the model, free the slot, return the
-        final transcript."""
-        self._close_requested = True
+        final transcript. Re-raises the worker-side error if the flush
+        failed (the slot was still reclaimed)."""
+        with self._room:
+            self._close_requested = True
+            self._room.notify_all()  # unblock feeders waiting on backpressure
         self._service._wake.set()
         if not self._closed.wait(timeout):
             raise TimeoutError("session close timed out")
+        if self._error is not None:
+            raise RuntimeError("streaming session flush failed") from self._error
         return self._final_text
 
     # worker-side helpers ──────────────────────────────────────────────────
+    def _request_close(self) -> None:
+        with self._room:
+            self._close_requested = True
+            self._room.notify_all()  # unblock feeders stuck in backpressure
+
     def _drain_pending(self) -> list:
-        with self._lock:
+        with self._room:
             out, self._pending = self._pending, []
+            self._pending_samples = 0
+            self._room.notify_all()
         return out
 
 
@@ -269,6 +306,11 @@ class StreamingService:
     stall_timeout_s: a session that stops feeding for this long is closed
     automatically (flushing what it buffered) so its slot can be reused.
 
+    max_buffered_s: per-session host-buffer bound, in seconds of audio, at
+    each of the two buffering levels (session pending list; slot queue in
+    the batch transcriber). Past the bound, feed() blocks (backpressure)
+    rather than growing host memory without limit.
+
         service = StreamingService(StreamingBatchTranscriber(8, ...))
         s = service.open(on_partial=lambda sess, delta: print(delta))
         s.feed(chunk)          # 160 ms PCM chunks, any cadence
@@ -276,10 +318,21 @@ class StreamingService:
     """
 
     def __init__(self, batch_transcriber, *, poll_ms: float = 2.0,
-                 stall_timeout_s: float | None = None):
+                 stall_timeout_s: float | None = None,
+                 max_buffered_s: float = 60.0):
         self._bt = batch_transcriber
         self._poll_s = poll_ms / 1e3
         self._stall_s = stall_timeout_s
+        acfg = batch_transcriber._audio_cfg
+        self._max_pending_samples = int(max_buffered_s * acfg.sample_rate)
+        # slot-queue units differ by frontend: raw samples (fused) vs mel
+        # frames (per_push, sample_rate/hop frames per second)
+        units_per_s = (
+            acfg.sample_rate
+            if getattr(batch_transcriber, "_frontend", "per_push") == "fused"
+            else acfg.sample_rate / acfg.hop_length
+        )
+        self._max_queue_units = int(max_buffered_s * units_per_s)
         self.stats = ServiceStats()
         self._lock = threading.Lock()
         self._sessions: dict[int, StreamingSession] = {}
@@ -321,7 +374,7 @@ class StreamingService:
         with self._lock:
             live = list(self._sessions.values())
         for sess in live:
-            sess._close_requested = True
+            sess._request_close()
         self._stop = True
         self._wake.set()
         self._worker.join(timeout=timeout)
@@ -343,26 +396,39 @@ class StreamingService:
         # Atomically stop accepting feeds and take what was already fed:
         # feed() holds the same lock for its closed-check + append, so
         # nothing can slip in between and be silently lost.
-        with sess._lock:
+        with sess._room:
             sess._close_requested = True
             pending, sess._pending = sess._pending, []
-        for chunk in pending:
-            bt.push(sess.slot, chunk)
-        hop = bt._audio_cfg.hop_length
-        # enough silence to flush the STFT overlap buffer and reach the next
-        # mel-step boundary regardless of current queue fill
-        bt.push(sess.slot, [0.0] * ((bt._mel_step + 8) * hop))
-        while bt._queues[sess.slot].shape[0] >= bt._step_units:
-            hold = [i for i in bt.lagging_slots() if i != sess.slot]
-            self._step_and_deliver(hold)
-        sess._final_text = bt.get_text(sess.slot)
-        sess._final_tokens = list(bt._tokens[sess.slot])
-        sess._final_timestamped = bt.get_timestamped_tokens(sess.slot)
-        bt.deactivate_slot(sess.slot)
-        with self._lock:
-            self._sessions.pop(sess.slot, None)
-            self._free.append(sess.slot)
-        sess._closed.set()
+            sess._pending_samples = 0
+            sess._room.notify_all()
+        try:
+            for chunk in pending:
+                bt.push(sess.slot, chunk)
+            hop = bt._audio_cfg.hop_length
+            # enough silence to flush the STFT overlap buffer and reach the
+            # next mel-step boundary regardless of current queue fill
+            bt.push(sess.slot, [0.0] * ((bt._mel_step + 8) * hop))
+            while bt._queues[sess.slot].shape[0] >= bt._step_units:
+                hold = [i for i in bt.lagging_slots() if i != sess.slot]
+                self._step_and_deliver(hold)
+            sess._final_text = bt.get_text(sess.slot)
+            sess._final_tokens = list(bt._tokens[sess.slot])
+            sess._final_timestamped = bt.get_timestamped_tokens(sess.slot)
+        except Exception as e:  # noqa: BLE001 — flush failed (device error)
+            # record for close() to re-raise; the finally still reclaims the
+            # slot, so a persistent device failure cannot leak slots one by
+            # one until open() always 503s (ADVICE r2)
+            sess._error = e
+            self.stats.errors += 1
+        finally:
+            try:
+                bt.deactivate_slot(sess.slot)
+            except Exception:  # noqa: BLE001 — already reporting via _error
+                pass
+            with self._lock:
+                self._sessions.pop(sess.slot, None)
+                self._free.append(sess.slot)
+            sess._closed.set()
 
     def _step_and_deliver(self, hold) -> None:
         out = self._bt.step(hold=hold)
@@ -388,9 +454,13 @@ class StreamingService:
                     if sess._needs_reset:
                         self._bt.reset_slot(sess.slot)
                         sess._needs_reset = False
-                    for chunk in sess._drain_pending():
-                        self._bt.push(sess.slot, chunk)
-                        progressed = True
+                    # gate the drain on slot-queue fill: past the bound the
+                    # pending list absorbs feeds until feed() itself blocks —
+                    # both buffering levels stay bounded
+                    if self._bt._queues[sess.slot].shape[0] < self._max_queue_units:
+                        for chunk in sess._drain_pending():
+                            self._bt.push(sess.slot, chunk)
+                            progressed = True
                 if self._bt.ready_any():
                     self._step_and_deliver(self._bt.lagging_slots())
                     progressed = True
@@ -410,7 +480,7 @@ class StreamingService:
                 if not remaining:
                     return
                 for sess in remaining:
-                    sess._close_requested = True
+                    sess._request_close()
                 continue
             if not progressed:
                 self._wake.wait(self._poll_s)

@@ -26,10 +26,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 #: bytes of s16le PCM fed to a streaming session per read (160 ms @ 16 kHz)
 STREAM_READ_BYTES = 2560 * 2
 
+#: default request-body cap: 256 MiB ≈ 2.3 h of s16le 16 kHz PCM
+MAX_BODY_BYTES = 256 * 1024 * 1024
 
-def _read_body_chunks(handler):
+
+class BodyTooLarge(ValueError):
+    """Request body exceeded the configured cap (→ HTTP 413)."""
+
+
+def _read_body_chunks(handler, max_bytes: int = MAX_BODY_BYTES):
     """Yield request-body byte chunks, honoring chunked transfer-encoding
-    (which BaseHTTPRequestHandler does not parse) or Content-Length."""
+    (which BaseHTTPRequestHandler does not parse) or Content-Length.
+    Raises BodyTooLarge once `max_bytes` total have been read — a single
+    oversized upload must not exhaust host memory (the server binds
+    0.0.0.0 by default)."""
+    total = 0
     if handler.headers.get("Transfer-Encoding", "").lower() == "chunked":
         while True:
             size_line = handler.rfile.readline(1024).strip()
@@ -37,6 +48,9 @@ def _read_body_chunks(handler):
             if size == 0:
                 handler.rfile.readline(1024)  # trailing CRLF
                 return
+            total += size
+            if total > max_bytes:
+                raise BodyTooLarge(f"request body exceeds {max_bytes} bytes")
             remaining = size
             while remaining:
                 piece = handler.rfile.read(min(remaining, STREAM_READ_BYTES))
@@ -47,6 +61,8 @@ def _read_body_chunks(handler):
             handler.rfile.readline(1024)  # chunk-terminating CRLF
     else:
         n = int(handler.headers.get("Content-Length", 0))
+        if n > max_bytes:
+            raise BodyTooLarge(f"request body exceeds {max_bytes} bytes")
         while n > 0:
             piece = handler.rfile.read(min(n, STREAM_READ_BYTES))
             if not piece:
@@ -57,7 +73,8 @@ def _read_body_chunks(handler):
 
 def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
                 quiet=False, request_timeout: float | None = 600.0,
-                close_timeout: float = 600.0):
+                close_timeout: float = 600.0,
+                max_body_bytes: int = MAX_BODY_BYTES):
     """Build a ThreadingHTTPServer over a TranscriptionService (+ optional
     StreamingService for /stream). Caller owns serve_forever()/shutdown()
     and closing the services.
@@ -84,7 +101,10 @@ def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
             path = self.path.rstrip("/")
             if path == "/transcribe":
                 try:
-                    body = b"".join(_read_body_chunks(self))
+                    body = b"".join(_read_body_chunks(self, max_body_bytes))
+                except BodyTooLarge as e:
+                    self.send_error(413, explain=str(e))
+                    return
                 except (ConnectionError, ValueError, OSError) as e:
                     self.send_error(400, explain=str(e))
                     return
@@ -107,7 +127,10 @@ def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
                     return
                 try:
                     leftover = b""
-                    for piece in _read_body_chunks(self):
+                    # no body cap here: live streams are legitimately long,
+                    # and host memory is bounded by StreamingSession.feed's
+                    # backpressure (blocks when the session buffer is full)
+                    for piece in _read_body_chunks(self, float("inf")):
                         data = leftover + piece
                         usable = len(data) - (len(data) % 2)  # s16 alignment
                         leftover = data[usable:]
@@ -175,6 +198,9 @@ def main(argv=None) -> int:
                          "audio so silent clients can't leak slots")
     ap.add_argument("--request-timeout", type=float, default=600.0,
                     help="socket timeout for request reads")
+    ap.add_argument("--max-body-mb", type=int, default=MAX_BODY_BYTES // (1024 * 1024),
+                    help="reject /transcribe bodies larger than this (HTTP 413); "
+                         "/stream is instead bounded by feed backpressure")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -202,7 +228,8 @@ def main(argv=None) -> int:
         stream_service = StreamingService(bt, stall_timeout_s=args.stream_stall_s)
 
     httpd = make_server(service, stream_service, host=args.host, port=args.port,
-                        request_timeout=args.request_timeout)
+                        request_timeout=args.request_timeout,
+                        max_body_bytes=args.max_body_mb * 1024 * 1024)
     print(f"[serve] listening on {args.host}:{args.port} "
           f"(POST /transcribe{', POST /stream' if stream_service else ''}, GET /stats)",
           file=sys.stderr)

@@ -465,10 +465,6 @@ class StreamingBatchTranscriber:
                 q[: self._mel_step] if r else zeros
                 for q, r in zip(self._queues, runnable)
             ])
-        self._queues = [
-            q[self._step_units :] if r else q
-            for q, r in zip(self._queues, runnable)
-        ]
         held = sorted(i for i in hold if self._active[i])
         if held:
             idx = np.asarray(held)
@@ -496,6 +492,14 @@ class StreamingBatchTranscriber:
             packed, self._last_token, self._lstm, self._cache = self._step_fused(
                 self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm
             )
+        # queue advance commits only AFTER the device call returned: a
+        # transient relay/device error above leaves queues AND state
+        # unadvanced, so a retrying serving worker replays the same chunk
+        # instead of silently skipping it (ADVICE r2)
+        self._queues = [
+            q[self._step_units :] if r else q
+            for q, r in zip(self._queues, runnable)
+        ]
         if held:
             # un-step the held slots: restore every piece of their state
             self._cache = {

@@ -84,6 +84,21 @@ class TranscribeOptions:
     # Tier-1 item, implemented here.
     lm: object | None = None
     lm_weight: float = 0.0
+    # Progress callback (reference Tier-1 roadmap item README.md:505 —
+    # "Progress callbacks for long files"). Called as
+    # on_progress(stage: str, done: int, total: int) at host-observable
+    # pipeline boundaries: "load" (per source file decoded), "preprocess"
+    # (mel frontend done), "decode" (encoder+decode results fetched back to
+    # host — one unit, since both run inside one device program), and
+    # "window" (per window batch in transcribe_long). Exceptions propagate
+    # to the caller (same contract as streaming partial callbacks).
+    on_progress: object | None = None
+
+
+def _emit_progress(opts: "TranscribeOptions", stage: str, done: int, total: int) -> None:
+    cb = getattr(opts, "on_progress", None)
+    if cb is not None:
+        cb(stage, done, total)
 
 
 def _dtype_of(name: str):

@@ -196,3 +196,56 @@ def test_raw_pcm_2d_stereo_downmixes():
     np.testing.assert_allclose(a.samples, (left + right) / 2, atol=1e-7)
     with pytest.raises(ValueError, match="1D or"):
         read_audio(np.zeros((4, 2, 2), np.float32), sample_rate=16000)
+
+
+def test_g711_table_known_values():
+    """Decode tables pinned to ITU-T G.711 ground truth (the values any
+    conformant implementation — incl. dr_wav, reference README.md:503 —
+    produces for these codes)."""
+    from parakeet_tpu.audio.io import _ALAW_TABLE, _MULAW_TABLE
+
+    assert _MULAW_TABLE[0x00] == -32124
+    assert _MULAW_TABLE[0x80] == 32124
+    assert _MULAW_TABLE[0xFF] == 0
+    assert _MULAW_TABLE[0x7F] == 0
+    assert _ALAW_TABLE[0x55] == -8
+    assert _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256
+    assert _ALAW_TABLE[0xAA] == 32256
+    # both codecs are symmetric: flipping the sign bit negates the sample
+    codes = np.arange(128)
+    np.testing.assert_array_equal(
+        _MULAW_TABLE[codes], -_MULAW_TABLE[codes | 0x80].astype(np.int32)
+    )
+    np.testing.assert_array_equal(
+        _ALAW_TABLE[codes], -_ALAW_TABLE[codes | 0x80].astype(np.int32)
+    )
+
+
+def _g711_wav(codes: np.ndarray, fmt_tag: int, sr: int = 16000) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, sr, sr, 1, 8)
+    riff = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(codes)) + codes.astype(np.uint8).tobytes()
+    return b"RIFF" + struct.pack("<I", 4 + len(riff)) + riff
+
+
+@pytest.mark.parametrize("fmt_tag", [6, 7])
+def test_g711_wav_roundtrip(tmp_path, fmt_tag):
+    """Encode a sine by nearest-code search over the decode table, decode
+    through read_audio, and require the logarithmic quantization error
+    bound (G.711 SNR ≈ 38 dB: relative error < ~6% + small floor)."""
+    from parakeet_tpu.audio.io import _ALAW_TABLE, _MULAW_TABLE
+
+    table = _ALAW_TABLE if fmt_tag == 6 else _MULAW_TABLE
+    x = (_sine(0.05, freq=440.0) * 30000).astype(np.int32)  # 800 samples
+    codes = np.abs(table[None, :].astype(np.int32) - x[:, None]).argmin(axis=1)
+    p = tmp_path / f"g711_{fmt_tag}.wav"
+    p.write_bytes(_g711_wav(codes, fmt_tag))
+
+    audio = read_audio(p)
+    assert audio.format == "wav"
+    assert audio.num_samples == len(x)
+    err = np.abs(audio.samples * 32768.0 - x)
+    assert np.all(err <= 0.062 * np.abs(x) + 34.0)

@@ -252,3 +252,30 @@ def test_transcriber_kernels_param(monkeypatch):
         EE.set_fused_attention(False)
     assert calls, "fused kernel was not invoked"
     assert got.token_ids == ref.token_ids
+
+
+def test_block_kernel_batch_blocked(monkeypatch):
+    """blockN batch-blocking (NB items per program, projections merged into
+    (NB*TP, D) matmuls) == XLA path, including per-item length masking and a
+    batch that does NOT divide NB (pad items)."""
+    _interp_block(monkeypatch)
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                          num_layers=2, num_heads=2, ffn_intermediate=32)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=21)
+    root = Params(params).sub("encoder_")
+    mel = np.zeros((3, 80, 80), np.float32)
+    mel[0, :64] = np.random.RandomState(4).randn(64, 80)
+    mel[1, :80] = np.random.RandomState(5).randn(80, 80)
+    mel[2, :48] = np.random.RandomState(6).randn(48, 80)
+    lengths = jnp.asarray([64, 80, 48])
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    E.set_fused_attention("block2")
+    try:
+        assert E._attn_batch_block() == 2
+        fused = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    finally:
+        E.set_fused_attention(False)
+    for i, n in enumerate([64, 80, 48]):
+        tv = E.subsample_length(n)
+        np.testing.assert_allclose(fused[i, :tv], ref[i, :tv], rtol=1e-3, atol=1e-5)
