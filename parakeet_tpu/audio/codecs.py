@@ -163,6 +163,9 @@ def _load_vorbisfile() -> ctypes.CDLL | None:
             return None
         lib.ov_fopen.restype = ctypes.c_int
         lib.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.ov_open.restype = ctypes.c_int
+        lib.ov_open.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_char_p, ctypes.c_long]
         lib.ov_read.restype = ctypes.c_long
         lib.ov_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -179,41 +182,79 @@ def ogg_available() -> bool:
     return _load_vorbisfile() is not None
 
 
-def ogg_decode(data: bytes):
-    """OGG Vorbis bytes → (interleaved float32, sample_rate, channels)."""
-    import os
-    import tempfile
+def _ov_read_all(lib, vf):
+    """Drain an opened OggVorbis_File → (interleaved f32, rate, channels)."""
+    info = lib.ov_info(vf, -1)
+    if not info:
+        raise ValueError("ov_info failed")
+    channels, rate = info.contents.channels, int(info.contents.rate)
+    chunks: list[bytes] = []
+    buf = ctypes.create_string_buffer(65536)
+    bitstream = ctypes.c_int(0)
+    while True:
+        n = lib.ov_read(vf, buf, len(buf), 0, 2, 1, ctypes.byref(bitstream))
+        if n == 0:
+            break
+        if n < 0:
+            raise ValueError(f"ov_read error {n}")
+        chunks.append(buf.raw[:n])
+    raw = b"".join(chunks)
+    samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    return samples, rate, channels
 
+
+def _libc():
+    libc = ctypes.CDLL(None)
+    libc.fmemopen.restype = ctypes.c_void_p
+    libc.fmemopen.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p]
+    libc.fclose.argtypes = [ctypes.c_void_p]
+    return libc
+
+
+def ogg_decode(data: bytes):
+    """OGG Vorbis bytes → (interleaved float32, sample_rate, channels).
+
+    In-memory path: glibc `fmemopen` wraps the buffer as a FILE* that
+    `ov_open` consumes directly — no filesystem traffic on serving paths.
+    On a successful ov_open the FILE* is owned by vorbisfile (ov_clear
+    closes it); on failure we fclose it ourselves. The temp-file ov_fopen
+    path remains as fallback for libcs without fmemopen."""
     lib = _load_vorbisfile()
     if lib is None:
         raise RuntimeError("libvorbisfile not available for OGG decoding")
 
+    vf = ctypes.create_string_buffer(8192)  # OggVorbis_File, treated opaque
+    try:
+        libc = _libc()
+    except (OSError, AttributeError):
+        libc = None
+    if libc is not None and getattr(libc, "fmemopen", None):
+        # buf must outlive the whole decode: fmemopen reads from it lazily
+        buf = ctypes.create_string_buffer(data, len(data))
+        fp = libc.fmemopen(buf, len(data), b"rb")
+        if fp:
+            rc = lib.ov_open(fp, vf, None, 0)
+            if rc != 0:
+                libc.fclose(fp)
+                raise ValueError(f"not an OGG Vorbis stream (ov_open={rc})")
+            try:
+                return _ov_read_all(lib, vf)
+            finally:
+                lib.ov_clear(vf)  # closes the fmemopen FILE*
+                del buf
+
+    import os
+    import tempfile
+
     with tempfile.NamedTemporaryFile(suffix=".ogg", delete=False) as f:
         f.write(data)
         tmp_path = f.name
-    vf = ctypes.create_string_buffer(8192)  # OggVorbis_File, treated opaque
     rc = lib.ov_fopen(tmp_path.encode(), vf)
     if rc != 0:
         os.unlink(tmp_path)
         raise ValueError(f"not an OGG Vorbis stream (ov_fopen={rc})")
     try:
-        info = lib.ov_info(vf, -1)
-        if not info:
-            raise ValueError("ov_info failed")
-        channels, rate = info.contents.channels, int(info.contents.rate)
-        chunks: list[bytes] = []
-        buf = ctypes.create_string_buffer(65536)
-        bitstream = ctypes.c_int(0)
-        while True:
-            n = lib.ov_read(vf, buf, len(buf), 0, 2, 1, ctypes.byref(bitstream))
-            if n == 0:
-                break
-            if n < 0:
-                raise ValueError(f"ov_read error {n}")
-            chunks.append(buf.raw[:n])
-        raw = b"".join(chunks)
-        samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-        return samples, rate, channels
+        return _ov_read_all(lib, vf)
     finally:
         lib.ov_clear(vf)
         os.unlink(tmp_path)

@@ -67,6 +67,9 @@ def main(argv=None) -> int:
                     help="bypass audio loading: decode precomputed mel features "
                          "from a .npy file (reference --features flag)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--progress", action="store_true",
+                    help="print pipeline-stage progress to stderr "
+                         "(load/preprocess/decode; offline models only)")
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--random-weights", action="store_true",
                     help="run with random-initialized weights (pipeline smoke test)")
@@ -130,6 +133,7 @@ def main(argv=None) -> int:
                 ("--beam-size", args.beam_size > 0),
                 ("--lm", bool(args.lm)),
                 ("--boost", bool(boost)),
+                ("--progress", args.progress),
             ) if on
         ]
         if unsupported:
@@ -169,6 +173,10 @@ def main(argv=None) -> int:
                 from parakeet_tpu.text.ngram_lm import NgramLM
 
                 lm = NgramLM.from_arpa(args.lm).bind(tr.tokenizer.pieces)
+            on_progress = None
+            if args.progress:
+                def on_progress(stage, done, total):
+                    print(f"[progress] {stage} {done}/{total}", file=sys.stderr)
             opts = TranscribeOptions(
                 decoder,
                 args.timestamps,
@@ -178,6 +186,7 @@ def main(argv=None) -> int:
                 beam_size=args.beam_size,
                 lm=lm,
                 lm_weight=args.lm_weight,
+                on_progress=on_progress,
             )
             if args.features:
                 import numpy as _np

@@ -150,6 +150,12 @@ def _decode_loop(
         if use_boost:
             # boosted token set = union of children of active trie nodes
             mask = (s["boost_active"].astype(_F32) @ boost_reach) > 0  # (B, V)
+            if mask.shape[-1] < label_lp.shape[-1]:
+                # vocab dim padded for TP sharding (parallel/mesh.py): pad
+                # lanes carry -1e9 logits, never boosted/selected
+                mask = jnp.pad(
+                    mask, ((0, 0), (0, label_lp.shape[-1] - mask.shape[-1]))
+                )
             select_lp = label_lp + boost_score * mask.astype(_F32)
         else:
             select_lp = label_lp

@@ -23,6 +23,7 @@ import warnings
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 
@@ -89,6 +90,51 @@ _TP_RULES: list[tuple[str, PS]] = [
 ]
 
 
+# Vocab-dimension rules where padding to the next multiple of
+# model_parallel is semantics-preserving: appended weight rows are zero and
+# appended bias lanes are -1e9, so the extra logit lanes carry probability
+# exp(-1e9)=0 — log_softmax, argmax, top-k beams, and the losses are exactly
+# unchanged, and blank stays at index vocab_size-1 (padding is appended
+# AFTER it). Without this, the flagship vocab sizes (1025/8193, both odd)
+# made every vocab-dim TP rule silently replicate (r2 verdict).
+_VOCAB_PAD_PATTERN = re.compile(
+    r"((label_proj_|out_proj_)\.(weight|bias)$"
+    r"|ctc_decoder_\.proj_\.(weight|bias)$"
+    r"|prediction_\.embed_\.weight$)"
+)
+
+#: logit value for padded vocab lanes — large enough that exp(pad - max)
+#: is exactly 0 in f32/bf16, small enough to stay finite
+_PAD_BIAS = -1e9
+
+
+def pad_vocab_dim(key: str, v, tp: int):
+    """Pad the vocab ('model'-sharded) dim of an eligible param to divide
+    tp. Returns the padded array or None when not eligible/needed."""
+    if tp <= 1 or not _VOCAB_PAD_PATTERN.search(key):
+        return None
+    vocab = v.shape[0]
+    pad = (-vocab) % tp
+    if pad == 0:
+        return None
+    widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+    fill = _PAD_BIAS if key.endswith(".bias") else 0.0
+    return jnp.pad(jnp.asarray(v), widths, constant_values=fill)
+
+
+def unpad_vocab_params(params: dict, vocab_size: int, ctc_vocab_size: int | None = None) -> dict:
+    """Slice vocab-padded params back to the schema sizes (for exporting a
+    reference-schema checkpoint after sharded training/inference)."""
+    out = {}
+    for k, v in params.items():
+        if _VOCAB_PAD_PATTERN.search(k):
+            size = ctc_vocab_size if (ctc_vocab_size and k.startswith("ctc_decoder_")) else vocab_size
+            out[k] = v[:size]
+        else:
+            out[k] = v
+    return out
+
+
 def param_sharding_rules(key: str, mesh: Mesh) -> NamedSharding:
     """Sharding for one parameter by schema name; replicated if no rule hits
     or the sharded dim doesn't divide."""
@@ -99,16 +145,26 @@ def param_sharding_rules(key: str, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PS())
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
+def shard_params(params: dict, mesh: Mesh, pad_vocab: bool = True) -> dict:
     """Place a flat param dict onto the mesh (TP split where rules apply).
 
-    A TP rule whose sharded dim doesn't divide mesh['model'] falls back to
-    replication — with a warning, so a silent rule regression can't pass as
-    "sharded" (every current test would otherwise stay green if the rules
-    stopped matching)."""
+    pad_vocab: vocab-dim params (joint/CTC heads, prediction embedding)
+    whose leading dim doesn't divide model_parallel are first padded with
+    semantics-preserving rows (`pad_vocab_dim`) so the flagship odd vocab
+    sizes (1025/8193) actually shard instead of silently replicating.
+    Export padded params through `unpad_vocab_params`.
+
+    Any other TP rule whose sharded dim doesn't divide mesh['model'] falls
+    back to replication — with a warning, so a silent rule regression can't
+    pass as "sharded" (every current test would otherwise stay green if the
+    rules stopped matching)."""
     tp = dict(mesh.shape).get("model", 1)
     out = {}
     for k, v in params.items():
+        if pad_vocab:
+            padded = pad_vocab_dim(k, v, tp)
+            if padded is not None:
+                v = padded
         sh = param_sharding_rules(k, mesh)
         spec = sh.spec
         # skip TP split when the dimension doesn't divide evenly
@@ -142,6 +198,8 @@ def activation_sharding(mesh: Mesh | None) -> NamedSharding | None:
 
 __all__ = [
     "make_mesh",
+    "pad_vocab_dim",
+    "unpad_vocab_params",
     "param_sharding_rules",
     "shard_params",
     "batch_sharding",

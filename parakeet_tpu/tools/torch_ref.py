@@ -152,6 +152,133 @@ def torch_encoder(params, cfg, x, prefix="encoder_"):
     return h
 
 
+# ─── Transducer side (prediction LSTM + joint + scalar greedy decode) ────────
+#
+# Extends the oracle through the TDT/RNNT decode to TEXT, matching the
+# reference parity bar (compare_encoder.py:23-354 runs to transcript). The
+# LSTM is torch.nn.LSTM itself (cuDNN-layout weights, NOT a port of
+# ops/lstm.py); the greedy loop is a SCALAR per-utterance state machine
+# written from the reference semantics (tdt.cpp:36-210, rnnt.cpp:56-177)
+# plus the repo's one documented deviation (forced t+=1 on the max_symbols
+# livelock corner — decode/transducer.py module doc).
+
+
+def torch_prediction_lstm(params, prefix="prediction_"):
+    """Build a torch.nn.LSTM from the schema weights. input_proj_ carries
+    the merged NeMo bias (convert_nemo.py:409-417) → bias_ih; bias_hh = 0."""
+    torch = _torch()
+
+    n = 0
+    while f"{prefix}.lstm_.cells_.{n}.input_proj_.weight" in params:
+        n += 1
+    w0 = t(params, f"{prefix}.lstm_.cells_.0.input_proj_.weight")
+    hidden = w0.shape[0] // 4
+    lstm = torch.nn.LSTM(w0.shape[1], hidden, num_layers=n, batch_first=True)
+    sd = {}
+    for i in range(n):
+        cell = f"{prefix}.lstm_.cells_.{i}"
+        sd[f"weight_ih_l{i}"] = t(params, f"{cell}.input_proj_.weight")
+        sd[f"weight_hh_l{i}"] = t(params, f"{cell}.hidden_proj_.weight")
+        sd[f"bias_ih_l{i}"] = t(params, f"{cell}.input_proj_.bias")
+        sd[f"bias_hh_l{i}"] = torch.zeros(4 * hidden)
+    lstm.load_state_dict(sd)
+    lstm.eval()
+    return lstm, n, hidden
+
+
+def torch_joint(params, enc_t, pred, joint_prefix, is_tdt):
+    """One joint evaluation: (label_log_probs, duration_log_probs | None).
+    enc_proj has a bias; pred_proj is bias-free (rnnt.cpp:33)."""
+    import torch.nn.functional as TF
+
+    j = joint_prefix
+    hidden = TF.relu(
+        TF.linear(enc_t, t(params, f"{j}.enc_proj_.weight"), t(params, f"{j}.enc_proj_.bias"))
+        + TF.linear(pred, t(params, f"{j}.pred_proj_.weight"))
+    )
+    if is_tdt:
+        label = TF.log_softmax(
+            TF.linear(hidden, t(params, f"{j}.label_proj_.weight"), t(params, f"{j}.label_proj_.bias")),
+            dim=-1,
+        )
+        dur = TF.log_softmax(
+            TF.linear(hidden, t(params, f"{j}.duration_proj_.weight"), t(params, f"{j}.duration_proj_.bias")),
+            dim=-1,
+        )
+        return label, dur
+    label = TF.log_softmax(
+        TF.linear(hidden, t(params, f"{j}.out_proj_.weight"), t(params, f"{j}.out_proj_.bias")),
+        dim=-1,
+    )
+    return label, None
+
+
+def torch_transducer_greedy_decode(
+    params,
+    enc,  # (T, enc_hidden) torch tensor — ONE utterance
+    *,
+    durations=(0, 1, 2, 3, 4),
+    blank_id,
+    max_symbols=10,
+    joint_prefix="tdt_joint_",
+    is_tdt=True,
+    clamp_end=True,
+):
+    """Scalar TDT/RNNT greedy decode to (tokens, [(tok, start, end, conf)]).
+
+    Reference semantics (tdt.cpp:36-118 / :122-210, rnnt.cpp:56-177):
+    SOS = blank; blank → restore saved LSTM state, t += max(skip, 1);
+    non-blank → emit + feed back, t += skip if skip > 0 else another symbol
+    on the same frame capped at max_symbols (forced t += 1 at the cap —
+    the repo's documented livelock deviation); timestamps end_frame =
+    t + max(skip, 1) - 1, clamped to len-1; confidence = exp(label lp).
+    RNNT ≡ durations=(0,)."""
+    torch = _torch()
+
+    lstm, n_layers, hidden = torch_prediction_lstm(params)
+    emb = t(params, "prediction_.embed_.weight")
+    tt_len = enc.shape[0]
+    with torch.no_grad():
+        h = torch.zeros(n_layers, 1, hidden)
+        c = torch.zeros(n_layers, 1, hidden)
+        last = blank_id
+        tokens: list[int] = []
+        ts: list[tuple[int, int, int, float]] = []
+        tpos = 0
+        sym = 0
+        while tpos < tt_len:
+            out, (h2, c2) = lstm(emb[last][None, None, :], (h, c))
+            pred = out[0, 0]
+            label_lp, dur_lp = torch_joint(params, enc[tpos], pred, joint_prefix, is_tdt)
+            tok = int(torch.argmax(label_lp).item())
+            if is_tdt:
+                dur_idx = int(torch.argmax(dur_lp).item())
+                skip = int(durations[dur_idx])
+            else:
+                skip = 0
+            if tok == blank_id:
+                # blank: LSTM state NOT committed (h/c unchanged)
+                tpos += max(skip, 1)
+                sym = 0
+                continue
+            h, c = h2, c2
+            last = tok
+            tokens.append(tok)
+            end = tpos + max(skip, 1) - 1
+            if clamp_end:
+                end = min(end, tt_len - 1)
+            ts.append((tok, tpos, end, float(torch.exp(label_lp[tok]).item())))
+            if skip > 0:
+                tpos += skip
+                sym = 0
+            elif sym + 1 >= max_symbols:
+                tpos += 1  # forced advance (documented livelock deviation)
+                sym = 0
+            else:
+                sym += 1
+    return tokens, ts
+
+
 __all__ = [
     "t",
     "to_torch_params",
@@ -161,4 +288,7 @@ __all__ = [
     "torch_ffn",
     "torch_conv_module",
     "torch_encoder",
+    "torch_prediction_lstm",
+    "torch_joint",
+    "torch_transducer_greedy_decode",
 ]

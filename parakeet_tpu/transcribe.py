@@ -273,7 +273,10 @@ class _TranscriberBase:
         if not sources:
             return []
 
-        waves = [self._to_samples(s) for s in sources]
+        waves = []
+        for i, s in enumerate(sources):
+            waves.append(self._to_samples(s))
+            _emit_progress(opts, "load", i + 1, len(sources))
         if len(waves) > 1:
             # one device call for the whole batch (exact per-clip equality);
             # features STAY on device — normalized pad frames are exactly 0
@@ -282,6 +285,7 @@ class _TranscriberBase:
             from parakeet_tpu.audio.frontend import preprocess_audio_batch
 
             batched, n_frames = preprocess_audio_batch(waves, self._audio_cfg)
+            _emit_progress(opts, "preprocess", 1, 1)
             if not self._audio_cfg.normalize:
                 # unnormalized pad frames are log-guard values, not 0 —
                 # re-pad on host (not hit by the ASR facades)
@@ -292,6 +296,7 @@ class _TranscriberBase:
                 batched, list(n_frames), opts, pad_to_multiple=pad_to_multiple
             )
         feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
+        _emit_progress(opts, "preprocess", 1, 1)
         return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
 
     def transcribe_features(self, features, opts: TranscribeOptions | None = None):
@@ -324,6 +329,23 @@ class _TranscriberBase:
         return self._decode_padded(batch, mel_lens, opts)
 
     def _decode_padded(
+        self,
+        batch,
+        mel_lens: list[int],
+        opts: TranscribeOptions,
+        *,
+        pad_to_multiple: int | None = None,
+    ) -> list[TranscribeResult]:
+        """Encoder + decode + result assembly; emits the "decode" progress
+        stage once results are back on the host (encoder and decode run
+        inside one device program — see TranscribeOptions.on_progress)."""
+        results = self._decode_padded_impl(
+            batch, mel_lens, opts, pad_to_multiple=pad_to_multiple
+        )
+        _emit_progress(opts, "decode", 1, 1)
+        return results
+
+    def _decode_padded_impl(
         self,
         batch,  # (B, T, mel) np or device array, zero-padded per item
         mel_lens: list[int],
@@ -493,6 +515,8 @@ class _TranscriberBase:
         boost_phrases: list[str] | None = None,
         boost_score: float = DEFAULT_BOOST_SCORE,
         timestamp_mode: TimestampMode = TimestampMode.WORDS,
+        on_progress=None,
+        progress_batch: int = 8,
     ) -> TranscribeResult:
         """Long-form transcription via overlapping windows + timestamp merge.
 
@@ -502,6 +526,13 @@ class _TranscriberBase:
         with `overlap_s` overlap are decoded with timestamps; from each
         window we keep tokens whose START falls in its exclusive half of
         the overlap, so every instant is owned by exactly one window.
+
+        on_progress: optional (stage, done, total) callback. When set, the
+        windows run in sub-batches of `progress_batch` so ("window", done,
+        total) fires as the file actually advances (an hour-long file is no
+        longer one opaque device call); without it all windows run as ONE
+        batched device call (fastest). Sub-batching is decode-equivalent —
+        windows are independent and batching is token-identical.
         """
         if overlap_s < 0 or overlap_s >= window_s:
             # hop <= 0 would silently decode nothing (negative) or crash
@@ -541,11 +572,17 @@ class _TranscriberBase:
         # boundary rule shared with group_timestamps (group_token_words).
         pieces = self.tokenizer.pieces if self.tokenizer.loaded else None
         opts = TranscribeOptions(decoder, True, list(boost_phrases or []), boost_score)
-        # ONE batched device call for all windows (they pad to a uniform
-        # length inside transcribe_batch) instead of a dispatch per window
-        results = self.transcribe_batch(
-            [samples[s0 : s0 + win] for s0 in starts], opts
-        )
+        windows = [samples[s0 : s0 + win] for s0 in starts]
+        if on_progress is None:
+            # ONE batched device call for all windows (they pad to a uniform
+            # length inside transcribe_batch) instead of a dispatch per window
+            results = self.transcribe_batch(windows, opts)
+        else:
+            results = []
+            step = max(1, int(progress_batch))
+            for lo in range(0, len(windows), step):
+                results.extend(self.transcribe_batch(windows[lo : lo + step], opts))
+                on_progress("window", min(lo + step, len(windows)), len(windows))
 
         owned_words: list[list[TimestampedToken]] = []
         for wi, (s0, res) in enumerate(zip(starts, results)):

@@ -187,3 +187,51 @@ def test_ctc_on_tdt_only_model_raises_cleanly():
         tr.transcribe_features(feats, TranscribeOptions(Decoder.CTC))
     with pytest.raises(ValueError, match="no CTC head"):
         tr.transcribe(np.zeros(8000, np.float32), Decoder.CTC)
+
+
+def test_progress_callbacks_offline(tiny):
+    """TranscribeOptions.on_progress fires load/preprocess/decode in order
+    with correct (done, total), and identical results vs no callback."""
+    from parakeet_tpu.transcribe import TranscribeOptions
+
+    clips = [np.random.RandomState(s).randn(8000).astype(np.float32) * 0.1
+             for s in range(3)]
+    events = []
+    opts = TranscribeOptions(Decoder.CTC,
+                             on_progress=lambda st, d, t: events.append((st, d, t)))
+    res = tiny.transcribe_batch(clips, opts)
+    plain = tiny.transcribe_batch(clips, TranscribeOptions(Decoder.CTC))
+    assert [r.token_ids for r in res] == [r.token_ids for r in plain]
+    assert events[:3] == [("load", 1, 3), ("load", 2, 3), ("load", 3, 3)]
+    assert ("preprocess", 1, 1) in events
+    assert events[-1] == ("decode", 1, 1)
+
+
+def test_progress_callback_exception_propagates(tiny):
+    from parakeet_tpu.transcribe import TranscribeOptions
+
+    def boom(stage, done, total):
+        raise RuntimeError("callback boom")
+
+    with pytest.raises(RuntimeError, match="callback boom"):
+        tiny.transcribe_batch(
+            [np.zeros(4000, np.float32)], TranscribeOptions(on_progress=boom)
+        )
+
+
+def test_transcribe_long_window_progress(tiny):
+    """on_progress sub-batches windows and reports ('window', done, total);
+    results identical to the single-batched path."""
+    audio = np.random.RandomState(3).randn(5 * 16000).astype(np.float32) * 0.1
+    flat = tiny.transcribe_long(audio, Decoder.CTC, window_s=2.0, overlap_s=1.0)
+    events = []
+    prog = tiny.transcribe_long(
+        audio, Decoder.CTC, window_s=2.0, overlap_s=1.0,
+        on_progress=lambda st, d, t: events.append((st, d, t)), progress_batch=2,
+    )
+    assert prog.token_ids == flat.token_ids
+    wins = [e for e in events if e[0] == "window"]
+    assert len(wins) >= 2
+    total = wins[0][2]
+    assert [w[1] for w in wins] == sorted(w[1] for w in wins)
+    assert wins[-1] == ("window", total, total)

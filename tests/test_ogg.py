@@ -45,3 +45,26 @@ def test_read_audio_ogg_path(tmp_path):
 def test_ogg_garbage_raises():
     with pytest.raises(ValueError):
         ogg_decode(b"OggS" + b"\x00" * 64)
+
+
+def test_ogg_decode_in_memory_no_tempfile(monkeypatch, tmp_path):
+    """The fmemopen path must not touch the filesystem (serving paths stay
+    file-free); force-failing tempfile proves ov_open handled the buffer."""
+    import tempfile as _tf
+
+    from parakeet_tpu.audio import codecs as CC
+    from tests.helpers.ogg_writer import encode_ogg, ogg_encoder_available
+
+    if not (CC.ogg_available() and ogg_encoder_available()):
+        pytest.skip("vorbis libs unavailable")
+
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(np.float32)
+    blob = encode_ogg(x, 16000)
+
+    def no_tempfile(*a, **k):
+        raise AssertionError("ogg_decode used the temp-file fallback")
+
+    monkeypatch.setattr(_tf, "NamedTemporaryFile", no_tempfile)
+    samples, rate, ch = CC.ogg_decode(blob)
+    assert rate == 16000 and ch == 1
+    assert abs(float(np.max(samples)) - 0.25) < 0.05

@@ -91,12 +91,59 @@ def test_tensor_parallel_inference_matches_single_device():
     for r, g in zip(ref_t, got_t):
         assert r.token_ids == g.token_ids
 
-    # non-dividing dims (vocab 9 over tp=2) must warn, not silently replicate
+    # vocab dims (9 over tp=2) are PADDED to divide — sharded, zero warnings
     with W.catch_warnings(record=True) as caught:
         W.simplefilter("always")
-        shard_params(single.params, mesh)
+        padded = shard_params(single.params, mesh)
+    msgs = [str(c.message) for c in caught]
+    assert not any("does not divide" in m for m in msgs), msgs
+    assert padded["tdt_joint_.label_proj_.weight"].shape[0] == 10  # 9 → 10
+    assert any(
+        ax == "model" for ax in padded["tdt_joint_.label_proj_.weight"].sharding.spec
+    )
+    # with padding off, the old warn-don't-silently-replicate contract holds
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        shard_params(single.params, mesh, pad_vocab=False)
     msgs = [str(c.message) for c in caught]
     assert any("does not divide model_parallel=2" in m for m in msgs), msgs
+
+
+def test_vocab_pad_unpad_roundtrip_and_semantics():
+    """pad_vocab_dim appends zero weight rows + -1e9 bias lanes; padded
+    log-softmax/argmax match unpadded exactly; unpad restores schema shapes."""
+    import jax.numpy as jnp
+
+    from parakeet_tpu.parallel.mesh import pad_vocab_dim, unpad_vocab_params
+
+    rng = np.random.RandomState(3)
+    w = rng.randn(9, 8).astype(np.float32)
+    b = rng.randn(9).astype(np.float32)
+    wp = pad_vocab_dim("tdt_joint_.label_proj_.weight", w, 2)
+    bp = pad_vocab_dim("tdt_joint_.label_proj_.bias", b, 2)
+    assert wp.shape == (10, 8) and bp.shape == (10,)
+    assert float(bp[-1]) == -1e9 and float(jnp.abs(wp[-1]).max()) == 0.0
+    # ineligible / already-dividing keys pass through untouched
+    assert pad_vocab_dim("encoder_.layers_.0.ffn1_.fc1_.weight", w, 2) is None
+    assert pad_vocab_dim("tdt_joint_.label_proj_.weight", rng.randn(10, 8), 2) is None
+
+    x = rng.randn(4, 8).astype(np.float32)
+    logits = x @ w.T + b
+    logits_p = x @ np.asarray(wp).T + np.asarray(bp)
+    lsm = jnp.asarray(logits) - jnp.log(jnp.sum(jnp.exp(logits), -1, keepdims=True))
+    lsm_p = jnp.asarray(logits_p) - jnp.log(jnp.sum(jnp.exp(logits_p), -1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(lsm_p[:, :9]), np.asarray(lsm), rtol=1e-6)
+    assert (np.argmax(logits_p, -1) == np.argmax(logits, -1)).all()
+
+    params = {"tdt_joint_.label_proj_.weight": np.asarray(wp),
+              "tdt_joint_.label_proj_.bias": np.asarray(bp),
+              "ctc_decoder_.proj_.weight": rng.randn(10, 8, 1).astype(np.float32),
+              "encoder_.norm.weight": rng.randn(8).astype(np.float32)}
+    un = unpad_vocab_params(params, 9, ctc_vocab_size=9)
+    assert un["tdt_joint_.label_proj_.weight"].shape == (9, 8)
+    assert un["ctc_decoder_.proj_.weight"].shape == (9, 8, 1)
+    assert un["encoder_.norm.weight"].shape == (8,)
+    np.testing.assert_array_equal(un["tdt_joint_.label_proj_.weight"], w)
 
 
 # ─── Sequence parallelism ('seq' mesh axis, encoder activations over T) ──────
