@@ -165,6 +165,15 @@ def main() -> int:
     ap.add_argument("--e2e-json", action="store_true",
                     help="print the e2e metric as the stdout JSON line instead "
                          "of a stderr annotation (stdout keeps ONE JSON line)")
+    ap.add_argument("--all-models", action="store_true",
+                    help="additionally run the full model matrix "
+                         "(110m/tdt-600m/rnnt-600m/sortformer x --durations) "
+                         "and write one JSON artifact (--models-out); stdout "
+                         "still carries exactly ONE headline JSON line")
+    ap.add_argument("--durations", default="10",
+                    help="comma list of clip seconds for --all-models")
+    ap.add_argument("--models-out", default="BENCH_MODELS.json",
+                    help="artifact path for the --all-models matrix")
     args = ap.parse_args()
 
     import numpy as np
@@ -251,6 +260,36 @@ def main() -> int:
         # stdout carries exactly ONE JSON line (driver contract); the other
         # metric rides on stderr so both appear in the captured tail.
         print(f"# e2e: {json.dumps(e2e)}", file=sys.stderr)
+
+    if args.all_models:
+        # full model x duration matrix (reference bench.cpp:165-313 registers
+        # the same grid); TUNING.md's hand-run numbers, driver-reproducible
+        from parakeet_tpu.benchmark import bench_encoder
+
+        ref_rtfx_10s = {  # reference best published (M3 GPU, README.md:453-456)
+            "110m": 370.0, "tdt-600m": 10.0 / 0.520,
+            "rnnt-600m": 10.0 / 1.468, "sortformer": 10.0 / 0.479,
+        }
+        matrix = []
+        for model in ("110m", "tdt-600m", "rnnt-600m", "sortformer"):
+            mb = args.batch if model == "110m" else 16  # measured-best batches
+            for sec in [int(d) for d in args.durations.split(",")]:
+                dt = bench_encoder(model, sec, mb, args.dtype, args.iters)
+                rtfx = mb * sec / dt
+                row = {
+                    "model": model, "seconds": sec, "batch": mb,
+                    "ms_per_forward": round(dt * 1e3, 2),
+                    "rtfx_per_chip": round(rtfx, 1),
+                    "vs_reference_best": (
+                        round(rtfx / ref_rtfx_10s[model], 1) if sec == 10 else None
+                    ),
+                }
+                matrix.append(row)
+                print(f"# all-models: {json.dumps(row)}", file=sys.stderr)
+        with open(args.models_out, "w") as f:
+            json.dump({"dtype": args.dtype, "fused_mode": None if args.no_fused
+                       else args.fused_mode, "rows": matrix}, f, indent=1)
+        print(f"# all-models matrix → {args.models_out}", file=sys.stderr)
 
     print(json.dumps(e2e if (args.e2e_json and e2e) else headline))
     if e2e:

@@ -69,6 +69,7 @@ from parakeet_tpu.audio.io import (
 from parakeet_tpu.audio.frontend import StreamingAudioPreprocessor, preprocess_audio
 from parakeet_tpu.decode.phrase_boost import ContextTrie
 from parakeet_tpu.text.ngram_lm import NgramLM, rescore_nbest
+from parakeet_tpu.text.neural_lm import NeuralLM, NeuralLMConfig, train_neural_lm
 from parakeet_tpu.audio.vad import VadConfig, vad_segments
 from parakeet_tpu.quantize import quantize_params, quantized_fraction
 from parakeet_tpu.decode.keyword import HotwordDetector, keyword_log_odds
@@ -104,6 +105,9 @@ __all__ = [
     "quantized_fraction",
     "vad_segments",
     "rescore_nbest",
+    "NeuralLM",
+    "NeuralLMConfig",
+    "train_neural_lm",
     "AudioConfig",
     "EncoderConfig",
     "StreamingEncoderConfig",

@@ -74,6 +74,7 @@ class TransducerResult:
         "joint_prefix",
         "boost_score",
         "clamp_end",
+        "unroll",
     ),
 )
 def _decode_loop(
@@ -94,6 +95,7 @@ def _decode_loop(
     joint_prefix: str,
     boost_score: float,
     clamp_end: bool = True,
+    unroll: int = 1,
 ):
     b, t_max, _ = enc.shape
     root = Params(params)
@@ -108,11 +110,6 @@ def _decode_loop(
     # (numerically identical; the reference recomputes it per step).
     enc_pre = joint_encoder_projection(joint_p, enc)  # (B, T, joint_h)
 
-    out_tok = jnp.zeros((b, max_out), jnp.int32)
-    out_start = jnp.zeros((b, max_out), jnp.int32)
-    out_end = jnp.zeros((b, max_out), jnp.int32)
-    out_conf = jnp.zeros((b, max_out), _F32)
-
     if use_boost:
         boost_reach = (boost_trans >= 0).astype(_F32)  # (N, V)
 
@@ -122,10 +119,12 @@ def _decode_loop(
         lstm=init_lstm,
         sym=jnp.zeros((b,), jnp.int32),
         n_out=jnp.zeros((b,), jnp.int32),
-        out_tok=out_tok,
-        out_start=out_start,
-        out_end=out_end,
-        out_conf=out_conf,
+        # tok | start | end | bitcast(conf): ONE buffer so each iteration
+        # commits its emission with ONE scatter instead of four — the loop
+        # is per-iteration-latency-bound (TUNING.md "TDT decode"), so body
+        # op count is the cost driver. Unpacked after the loop; outputs are
+        # bit-identical (f32 conf round-trips through bitcast exactly).
+        out_pack=jnp.zeros((b, max_out, 4), jnp.int32),
         boost_active=boost_active0,
     )
 
@@ -133,6 +132,17 @@ def _decode_loop(
         return jnp.any(s["t"] < enc_len)
 
     def body(s):
+        # `unroll` full state-machine steps per while_loop iteration: the
+        # loop is SEQUENCING-bound (~60 µs/iter vs ~20 µs of body compute,
+        # r3 trace), so fewer, fatter iterations cut wall time. A step is a
+        # masked no-op for finished elements (active = t < len gates every
+        # state change), so trailing over-steps are exact no-ops and the
+        # result is bit-identical to unroll=1 (pinned by the oracle suite).
+        for _ in range(unroll):
+            s = _step(s)
+        return s
+
+    def _step(s):
         t, token, lstm, sym = s["t"], s["token"], s["lstm"], s["sym"]
         active = t < enc_len
         t_idx = jnp.clip(t, 0, t_max - 1)
@@ -179,7 +189,7 @@ def _decode_loop(
         keep = emit.astype(lstm.dtype)[None, None, :, None]  # broadcast over (L,2,B,H)
         merged_lstm = new_lstm * keep + lstm * (1 - keep)
 
-        # write emission records
+        # write the emission record: one packed (B, 4) row, one scatter
         idx = jnp.clip(s["n_out"], 0, max_out - 1)
         end_frame = t + jnp.maximum(skip, 1) - 1
         if clamp_end:
@@ -187,9 +197,12 @@ def _decode_loop(
             # streaming chunk decode does not (eou.cpp:81-84)
             end_frame = jnp.minimum(end_frame, enc_len - 1)
 
-        def wr(buf, val):
-            cur = buf[batch_ix, idx]
-            return buf.at[batch_ix, idx].set(jnp.where(emit, val, cur))
+        conf_bits = jax.lax.bitcast_convert_type(jnp.exp(raw_lp).astype(_F32), jnp.int32)
+        row = jnp.stack([tok_id, t, end_frame, conf_bits], axis=-1)  # (B, 4)
+        cur = s["out_pack"][batch_ix, idx]
+        out_pack = s["out_pack"].at[batch_ix, idx].set(
+            jnp.where(emit[:, None], row, cur)
+        )
 
         new_s = dict(
             t=new_t,
@@ -197,10 +210,7 @@ def _decode_loop(
             lstm=merged_lstm,
             sym=new_sym,
             n_out=s["n_out"] + emit.astype(jnp.int32),
-            out_tok=wr(s["out_tok"], tok_id),
-            out_start=wr(s["out_start"], t),
-            out_end=wr(s["out_end"], end_frame),
-            out_conf=wr(s["out_conf"], jnp.exp(raw_lp)),
+            out_pack=out_pack,
             boost_active=s["boost_active"],
         )
 
@@ -217,11 +227,12 @@ def _decode_loop(
         return new_s
 
     final = jax.lax.while_loop(cond, body, state)
+    pack = final["out_pack"]
     return (
-        final["out_tok"],
-        final["out_start"],
-        final["out_end"],
-        final["out_conf"],
+        pack[:, :, 0],
+        pack[:, :, 1],
+        pack[:, :, 2],
+        jax.lax.bitcast_convert_type(pack[:, :, 3], _F32),
         final["n_out"],
         final["token"],
         final["lstm"],
@@ -464,6 +475,7 @@ def transducer_greedy_decode(
     clamp_end: bool = True,
     impl: str = "step",
     window: int = 8,
+    unroll: int = 1,
 ) -> TransducerResult:
     """Run the jitted decode and unpack to host lists.
 
@@ -496,7 +508,9 @@ def transducer_greedy_decode(
     if impl == "lookahead":
         loop_fn = functools.partial(_decode_loop_lookahead, window=max(1, min(window, t_max)))
     elif impl == "step":
-        loop_fn = _decode_loop
+        # unroll: full state-machine steps per while_loop iteration (see
+        # _decode_loop body — bit-identical, fewer sequencing-bound iters)
+        loop_fn = functools.partial(_decode_loop, unroll=max(1, int(unroll)))
     else:
         raise ValueError(f"unknown decode impl {impl!r} (want 'lookahead' or 'step')")
 

@@ -65,7 +65,14 @@ class TranscriptionService:
         max_wait_ms: float = 20.0,
         pad_to_multiple: int | None = 200,
         opts=None,
+        pipeline: bool = True,
     ):
+        """pipeline: run load/mel-frontend (prepare_batch) and
+        encoder/decode (decode_prepared) in two stages with a 1-deep
+        handoff, so cohort N+1's audio loading + frontend overlaps cohort
+        N's device work — the facade split exists for exactly this
+        (transcribe.prepare_batch docstring). Results are identical and
+        stay FIFO; set False for the single-thread behavior."""
         self.tr = transcriber
         self.opts = opts
         self.max_batch = int(max_batch)
@@ -75,7 +82,18 @@ class TranscriptionService:
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._submit_lock = threading.Lock()
-        self._worker = threading.Thread(target=self._run, daemon=True, name="parakeet-serve")
+        self._pipeline = bool(pipeline) and hasattr(transcriber, "prepare_batch")
+        if self._pipeline:
+            self._prepared_q: queue.Queue = queue.Queue(maxsize=1)
+            self._preparer = threading.Thread(
+                target=self._prepare_run, daemon=True, name="parakeet-serve-prep"
+            )
+            self._worker = threading.Thread(
+                target=self._decode_run, daemon=True, name="parakeet-serve"
+            )
+            self._preparer.start()
+        else:
+            self._worker = threading.Thread(target=self._run, daemon=True, name="parakeet-serve")
         self._worker.start()
 
     # ── Public API ───────────────────────────────────────────────────────
@@ -105,6 +123,8 @@ class TranscriptionService:
                 return
             self._closed = True
             self._q.put(None)  # sentinel: drain-then-exit
+        if self._pipeline:
+            self._preparer.join(timeout=timeout)
         self._worker.join(timeout=timeout)
 
     def __enter__(self):
@@ -141,6 +161,63 @@ class TranscriptionService:
             batch.append(item)
         return batch, False
 
+    def _drain_after_stop(self) -> None:
+        # drain whatever raced in after the sentinel
+        try:
+            while True:
+                item = self._q.get_nowait()
+                if item is not None:
+                    item[1].set_exception(RuntimeError("service closed"))
+        except queue.Empty:
+            pass
+
+    def _prepare_run(self) -> None:
+        """Pipeline stage 1: coalesce cohorts and run load + mel frontend;
+        hand prepared cohorts to the decode worker (1-deep, so at most one
+        cohort is prepared ahead while the device is busy)."""
+        while True:
+            batch, stop = self._collect()
+            # a cancelled Future must not join the device batch (see _run)
+            batch = [
+                (s, fut) for s, fut in batch if fut.set_running_or_notify_cancel()
+            ]
+            item = None
+            if batch:
+                try:
+                    prepared = self.tr.prepare_batch(
+                        [s for s, _ in batch], self.opts,
+                        pad_to_multiple=self.pad_to_multiple,
+                    )
+                    item = (batch, prepared, None)
+                except Exception as e:  # noqa: BLE001 — fan out, keep serving
+                    item = (batch, None, e)
+            self._prepared_q.put((item, stop))
+            if stop:
+                return
+
+    def _decode_run(self) -> None:
+        """Pipeline stage 2: device encoder/decode + result fan-out."""
+        while True:
+            item, stop = self._prepared_q.get()
+            if item is not None:
+                batch, prepared, err = item
+                if err is None:
+                    try:
+                        results = self.tr.decode_prepared(prepared)
+                        for (_, fut), res in zip(batch, results):
+                            fut.set_result(res)
+                    except Exception as e:  # noqa: BLE001
+                        err = e
+                if err is not None:
+                    self.stats.errors += 1
+                    for _, fut in batch:
+                        if not fut.done():
+                            fut.set_exception(err)
+                self.stats.record_batch(len(batch))
+            if stop:
+                self._drain_after_stop()
+                return
+
     def _run(self) -> None:
         while True:
             batch, stop = self._collect()
@@ -165,14 +242,7 @@ class TranscriptionService:
                             fut.set_exception(e)
                 self.stats.record_batch(len(batch))
             if stop:
-                # drain whatever raced in after the sentinel
-                try:
-                    while True:
-                        item = self._q.get_nowait()
-                        if item is not None:
-                            item[1].set_exception(RuntimeError("service closed"))
-                except queue.Empty:
-                    pass
+                self._drain_after_stop()
                 return
 
 

@@ -269,9 +269,27 @@ class _TranscriberBase:
         padded length so arbitrary-length workloads reuse a bounded set of
         compiled programs (e.g. 200 ≙ 2 s granularity); None = exact length
         (one compile per distinct max length)."""
+        prepared = self.prepare_batch(sources, opts, pad_to_multiple=pad_to_multiple)
+        return self.decode_prepared(prepared)
+
+    def prepare_batch(
+        self,
+        sources: list,
+        opts: TranscribeOptions | None = None,
+        *,
+        pad_to_multiple: int | None = None,
+    ):
+        """Pipeline stage 1: load audio + run the mel frontend (device work
+        dispatches asynchronously; nothing blocks on results). Returns an
+        opaque prepared-batch handle for `decode_prepared`.
+
+        The split exists so a serving layer can overlap batch N+1's
+        load/frontend with batch N's encoder/decode (serve.py's pipelined
+        worker) — `transcribe_batch` is exactly
+        `decode_prepared(prepare_batch(...))`."""
         opts = opts or TranscribeOptions()
         if not sources:
-            return []
+            return ("empty", opts, pad_to_multiple, None, None)
 
         waves = []
         for i, s in enumerate(sources):
@@ -291,13 +309,21 @@ class _TranscriberBase:
                 # re-pad on host (not hit by the ASR facades)
                 arr = np.asarray(batched)
                 feats = [arr[i, : n_frames[i]] for i in range(len(waves))]
-                return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
-            return self._decode_padded(
-                batched, list(n_frames), opts, pad_to_multiple=pad_to_multiple
-            )
+                return ("feats", opts, pad_to_multiple, feats, None)
+            return ("padded", opts, pad_to_multiple, batched, list(n_frames))
         feats = [np.asarray(preprocess_audio(w, self._audio_cfg))[0] for w in waves]
         _emit_progress(opts, "preprocess", 1, 1)
-        return self._decode_features(feats, opts, pad_to_multiple=pad_to_multiple)
+        return ("feats", opts, pad_to_multiple, feats, None)
+
+    def decode_prepared(self, prepared) -> list[TranscribeResult]:
+        """Pipeline stage 2: encoder + decode + result assembly for a
+        `prepare_batch` handle."""
+        kind, opts, pad_to_multiple, payload, n_frames = prepared
+        if kind == "empty":
+            return []
+        if kind == "feats":
+            return self._decode_features(payload, opts, pad_to_multiple=pad_to_multiple)
+        return self._decode_padded(payload, n_frames, opts, pad_to_multiple=pad_to_multiple)
 
     def transcribe_features(self, features, opts: TranscribeOptions | None = None):
         """Decode precomputed mel features — the reference CLI's --features

@@ -112,6 +112,11 @@ def main() -> int:
     for item in args.impls.split(","):
         if item == "step":
             loops["step"] = functools.partial(greedy_call, TR._decode_loop)
+        elif item.startswith("unroll"):
+            n = int(item.split(":")[1]) if ":" in item else 2
+            loops[f"unroll:{n}"] = functools.partial(
+                greedy_call, functools.partial(TR._decode_loop, unroll=n)
+            )
         elif item.startswith("lookahead"):
             w = int(item.split(":")[1]) if ":" in item else 8
             loops[f"lookahead:{w}"] = functools.partial(

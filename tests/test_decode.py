@@ -426,3 +426,37 @@ def test_boosted_ctc_optimized_equals_bruteforce():
         return toks
 
     assert got == [brute(lp[0]), brute(lp[1])]
+
+
+def test_unroll_bit_identical():
+    """unroll>1 (multiple state-machine steps per while_loop iteration) must
+    be bit-identical to unroll=1 — masked trailing steps are exact no-ops."""
+    import jax.numpy as jnp
+
+    from parakeet_tpu import config as C
+    from parakeet_tpu import params as P
+    from parakeet_tpu.decode.transducer import transducer_greedy_decode
+
+    vocab, ph, jh, enc_h = 13, 8, 8, 16
+    spec = {}
+    spec.update(P.prediction_spec(C.PredictionConfig(vocab_size=vocab, pred_hidden=ph,
+                                                     num_lstm_layers=2)))
+    spec.update(P.tdt_joint_spec(
+        C.JointConfig(encoder_hidden=enc_h, pred_hidden=ph, joint_hidden=jh,
+                      vocab_size=vocab), 5))
+    params = P.init_params(spec, seed=17)
+    enc = jnp.asarray(np.random.RandomState(2).randn(3, 29, enc_h).astype(np.float32))
+    lens = [29, 13, 22]
+
+    kw = dict(pred_hidden=ph, num_lstm_layers=2, durations=(0, 1, 2, 3, 4),
+              blank_id=vocab - 1, is_tdt=True, joint_prefix="tdt_joint_",
+              enc_lengths=lens)
+    ref = transducer_greedy_decode(params, enc, **kw)
+    for n in (2, 4):
+        got = transducer_greedy_decode(params, enc, **kw, unroll=n)
+        assert got.tokens == ref.tokens, f"unroll={n}"
+        for a, b in zip(got.timestamped, ref.timestamped):
+            assert [(t.token_id, t.start_frame, t.end_frame, t.confidence) for t in a] == \
+                   [(t.token_id, t.start_frame, t.end_frame, t.confidence) for t in b]
+        np.testing.assert_array_equal(np.asarray(got.last_token), np.asarray(ref.last_token))
+        np.testing.assert_array_equal(np.asarray(got.lstm_state), np.asarray(ref.lstm_state))

@@ -91,3 +91,29 @@ def test_close_rejects_new_work(tr):
     with pytest.raises(RuntimeError, match="closed"):
         svc.submit(_clips(1)[0])
     svc.close()  # idempotent
+
+
+def test_pipelined_matches_unpipelined(tr):
+    """pipeline=True (prepare/decode overlap across cohorts) must produce
+    identical results, FIFO order, and identical error fan-out vs the
+    single-thread worker."""
+    from parakeet_tpu.serve import TranscriptionService
+
+    rng = np.random.RandomState(9)
+    clips = [rng.randn(6000 + 800 * i).astype(np.float32) * 0.1 for i in range(6)]
+
+    with TranscriptionService(tr, max_batch=3, max_wait_ms=5, pipeline=False) as svc:
+        ref = [svc.submit(c).result(timeout=300) for c in clips]
+    with TranscriptionService(tr, max_batch=3, max_wait_ms=5, pipeline=True) as svc:
+        assert svc._pipeline
+        futs = [svc.submit(c) for c in clips]
+        got = [f.result(timeout=300) for f in futs]
+    assert [r.token_ids for r in got] == [r.token_ids for r in ref]
+
+    # a bad source fails its own future, later cohorts keep working
+    with TranscriptionService(tr, max_batch=2, max_wait_ms=5, pipeline=True) as svc:
+        bad = svc.submit("/nonexistent/clip.wav")
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+        good = svc.submit(clips[0])
+        assert good.result(timeout=300).token_ids == ref[0].token_ids

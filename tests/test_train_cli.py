@@ -51,7 +51,7 @@ def test_tiny_end_to_end(tmp_path):
         "--checkpoint-every", "2", "--export", str(out), "--log-every", "1",
     ])
     assert rc == 0
-    assert (ck / "params.safetensors").exists()
+    assert (ck / "state.safetensors").exists()  # single-file atomic layout (r3)
     assert out.exists()
 
     # resume continues from the saved step without error
