@@ -80,7 +80,7 @@ def run_e2e(args) -> dict:
         num_lstm_layers=cfg.prediction.num_lstm_layers,
         durations=tuple(cfg.durations), blank_id=blank, max_symbols=10,
         max_out=max_out, is_tdt=True, joint_prefix="tdt_joint_",
-        boost_score=0.0, clamp_end=True,
+        boost_score=0.0, clamp_end=True, unroll=args.e2e_unroll,
     )
 
     def pipeline(p, audio):
@@ -123,9 +123,15 @@ def run_e2e(args) -> dict:
     t0 = time.perf_counter()
     float(chained(params, waves))
     print(f"# e2e compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    prof = None
+    if getattr(args, "profile", None):
+        prof = jax.profiler.trace(args.profile + "_e2e")
+        prof.__enter__()
     t0 = time.perf_counter()
     float(chained(params, waves))
     dt = (time.perf_counter() - t0) / k
+    if prof is not None:
+        prof.__exit__(None, None, None)
     rtfx = b * args.secs / dt
     print(f"# e2e batch {b}: {dt * 1e3:.2f} ms/pipeline", file=sys.stderr)
     return {
@@ -148,9 +154,9 @@ def main() -> int:
     ap.add_argument("--full", action="store_true", help="include CTC head")
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused Pallas attention kernel")
-    ap.add_argument("--fused-mode", default="block", choices=["v1", "block", "block2", "block4", "block8", "mega"],
+    ap.add_argument("--fused-mode", default="block4", choices=["v1", "block", "block2", "block4", "block8", "mega"],
                     help="fused attention kernel variant (see encoder.set_fused_attention); "
-                         "'block' (QKV/out fused, roll-free rel_shift) is the measured best")
+                         "'block4' (QKV/out fused, roll-free rel_shift, 4 batch items per program) is the measured best")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
     ap.add_argument("--fused-ffn", action="store_true",
                     help="fused Pallas macaron-FFN kernel (encoder.set_fused_ffn)")
@@ -174,6 +180,11 @@ def main() -> int:
                     help="comma list of clip seconds for --all-models")
     ap.add_argument("--models-out", default="BENCH_MODELS.json",
                     help="artifact path for the --all-models matrix")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed runs")
+    ap.add_argument("--e2e-unroll", type=int, default=1,
+                    help="decode while_loop steps per iteration in the e2e "
+                         "pipeline (bit-identical; see _decode_loop)")
     args = ap.parse_args()
 
     import numpy as np

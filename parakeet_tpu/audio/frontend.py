@@ -15,7 +15,9 @@ reference, whose output is deterministic (test_all.cpp:739-753).
 
 Design: the mel filterbank and window are host-built f64 constants; the
 per-utterance transform is a single jitted function (one fused XLA program:
-pad→frame→rfft→matmul→log→normalize). Batched use goes through `vmap`.
+pad→windowed-DFT-conv→matmul→log→normalize; see _stft_power_conv for why
+the FFT is replaced by one strided MXU convolution). Batched use goes
+through preprocess_audio_batch.
 """
 
 from __future__ import annotations
@@ -95,10 +97,45 @@ def _fb_for(cfg: AudioConfig) -> np.ndarray:
     return mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, float(cfg.sample_rate), cfg.f_min, f_max)
 
 
-def _frame(x: jnp.ndarray, frame_length: int, hop: int, n_frames: int) -> jnp.ndarray:
-    """(N,) → (n_frames, frame_length) via strided gather."""
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_length)[None, :]
-    return x[idx]
+@functools.lru_cache(maxsize=8)
+def _dft_power_mats(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT cos/sin matrices (n_fft, n_fft//2+1), f64 construction, f32
+    storage. power[k] = (x·cos_k)² + (x·sin_k)² ≡ |rfft(x)[k]|² exactly (the
+    imaginary sign cancels in the square)."""
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    n = np.arange(n_fft, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _stft_power_conv(
+    padded: jnp.ndarray,  # (B, L) preemphasized + padded waveforms
+    cfg: AudioConfig,
+    window: jnp.ndarray,  # (K,) analysis window, K = kernel length
+) -> jnp.ndarray:
+    """Windowed power spectrum as ONE strided convolution (B, T, F).
+
+    The FFT is the wrong tool on TPU: XLA's rfft lowering measured 8.6 ms
+    of a 62 ms e2e pipeline at B=128 (r3 trace), plus ~3 ms of framing
+    gathers. frame→window→DFT is algebraically one conv with stride =
+    hop and 2·(n_fft/2+1) windowed cos/sin filters — an MXU op (~67 GFLOP
+    at B=128×10 s → ~1 ms). Numerics: f64-constructed filters, f32 HIGHEST
+    accumulation; |diff| vs rfft ~1e-5 relative on power."""
+    k = window.shape[0]
+    cos_m, sin_m = _dft_power_mats(cfg.n_fft)
+    wmat = jnp.asarray(np.concatenate([cos_m[:k], sin_m[:k]], axis=1))
+    wmat = wmat * window[:, None]  # (K, 2F)
+    spec = jax.lax.conv_general_dilated(
+        padded[:, :, None],
+        wmat[:, None, :],  # "HIO": (K, 1, 2F)
+        window_strides=(cfg.hop_length,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, T, 2F)
+    f = cfg.n_fft // 2 + 1
+    re, im = spec[..., :f], spec[..., f:]
+    return re * re + im * im
 
 
 def _stft_power(
@@ -118,13 +155,16 @@ def _stft_power(
         pad = cfg.n_fft // 2
         x = jnp.pad(x, (pad, pad), mode="reflect")
         lpad = (cfg.n_fft - cfg.win_length) // 2
-        win_full = jnp.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
-        frames = _frame(x, cfg.n_fft, cfg.hop_length, n_frames) * win_full[None, :]
+        kernel_w = jnp.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
     else:
-        frames = _frame(x, cfg.win_length, cfg.hop_length, n_frames) * window[None, :]
-        frames = jnp.pad(frames, ((0, 0), (0, cfg.n_fft - cfg.win_length)))
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=cfg.n_fft, axis=-1)
-    return spec.real**2 + spec.imag**2
+        # zero-padding the windowed frame to n_fft ≡ truncating the DFT
+        # matrix rows to win_length — the conv kernel is just the window
+        kernel_w = window
+    # defensive tail pad: the old gather clamped out-of-range indices;
+    # VALID conv instead needs (n_frames-1)*hop + K samples present
+    need = (n_frames - 1) * cfg.hop_length + kernel_w.shape[0]
+    x = jnp.pad(x.astype(jnp.float32), (0, max(0, need - x.shape[0])))[:need]
+    return _stft_power_conv(x[None], cfg, kernel_w)[0]
 
 
 def _preemphasis(x: jnp.ndarray, coeff: float = 0.97, prev: jnp.ndarray | float = 0.0):
@@ -174,10 +214,10 @@ def _preprocess_batch_jit(
     window = jnp.asarray(_hann_symmetric(cfg.win_length))
     lpad = (cfg.n_fft - cfg.win_length) // 2
     win_full = jnp.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
-    idx = jnp.arange(t_max)[:, None] * cfg.hop_length + jnp.arange(cfg.n_fft)[None, :]
-    frames = padded[:, idx] * win_full[None, None, :]  # (B, T, n_fft)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=cfg.n_fft, axis=-1)
-    power = spec.real**2 + spec.imag**2
+    # frame→window→rFFT as ONE strided windowed-DFT conv (see
+    # _stft_power_conv — XLA's TPU rfft + framing gathers cost ~11 ms of
+    # the B=128 e2e pipeline; this is one ~1 ms MXU op)
+    power = _stft_power_conv(padded, cfg, win_full)  # (B, T, F)
     fb = jnp.asarray(_fb_for(cfg))
     log_mel = jnp.log(jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST) + LOG_GUARD)
     if cfg.normalize:

@@ -138,8 +138,8 @@ class _TranscriberBase:
         reference roadmap Tier-3 item). Activations stay compute_dtype;
         Pallas kernels auto-fall back to the XLA path for int8 weights.
 
-        kernels: opt into the fused Pallas encoder kernels ("block" is the
-        measured-best TPU config, +23% encoder throughput; see TUNING.md).
+        kernels: opt into the fused Pallas encoder kernels (True = "block4",
+        the measured-best TPU config, +30% encoder throughput; see TUNING.md).
         NOTE: sets process-global encoder state (models.encoder.
         set_fused_attention) — it affects every model in this process; pass
         kernels=False to restore the XLA path globally, or None (default)
@@ -169,7 +169,7 @@ class _TranscriberBase:
         if kernels is not None:
             from parakeet_tpu.models.encoder import set_fused_attention
 
-            set_fused_attention("block" if kernels is True else kernels)
+            set_fused_attention("block4" if kernels is True else kernels)
         spec = self._spec()
         if params is not None:
             self.params = dict(params)

@@ -26,6 +26,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--target-emissions", type=int, default=35)
     ap.add_argument("--impls", default="step,lookahead:4,lookahead:8,lookahead:16")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed runs")
     args = ap.parse_args()
 
     import numpy as np
@@ -141,9 +143,15 @@ def main() -> int:
         t0 = time.perf_counter()
         float(chained(params, enc))
         print(f"# {name}: compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        prof = None
+        if args.profile:
+            prof = jax.profiler.trace(args.profile)
+            prof.__enter__()
         t0 = time.perf_counter()
         v = float(chained(params, enc))
         dt = (time.perf_counter() - t0) / k
+        if prof is not None:
+            prof.__exit__(None, None, None)
         rtfx = b * args.secs / dt
         results[name] = dt
         print(f"{name}: {dt*1e3:.2f} ms/decode (B={b}, T={t})  RTFx {rtfx:.0f}  check={v:.1f}")
