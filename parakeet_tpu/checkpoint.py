@@ -119,8 +119,17 @@ def load_train_state(path: str | Path, opt_state_template) -> tuple[dict, object
 
 
 def export_weights(train_ckpt: str | Path, weights_path: str | Path) -> None:
-    """Train checkpoint → plain inference safetensors (reference schema)."""
-    params, _, _ = _load_raw_state(Path(train_ckpt))
+    """Train checkpoint → plain inference safetensors (reference schema).
+
+    Needs only the params: a legacy (≤r2) dir with just params.safetensors
+    exports fine even when opt_state/meta are missing or corrupt."""
+    path = Path(train_ckpt)
+    single = path / "state.safetensors"
+    if single.exists():
+        blob = load_safetensors(single)
+        params = {k: v for k, v in blob.items() if not k.startswith("##")}
+    else:
+        params = load_safetensors(path / "params.safetensors")
     save_safetensors(dict(params), weights_path, metadata={"format": "pt"})
 
 

@@ -332,7 +332,7 @@ def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return jnp.transpose(x.reshape(b, t, num_heads, d // num_heads), (0, 2, 1, 3))
 
 
-def _attn_block_fusable(p: Params, x: jnp.ndarray) -> bool:
+def _attn_block_fusable(p: Params, x: jnp.ndarray, nb: int | None = None) -> bool:
     """VMEM guard for the block/mega attention kernels: the per-program live
     set (two (TP,TP) f32 score buffers, the (TP,D) f32 rotation product and
     accumulator) plus the resident weight blocks must fit. Verified fits:
@@ -351,7 +351,8 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray) -> bool:
     tp = -(-t // 128) * 128
     d = x.shape[-1]
     itemsize = x.dtype.itemsize
-    nb = _attn_batch_block()
+    if nb is None:
+        nb = _attn_batch_block()
     weights = 5 * d * d * itemsize  # q/k/v/out/pos head blocks
     # batch-blocked rows scale the x/out blocks, qkv temporaries, and the
     # f32 AV scratch by NB; the per-item (TP,TP) score buffers do not
@@ -398,21 +399,33 @@ def rel_position_attention(
     if (
         _FUSED_ATTENTION in ("block", "block2", "block4", "block8", "mega")
         and (mask is None or lengths is not None)  # mega degrades to block here
-        and _attn_block_fusable(p, x)
     ):
-        from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
-
-        return fused_rel_attention_block(
-            x,
-            mha["q_proj.weight"], mha["q_proj.bias"],
-            mha["k_proj.weight"], mha["k_proj.bias"],
-            mha["v_proj.weight"], mha["v_proj.bias"],
-            p["pos_bias_u_"].astype(x.dtype), p["pos_bias_v_"].astype(x.dtype),
-            p["pos_proj_.weight"],
-            mha["out_proj.weight"], mha["out_proj.bias"],
-            lengths=lengths,
-            batch_block=_attn_batch_block(),
+        # graceful NB downgrade: a blockN mode whose VMEM budget doesn't fit
+        # at this model size (600m d=1024 rejects nb=4) falls back to the
+        # largest fitting batch block — still the block kernel, never v1
+        want = _attn_batch_block()
+        candidates = []
+        nb = want
+        while nb >= 1:  # halving chain: largest fitting block wins
+            candidates.append(nb)
+            nb //= 2
+        nb_fit = next(
+            (nb for nb in candidates if _attn_block_fusable(p, x, nb)), None
         )
+        if nb_fit is not None:
+            from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
+
+            return fused_rel_attention_block(
+                x,
+                mha["q_proj.weight"], mha["q_proj.bias"],
+                mha["k_proj.weight"], mha["k_proj.bias"],
+                mha["v_proj.weight"], mha["v_proj.bias"],
+                p["pos_bias_u_"].astype(x.dtype), p["pos_bias_v_"].astype(x.dtype),
+                p["pos_proj_.weight"],
+                mha["out_proj.weight"], mha["out_proj.bias"],
+                lengths=lengths,
+                batch_block=nb_fit,
+            )
 
     q = _split_heads(linear(mha.sub("q_proj"), x), num_heads)
     k = _split_heads(linear(mha.sub("k_proj"), x), num_heads)

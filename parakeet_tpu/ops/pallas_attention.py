@@ -362,7 +362,9 @@ def fused_rel_attention_block(
     heads, hd = bias_u.shape[0], bias_u.shape[1]
     scale = 1.0 / math.sqrt(hd)
     tp = round_up(t, 128)
-    nb = max(1, int(batch_block))
+    # clamp to the actual batch: a single-clip call under block4 must not
+    # compute scores/softmax/AV for three pad items
+    nb = max(1, min(int(batch_block), b))
     pad_b = (-b) % nb
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)

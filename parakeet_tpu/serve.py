@@ -123,9 +123,11 @@ class TranscriptionService:
                 return
             self._closed = True
             self._q.put(None)  # sentinel: drain-then-exit
+        deadline = None if timeout is None else time.monotonic() + timeout
         if self._pipeline:
             self._preparer.join(timeout=timeout)
-        self._worker.join(timeout=timeout)
+        left = None if deadline is None else max(0.0, deadline - time.monotonic())
+        self._worker.join(timeout=left)
 
     def __enter__(self):
         return self
@@ -288,19 +290,23 @@ class StreamingSession:
         wedged worker must not pin the caller forever)."""
         n = len(samples)
         deadline = None if timeout is None else time.monotonic() + timeout
-        with self._room:
-            while (
+        self.last_fed = time.monotonic()  # a feeder blocked in backpressure
+        with self._room:                  # is ACTIVE — must not trip the
+            while (                       # stall auto-close
                 self._pending_samples + n > self._service._max_pending_samples
                 and self._pending_samples > 0  # one oversized feed still lands
                 and not (self._close_requested or self._closed.is_set())
             ):
+                self.last_fed = time.monotonic()
                 remaining = None if deadline is None else deadline - time.monotonic()
                 if remaining is not None and remaining <= 0:
                     raise TimeoutError(
                         "feed backpressure timeout: session buffer full "
                         f"({self._pending_samples} samples pending)"
                     )
-                self._room.wait(remaining)
+                # bounded wait slices so last_fed keeps refreshing while
+                # blocked (the stall timer must see this feeder as active)
+                self._room.wait(5.0 if remaining is None else min(remaining, 5.0))
             if self._close_requested or self._closed.is_set():
                 raise RuntimeError("session is closed")
             self._pending.append(samples)

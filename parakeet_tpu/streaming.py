@@ -478,24 +478,32 @@ class StreamingBatchTranscriber:
             }
 
         if self._frontend == "fused":
-            packed, self._last_token, self._lstm, self._cache = self._step_fused_audio(
+            packed, new_last, new_lstm, new_cache = self._step_fused_audio(
                 self.params, jnp.asarray(raw), jnp.asarray(prev),
                 self._cache, self._last_token, self._lstm,
             )
+        else:
+            packed, new_last, new_lstm, new_cache = self._step_fused(
+                self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm
+            )
+
+        # ONE host fetch for the whole step's decode output (see __init__).
+        # The fetch is ALSO the commit point: on this relay the jit call
+        # returns async futures and errors surface only at the fetch
+        # (CLAUDE.md), so nothing — queues, caches, LSTM/token state,
+        # preemphasis carries — is rebound until the step's results are in
+        # hand. A transient relay/device error leaves the transcriber
+        # exactly at the pre-step state and a retrying serving worker
+        # replays the same chunk (ADVICE r2, tightened r3 review).
+        packed = np.asarray(packed)
+        self._last_token, self._lstm, self._cache = new_last, new_lstm, new_cache
+        if self._frontend == "fused":
             for i, r in enumerate(runnable):
                 if r:  # held/inactive slots keep their preemphasis carry
                     last = raw[i, -1]
                     self._preemph_prev[i] = (
                         last / 32768.0 if raw.dtype == np.int16 else last
                     )
-        else:
-            packed, self._last_token, self._lstm, self._cache = self._step_fused(
-                self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm
-            )
-        # queue advance commits only AFTER the device call returned: a
-        # transient relay/device error above leaves queues AND state
-        # unadvanced, so a retrying serving worker replays the same chunk
-        # instead of silently skipping it (ADVICE r2)
         self._queues = [
             q[self._step_units :] if r else q
             for q, r in zip(self._queues, runnable)
@@ -510,9 +518,6 @@ class StreamingBatchTranscriber:
             }
             self._last_token = self._last_token.at[idx].set(old["last_token"])
             self._lstm = self._lstm.at[:, :, idx].set(old["lstm"])
-
-        # ONE host fetch for the whole step's decode output (see __init__)
-        packed = np.asarray(packed)
         m = self._decode_max_out
         conf = np.ascontiguousarray(packed[:, 3 * m : 4 * m]).view(np.float32)
         chunk_len = self._mel_step // 8

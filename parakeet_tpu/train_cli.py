@@ -123,7 +123,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from parakeet_tpu import params as P
-    from parakeet_tpu.checkpoint import export_weights, load_train_state, save_train_state
+    from parakeet_tpu.checkpoint import load_train_state, save_train_state
     from parakeet_tpu.config import AudioConfig
     from parakeet_tpu.data import ManifestDataset, TrainDataLoader
     from parakeet_tpu.parallel.mesh import make_mesh
@@ -170,8 +170,19 @@ def main(argv=None) -> int:
         if not args.checkpoint_dir:
             raise SystemExit("--resume needs --checkpoint-dir")
         ck = Path(args.checkpoint_dir)
-        if (ck / "params.safetensors").exists():
+        if (ck / "state.safetensors").exists() or (ck / "params.safetensors").exists():
             p2, o2, s2 = load_train_state(ck, state.opt_state)
+            if mp > 1:
+                # a sharded trainer holds vocab-PADDED params (mesh.py
+                # pad_vocab_dim); re-pad schema-shaped checkpoints so the
+                # placement below matches the compiled shapes (no-op when
+                # the checkpoint was saved padded)
+                from parakeet_tpu.parallel.mesh import pad_vocab_dim
+
+                p2 = {
+                    k: (pad_vocab_dim(k, v, mp) if pad_vocab_dim(k, v, mp) is not None else v)
+                    for k, v in p2.items()
+                }
             # re-apply the trainer's device placement: load_train_state
             # returns host arrays, and committing them with the fresh
             # state's shardings preserves the TP/seq layout the step_fn was
@@ -213,12 +224,20 @@ def main(argv=None) -> int:
         save_train_state(args.checkpoint_dir, params, opt_state, step)
         print(f"# checkpoint: {args.checkpoint_dir} (step {step})", file=sys.stderr)
     if args.export:
-        if args.checkpoint_dir:
-            export_weights(args.checkpoint_dir, args.export)
-        else:
-            from parakeet_tpu.io.safetensors import save_safetensors
+        # export the final in-memory params (== the final checkpoint) with
+        # vocab-pad rows sliced back off, so the artifact is always
+        # reference-schema-shaped even after model-parallel training
+        # (mesh.py pad_vocab_dim pads the joint/CTC/embedding vocab dims)
+        from parakeet_tpu.io.safetensors import save_safetensors
+        from parakeet_tpu.parallel.mesh import unpad_vocab_params
 
-            save_safetensors({k: np.asarray(v) for k, v in params.items()}, args.export)
+        host = {k: np.asarray(v) for k, v in params.items()}
+        vocab = getattr(getattr(cfg, "joint", None), "vocab_size", None)
+        if vocab is not None:
+            host = unpad_vocab_params(
+                host, vocab, getattr(cfg, "ctc_vocab_size", None)
+            )
+        save_safetensors(host, args.export, metadata={"format": "pt"})
         print(f"# exported: {args.export}", file=sys.stderr)
     return 0
 

@@ -279,3 +279,32 @@ def test_block_kernel_batch_blocked(monkeypatch):
     for i, n in enumerate([64, 80, 48]):
         tv = E.subsample_length(n)
         np.testing.assert_allclose(fused[i, :tv], ref[i, :tv], rtol=1e-3, atol=1e-5)
+
+
+def test_block_nb_downgrade_on_vmem_guard():
+    """block4 on a 600m-sized layer must downgrade to the largest fitting
+    batch block (nb=1), never to the v1 kernel (r3: block4 default)."""
+    import jax.numpy as jnp
+
+    d, t = 1024, 125
+    spec = {}
+    from parakeet_tpu import params as PP
+    cfg = C.EncoderConfig(mel_bins=128, subsampling_channels=8, hidden_size=d,
+                          num_layers=1, num_heads=8, ffn_intermediate=64)
+    spec = PP.encoder_spec(cfg, "encoder_")
+    params = PP.init_params(spec, seed=1, dtype=jnp.bfloat16)
+    a = Params(params).sub("encoder_").sub("layers_").sub("0").sub("attn_")
+    x = jnp.zeros((2, t, d), jnp.bfloat16)
+    E.set_fused_attention("block4")
+    try:
+        assert not E._attn_block_fusable(a, x, 4)
+        assert E._attn_block_fusable(a, x, 1)
+        # 110m-sized layer fits nb=4
+        x5 = jnp.zeros((2, t, 512), jnp.bfloat16)
+        cfg5 = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=512,
+                               num_layers=1, num_heads=8, ffn_intermediate=64)
+        p5 = PP.init_params(PP.encoder_spec(cfg5, "encoder_"), seed=1, dtype=jnp.bfloat16)
+        a5 = Params(p5).sub("encoder_").sub("layers_").sub("0").sub("attn_")
+        assert E._attn_block_fusable(a5, x5, 4)
+    finally:
+        E.set_fused_attention(False)

@@ -100,3 +100,47 @@ def test_loader_rejects_dataset_smaller_than_batch(tmp_path):
         main(["--manifest", str(m), "--vocab", str(v), "--model", "tiny",
               "--batch-size", "4", "--data-parallel", "2", "--steps", "1",
               "--frame-multiple", "32", "--label-multiple", "8"])
+
+
+def test_resume_actually_resumes(tmp_path, capsys):
+    """--resume must load the single-file checkpoint (r3 review: the gate
+    checked the legacy filename and silently restarted from step 0)."""
+    m, v = write_corpus(tmp_path)
+    ck = tmp_path / "ck2"
+    base = ["--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+            "--batch-size", "2", "--data-parallel", "2", "--frame-multiple", "32",
+            "--label-multiple", "8", "--checkpoint-dir", str(ck)]
+    assert main(base + ["--steps", "2", "--checkpoint-every", "1"]) == 0
+    capsys.readouterr()
+    assert main(base + ["--steps", "3", "--resume"]) == 0
+    err = capsys.readouterr().err
+    assert "# resumed at step 2" in err, err
+
+
+def test_model_parallel_export_unpads_vocab(tmp_path):
+    """mp=2 training pads an odd fitted vocab; --export must slice back to
+    the reference schema so strict inference loading works."""
+    m, v = write_corpus(tmp_path)
+    # 6 pieces → fitted vocab 6+1=7 (odd) → padded to 8 under mp=2
+    v.write_text("\n".join(["<unk>", "▁a", "▁b", "a", "b", "c"]) + "\n")
+    out = tmp_path / "mp.safetensors"
+    rc = main([
+        "--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+        "--batch-size", "2", "--data-parallel", "2", "--model-parallel", "2",
+        "--steps", "1", "--frame-multiple", "32", "--label-multiple", "8",
+        "--export", str(out),
+    ])
+    assert rc == 0
+    from parakeet_tpu.io.safetensors import load_safetensors
+
+    weights = load_safetensors(out)
+    assert weights["tdt_joint_.label_proj_.weight"].shape[0] == 7
+    assert weights["prediction_.embed_.weight"].shape[0] == 7
+
+    from parakeet_tpu import params as P
+    from parakeet_tpu.train_cli import _fit_vocab, _preset, _spec_for
+    from parakeet_tpu.text.tokenizer import Tokenizer
+
+    cfg, kind, _ = _preset("tiny")
+    cfg = _fit_vocab(cfg, kind, Tokenizer(v))
+    P.load_params(_spec_for(cfg, kind), str(out), strict=True)
