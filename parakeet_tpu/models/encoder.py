@@ -377,6 +377,56 @@ def _mega_fusable(p: Params, x: jnp.ndarray) -> bool:
     return ffn_w + attn_w + live <= 14 * 1024 * 1024
 
 
+def _block_attention_or_none(
+    p: Params,
+    x: jnp.ndarray,
+    lengths,
+    mask,
+    norm: Params | None = None,
+    eps: float = 1e-5,
+):
+    """Run the whole-block fused attention kernel if the current global
+    mode + shapes allow it; None otherwise (caller falls back).
+
+    norm: when given, `x` is the raw BLOCK input and the kernel fuses the
+    attention pre-LayerNorm AND the residual add (returns x + attn(LN(x))).
+
+    Graceful NB downgrade: a blockN mode whose VMEM budget doesn't fit at
+    this model size (600m d=1024 rejects nb=4) falls back down the halving
+    chain to the largest fitting batch block — still the block kernel,
+    never v1."""
+    if _FUSED_ATTENTION not in ("block", "block2", "block4", "block8", "mega"):
+        return None
+    if not (mask is None or lengths is not None):  # mega degrades to block here
+        return None
+    nb = _attn_batch_block()
+    candidates = []
+    while nb >= 1:
+        candidates.append(nb)
+        nb //= 2
+    nb_fit = next((n for n in candidates if _attn_block_fusable(p, x, n)), None)
+    if nb_fit is None:
+        return None
+    from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
+
+    mha = p.sub("mha_")
+    kw = {}
+    if norm is not None:
+        kw = dict(norm_w=norm["weight"], norm_b=norm["bias"], eps=eps)
+    return fused_rel_attention_block(
+        x,
+        mha["q_proj.weight"], mha["q_proj.bias"],
+        mha["k_proj.weight"], mha["k_proj.bias"],
+        mha["v_proj.weight"], mha["v_proj.bias"],
+        p["pos_bias_u_"].astype(x.dtype), p["pos_bias_v_"].astype(x.dtype),
+        p["pos_proj_.weight"],
+        mha["out_proj.weight"], mha["out_proj.bias"],
+        lengths=lengths,
+        batch_block=nb_fit,
+        **kw,
+    )
+
+
 def rel_position_attention(
     p: Params,
     x: jnp.ndarray,
@@ -396,36 +446,9 @@ def rel_position_attention(
 
     mha = p.sub("mha_")
 
-    if (
-        _FUSED_ATTENTION in ("block", "block2", "block4", "block8", "mega")
-        and (mask is None or lengths is not None)  # mega degrades to block here
-    ):
-        # graceful NB downgrade: a blockN mode whose VMEM budget doesn't fit
-        # at this model size (600m d=1024 rejects nb=4) falls back to the
-        # largest fitting batch block — still the block kernel, never v1
-        want = _attn_batch_block()
-        candidates = []
-        nb = want
-        while nb >= 1:  # halving chain: largest fitting block wins
-            candidates.append(nb)
-            nb //= 2
-        nb_fit = next(
-            (nb for nb in candidates if _attn_block_fusable(p, x, nb)), None
-        )
-        if nb_fit is not None:
-            from parakeet_tpu.ops.pallas_attention import fused_rel_attention_block
-
-            return fused_rel_attention_block(
-                x,
-                mha["q_proj.weight"], mha["q_proj.bias"],
-                mha["k_proj.weight"], mha["k_proj.bias"],
-                mha["v_proj.weight"], mha["v_proj.bias"],
-                p["pos_bias_u_"].astype(x.dtype), p["pos_bias_v_"].astype(x.dtype),
-                p["pos_proj_.weight"],
-                mha["out_proj.weight"], mha["out_proj.bias"],
-                lengths=lengths,
-                batch_block=nb_fit,
-            )
+    out = _block_attention_or_none(p, x, lengths, mask)
+    if out is not None:
+        return out
 
     q = _split_heads(linear(mha.sub("q_proj"), x), num_heads)
     k = _split_heads(linear(mha.sub("k_proj"), x), num_heads)
@@ -508,8 +531,18 @@ def conformer_block(
         )
     else:
         x = feed_forward(p.sub("ffn1_"), x, eps)
-        attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
-        x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
+        # try the block kernel with the pre-LN + residual fused in (two
+        # fewer (B,T,D) HBM round trips per layer); fall back to XLA norm
+        # + separate attention when the kernel doesn't apply
+        fused = _block_attention_or_none(
+            p.sub("attn_"), x, lengths, mask,
+            norm=p.sub("attn_").sub("norm_"), eps=eps,
+        )
+        if fused is not None:
+            x = fused
+        else:
+            attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
+            x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
     if _FUSED_BLOCK2 and _ffn_fusable(p.sub("ffn2_"), x):
         # one kernel for the whole non-attention second half
         from parakeet_tpu.ops.pallas_block import fused_conv_ffn_final

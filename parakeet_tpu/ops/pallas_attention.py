@@ -256,30 +256,41 @@ def _attention_core(
 
 def _attn_block_kernel(
     len_ref,  # SMEM (B_padded, 1)
-    x_ref,    # (NB, TP, D) post-norm attention input
+    x_ref,    # (NB, TP, D): post-norm input, or BLOCK input when norm fused
     wqkv_ref, bqkv_ref,
     u_ref, v_ref,
     wpos_ref, sin_ref, cos_ref,
     wo_ref, bo_ref,
-    out_ref,                 # (NB, TP, D)
-    acc_ref,                 # VMEM scratch (NB·TP, D) f32
-    *,
+    *rest,                   # [nw_ref, nb_ref,] out_ref, acc_ref
     scale: float,
     t_real: int,
     heads: int,
     nb: int,
+    eps: float | None,       # not None → pre-LN + residual fused in-kernel
 ):
+    if eps is not None:
+        nw_ref, nbias_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     nb_, tp, d = x_ref.shape
     x = x_ref[...].reshape(nb * tp, d)  # leading-dim merge, layout no-op
+    attn_in = x
+    if eps is not None:
+        # attention pre-LayerNorm inside the kernel: saves one HBM write +
+        # read of the normed (B,T,D) activations per layer, and the
+        # residual add below saves another elementwise round trip
+        attn_in = kernel_layer_norm(x, nw_ref[0], nbias_ref[0], eps).astype(x.dtype)
     kv_lens = [
         jnp.minimum(len_ref[pl.program_id(0) * nb + i, 0], t_real)
         for i in range(nb)
     ]
     att = _attention_core(
-        x, kv_lens, wqkv_ref, bqkv_ref,
+        attn_in, kv_lens, wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
         scale=scale, t_real=t_real, heads=heads,
     )
+    if eps is not None:
+        att = x.astype(_F32) + att  # residual rides in-kernel
     out_ref[...] = att.reshape(nb, tp, d).astype(out_ref.dtype)
 
 
@@ -340,10 +351,18 @@ def fused_rel_attention_block(
     wo: jnp.ndarray, bo: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
     batch_block: int = 1,
+    norm_w: jnp.ndarray | None = None,
+    norm_b: jnp.ndarray | None = None,
+    eps: float = 1e-5,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole-block fused attention: QKV projections + rel-pos attention +
     out projection in ONE kernel, grid over batch only.
+
+    norm_w/norm_b (optional): fuse the attention pre-LayerNorm AND the
+    residual add into the kernel — `x` is then the raw block input and the
+    return value is `x + attention(LN(x))`. Saves two (B,T,D) HBM round
+    trips per layer vs norming in XLA.
 
     vs `fused_rel_attention` (grid (B,H), projections outside): the q/k/v/
     out intermediates never touch HBM, every weight block's index map is
@@ -388,28 +407,34 @@ def fused_rel_attention_block(
     sin_t, cos_t = jnp.asarray(sin_np), jnp.asarray(cos_np)
 
     kernel = functools.partial(
-        _attn_block_kernel, scale=scale, t_real=t, heads=heads, nb=nb
+        _attn_block_kernel, scale=scale, t_real=t, heads=heads, nb=nb,
+        eps=(eps if norm_w is not None else None),
     )
 
     u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)
     bo2 = bo.reshape(1, d)
+    args = [lengths, x, wqkv, bqkv, u2, v2, wpos_b, sin_t, cos_t, wo, bo2]
+    specs = [
+        pl.BlockSpec((bp, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nb, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        whole_block(wqkv), whole_block(bqkv),
+        whole_block(u2), whole_block(v2),
+        whole_block(wpos_b), whole_block(sin_t), whole_block(cos_t),
+        whole_block(wo), whole_block(bo2),
+    ]
+    if norm_w is not None:
+        nw2, nb2 = norm_w.reshape(1, d), norm_b.reshape(1, d)
+        args += [nw2, nb2]
+        specs += [whole_block(nw2), whole_block(nb2)]
     out = pl.pallas_call(
         kernel,
         grid=(bp // nb,),
-        in_specs=[
-            pl.BlockSpec((bp, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nb, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            whole_block(wqkv), whole_block(bqkv),
-            whole_block(u2), whole_block(v2),
-            whole_block(wpos_b), whole_block(sin_t), whole_block(cos_t),
-            whole_block(wo), whole_block(bo2),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((nb, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, tp, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((nb * tp, d), _F32)],
         interpret=interpret,
-    )(lengths, x, wqkv, bqkv, u2, v2,
-      wpos_b, sin_t, cos_t, wo, bo2)
+    )(*args)
     return out[:b, :t, :]
 
 
