@@ -225,18 +225,28 @@ def _attention_core(
         tva = (va * sin_n + vb * cos_n).astype(x.dtype)
         tvb = (vb * sin_n - va * cos_n).astype(x.dtype)
 
+        # Position scores pos[t,s] = ṽa[t]·cos(sω) + ṽb[t]·sin(sω): the RHS
+        # ([cos|sin]) is SHARED across batch items, so all NB items' rows go
+        # through ONE (NB·TP, 2·d2)@(2·d2, TP) matmul. Only the content part
+        # qu·kᵀ has per-item RHS — and its contraction is just hd deep, so
+        # the per-item matmuls shrink from (2·d2+hd) to hd fill cycles
+        # (the NB=1-era fused [ṽa|ṽb|qu]·[cos|sin|k] single matmul re-paid
+        # the 2·d2-deep fill once PER ITEM).
+        pos_all = jax.lax.dot_general(
+            jnp.concatenate([tva, tvb], axis=1),
+            jnp.concatenate([cos_x, sin_x], axis=1),
+            (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi,
+        )  # (NB·TP, TP)
+
         for i in range(nb):  # per-item score/softmax/AV (static unroll)
             rows = slice(i * tp, (i + 1) * tp)
             qu, k, v = qu_full[rows, sl], k_full[rows, sl], v_full[rows, sl]
 
-            # content + position scores in ONE matmul: the (2·d2 + hd)-deep
-            # contraction [ṽa|ṽb|qu]·[cos|sin|k] = ṽa·cosᵀ + ṽb·sinᵀ + qu·kᵀ.
-            lhs = jnp.concatenate([tva[rows], tvb[rows], qu], axis=1)
-            rhs = jnp.concatenate([cos_x, sin_x, k], axis=1)
-            scores = jax.lax.dot_general(
-                lhs, rhs, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
+            content = jax.lax.dot_general(
+                qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
                 precision=hi,
-            ) * scale  # (TP, TP)
+            )  # (TP, TP), hd-deep
+            scores = (pos_all[rows] + content) * scale
             scores = jnp.where(col >= kv_lens[i], _NEG_INF, scores)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
