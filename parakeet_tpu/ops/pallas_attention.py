@@ -229,24 +229,35 @@ def _attention_core(
         # ([cos|sin]) is SHARED across batch items, so all NB items' rows go
         # through ONE (NB·TP, 2·d2)@(2·d2, TP) matmul. Only the content part
         # qu·kᵀ has per-item RHS — and its contraction is just hd deep, so
-        # the per-item matmuls shrink from (2·d2+hd) to hd fill cycles
-        # (the NB=1-era fused [ṽa|ṽb|qu]·[cos|sin|k] single matmul re-paid
-        # the 2·d2-deep fill once PER ITEM).
-        pos_all = jax.lax.dot_general(
-            jnp.concatenate([tva, tvb], axis=1),
-            jnp.concatenate([cos_x, sin_x], axis=1),
-            (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi,
-        )  # (NB·TP, TP)
+        # the per-item matmuls shrink from (2·d2+hd) to hd fill cycles.
+        # Measured: 44.6 → 40.6 ms/fwd at B=128/NB=4 (the fused
+        # [ṽa|ṽb|qu]·[cos|sin|k] single matmul re-paid the 2·d2-deep fill
+        # once PER ITEM). At NB=1 the split would ADD a fill instead of
+        # amortizing one, so the single fused matmul is kept there.
+        if nb > 1:
+            pos_all = jax.lax.dot_general(
+                jnp.concatenate([tva, tvb], axis=1),
+                jnp.concatenate([cos_x, sin_x], axis=1),
+                (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi,
+            )  # (NB·TP, TP)
 
         for i in range(nb):  # per-item score/softmax/AV (static unroll)
             rows = slice(i * tp, (i + 1) * tp)
             qu, k, v = qu_full[rows, sl], k_full[rows, sl], v_full[rows, sl]
 
-            content = jax.lax.dot_general(
-                qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
-                precision=hi,
-            )  # (TP, TP), hd-deep
-            scores = (pos_all[rows] + content) * scale
+            if nb > 1:
+                content = jax.lax.dot_general(
+                    qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
+                    precision=hi,
+                )  # (TP, TP), hd-deep
+                scores = (pos_all[rows] + content) * scale
+            else:
+                lhs = jnp.concatenate([tva, tvb, qu], axis=1)
+                rhs = jnp.concatenate([cos_x, sin_x, k], axis=1)
+                scores = jax.lax.dot_general(
+                    lhs, rhs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F32, precision=hi,
+                ) * scale
             scores = jnp.where(col >= kv_lens[i], _NEG_INF, scores)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
