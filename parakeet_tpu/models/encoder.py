@@ -355,8 +355,13 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray, nb: int | None = None) -> boo
         nb = _attn_batch_block()
     weights = 5 * d * d * itemsize  # q/k/v/out/pos head blocks
     # batch-blocked rows scale the x/out blocks, qkv temporaries, and the
-    # f32 AV scratch by NB; the per-item (TP,TP) score buffers do not
+    # f32 AV scratch by NB; the per-item (TP,TP) score/exp buffers do not
     live = 2 * tp * tp * 4 + 3 * nb * tp * d * 4 + 2 * nb * tp * d * itemsize
+    if nb > 1:
+        # split-score path extras (_attention_core's nb>1 branch): the
+        # shared (NB·TP, TP) f32 pos_all buffer plus the (NB·TP, D)
+        # concatenated [ṽa|ṽb] position-matmul operand
+        live += nb * tp * tp * 4 + nb * tp * d * itemsize
     return weights + live <= 14 * 1024 * 1024
 
 
