@@ -127,17 +127,17 @@ def run_e2e(args) -> dict:
     t0 = time.perf_counter()
     float(chained(params, waves))
     print(f"# e2e compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    prof = None
-    if getattr(args, "profile", None):
-        prof = jax.profiler.trace(args.profile + "_e2e")
-        prof.__enter__()
     dt = float("inf")
     for _ in range(max(1, getattr(args, "passes", 1))):
         t0 = time.perf_counter()
         float(chained(params, waves))
         dt = min(dt, (time.perf_counter() - t0) / k)
-    if prof is not None:
-        prof.__exit__(None, None, None)
+    if getattr(args, "profile", None):
+        # trace exactly ONE extra pass so per-HLO device totals in the
+        # trace correspond to k pipeline executions (not passes*k) and can
+        # be compared against ms/forward directly
+        with jax.profiler.trace(args.profile + "_e2e"):
+            float(chained(params, waves))
     rtfx = b * args.secs / dt
     print(f"# e2e batch {b}: {dt * 1e3:.2f} ms/pipeline", file=sys.stderr)
     return {
@@ -150,9 +150,10 @@ def run_e2e(args) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    # default batch: 128 measured best on BOTH metrics (27.1k encoder RTFx,
-    # 20.4k e2e, vs 24.6k/18.3k at 64 — the block kernel keeps improving
-    # with batch; see TUNING.md "Roll-free rel_shift")
+    # default batch: 128 measured best on BOTH metrics (r3: 31.5k encoder
+    # RTFx / 25.3k e2e with block4 + split scores, vs 24.6k/18.3k at 64 —
+    # the block kernel keeps improving with batch; see TUNING.md r3
+    # "batch-blocked attention" / "split score matmuls" sections)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--secs", type=int, default=10)
@@ -164,9 +165,12 @@ def main() -> int:
     ap.add_argument("--full", action="store_true", help="include CTC head")
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused Pallas attention kernel")
-    ap.add_argument("--fused-mode", default="block4", choices=["v1", "block", "block2", "block4", "block8", "mega"],
+    ap.add_argument("--fused-mode", default="block4",
+                    choices=["v1", "block", "block2", "block4", "block8", "mega",
+                             "bd2", "bd4", "bd8"],
                     help="fused attention kernel variant (see encoder.set_fused_attention); "
-                         "'block4' (QKV/out fused, roll-free rel_shift, 4 batch items per program) is the measured best")
+                         "'block4' (QKV/out fused, roll-free rel_shift, 4 batch items per program) is the measured best; "
+                         "'bdN' merges per-item score/AV matmuls into block-diagonal ones")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
     ap.add_argument("--fused-ffn", action="store_true",
                     help="fused Pallas macaron-FFN kernel (encoder.set_fused_ffn)")
