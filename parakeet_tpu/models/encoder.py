@@ -56,20 +56,29 @@ def set_fused_attention(mode) -> None:
         _FUSED_ATTENTION = False
     elif mode in (True, "v1"):
         _FUSED_ATTENTION = "v1"
-    elif mode in ("block", "block2", "block4", "block8", "mega"):
+    elif mode in ("block", "block2", "block4", "block8", "mega", "bd2", "bd4", "bd8"):
         # "blockN" = block kernel with N batch items per program (the
         # projection matmuls span N·TP rows — see fused_rel_attention_block
-        # batch_block); "mega" = block kernel with the macaron ffn1 fused in
+        # batch_block); "bdN" = blockN with the per-item content/AV matmuls
+        # merged into single block-diagonal matmuls; "mega" = block kernel
+        # with the macaron ffn1 fused in
         _FUSED_ATTENTION = mode
     else:
         raise ValueError(f"unknown fused attention mode {mode!r}")
 
 
 def _attn_batch_block() -> int:
-    """NB for the blockN modes (1 for plain block/mega)."""
+    """NB for the blockN/bdN modes (1 for plain block/mega)."""
     if isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.startswith("block"):
         return int(_FUSED_ATTENTION[5:] or 1)
+    if isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.startswith("bd"):
+        return int(_FUSED_ATTENTION[2:])
     return 1
+
+
+def _attn_blockdiag() -> bool:
+    """True when the bdN (block-diagonal scores/AV) kernel variant is on."""
+    return isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.startswith("bd")
 
 
 def get_fused_attention() -> str | bool:
@@ -362,6 +371,15 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray, nb: int | None = None) -> boo
         # shared (NB·TP, TP) f32 pos_all buffer plus the (NB·TP, D)
         # concatenated [ṽa|ṽb] position-matmul operand
         live += nb * tp * tp * 4 + nb * tp * d * itemsize
+        if _attn_blockdiag():
+            # (NB·TP, NB·TP) f32 score product + same-shape probs in
+            # x.dtype + the cross-item iota/compare masks
+            live += nb * nb * tp * tp * (8 + itemsize)
+    # norm-fusion extras (conformer_block always requests pre-LN + residual
+    # fusion when this guard passes): kernel_layer_norm's (NB·TP, D) f32
+    # temporary plus the normed attn_in copy, while raw x stays alive for
+    # the in-kernel residual
+    live += nb * tp * d * (4 + itemsize)
     return weights + live <= 14 * 1024 * 1024
 
 
@@ -400,7 +418,9 @@ def _block_attention_or_none(
     this model size (600m d=1024 rejects nb=4) falls back down the halving
     chain to the largest fitting batch block — still the block kernel,
     never v1."""
-    if _FUSED_ATTENTION not in ("block", "block2", "block4", "block8", "mega"):
+    if _FUSED_ATTENTION not in (
+        "block", "block2", "block4", "block8", "mega", "bd2", "bd4", "bd8"
+    ):
         return None
     if not (mask is None or lengths is not None):  # mega degrades to block here
         return None
@@ -428,6 +448,7 @@ def _block_attention_or_none(
         mha["out_proj.weight"], mha["out_proj.bias"],
         lengths=lengths,
         batch_block=nb_fit,
+        blockdiag=_attn_blockdiag(),
         **kw,
     )
 

@@ -162,6 +162,7 @@ def _attention_core(
     scale: float,
     t_real: int,
     heads: int,
+    blockdiag: bool = False,
 ):
     """Shared attention body for the fused kernels; returns (NB·TP, D) f32.
 
@@ -199,6 +200,21 @@ def _attention_core(
     qu_full = q_full + u_ref[0].astype(x.dtype)
     qv_full = q_full + v_ref[0].astype(x.dtype)
 
+    # head-loop invariants, built once: the nb-tiled trig rows and the
+    # [cos|sin] score RHS
+    sin_n = sin_t if nb == 1 else jnp.concatenate([sin_t] * nb, axis=0)
+    cos_n = cos_t if nb == 1 else jnp.concatenate([cos_t] * nb, axis=0)
+    cossin_x = jnp.concatenate([cos_x, sin_x], axis=1)
+    blockdiag = blockdiag and nb > 1
+    if blockdiag:
+        # block-diagonal path invariants: the cross-item mask (item i's
+        # queries may only see item i's keys) and the per-item kv-length
+        # mask stacked over row blocks
+        rowblk = jax.lax.broadcasted_iota(jnp.int32, (nbtp, nbtp), 0) // tp
+        colblk = jax.lax.broadcasted_iota(jnp.int32, (nbtp, nbtp), 1) // tp
+        offdiag = rowblk != colblk
+        kv_mask = jnp.concatenate([col >= kv_lens[i] for i in range(nb)], axis=0)
+
     for h in range(heads):  # static loop; all temporaries stay in VMEM/regs
         sl = slice(h * hd, (h + 1) * hd)
 
@@ -220,8 +236,6 @@ def _attention_core(
             preferred_element_type=_F32, precision=hi,
         )  # (NB·TP, D) — wpos block is (hd, D)
         va, vb = vproj[:, :d2], vproj[:, d2:]
-        sin_n = sin_t if nb == 1 else jnp.concatenate([sin_t] * nb, axis=0)
-        cos_n = cos_t if nb == 1 else jnp.concatenate([cos_t] * nb, axis=0)
         tva = (va * sin_n + vb * cos_n).astype(x.dtype)
         tvb = (vb * sin_n - va * cos_n).astype(x.dtype)
 
@@ -236,10 +250,38 @@ def _attention_core(
         # amortizing one, so the single fused matmul is kept there.
         if nb > 1:
             pos_all = jax.lax.dot_general(
-                jnp.concatenate([tva, tvb], axis=1),
-                jnp.concatenate([cos_x, sin_x], axis=1),
+                jnp.concatenate([tva, tvb], axis=1), cossin_x,
                 (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi,
             )  # (NB·TP, TP)
+
+        if blockdiag:
+            # block-diagonal variant: ONE cross-item content matmul and ONE
+            # AV matmul per head instead of NB small ones each. The full
+            # (NB·TP, NB·TP) score product is computed, its diagonal blocks
+            # (lane-aligned slices) extracted for the per-item softmax, and
+            # the probabilities scattered back (off-diagonal = 0) so the
+            # AV contraction over all NB items' keys is EXACT.
+            s_all = jax.lax.dot_general(
+                qu_full[:, sl], k_full[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32, precision=hi,
+            )  # (NB·TP, NB·TP), hd-deep
+            diag = jnp.concatenate(
+                [s_all[i * tp : (i + 1) * tp, i * tp : (i + 1) * tp] for i in range(nb)],
+                axis=0,
+            )  # (NB·TP, TP)
+            scores = (pos_all + diag) * scale
+            scores = jnp.where(kv_mask, _NEG_INF, scores)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            probs = jnp.where(
+                offdiag, jnp.zeros((), x.dtype), jnp.concatenate([attn] * nb, axis=1)
+            )  # (NB·TP, NB·TP) block-diagonal
+            acc_ref[:, sl] = jax.lax.dot_general(
+                probs, v_full[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32, precision=hi,
+            )
+            continue
 
         for i in range(nb):  # per-item score/softmax/AV (static unroll)
             rows = slice(i * tp, (i + 1) * tp)
@@ -253,7 +295,7 @@ def _attention_core(
                 scores = (pos_all[rows] + content) * scale
             else:
                 lhs = jnp.concatenate([tva, tvb, qu], axis=1)
-                rhs = jnp.concatenate([cos_x, sin_x, k], axis=1)
+                rhs = jnp.concatenate([cossin_x, k], axis=1)
                 scores = jax.lax.dot_general(
                     lhs, rhs, (((1,), (1,)), ((), ())),
                     preferred_element_type=_F32, precision=hi,
@@ -288,6 +330,7 @@ def _attn_block_kernel(
     heads: int,
     nb: int,
     eps: float | None,       # not None → pre-LN + residual fused in-kernel
+    blockdiag: bool = False,
 ):
     if eps is not None:
         nw_ref, nbias_ref, out_ref, acc_ref = rest
@@ -308,7 +351,7 @@ def _attn_block_kernel(
     att = _attention_core(
         attn_in, kv_lens, wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
-        scale=scale, t_real=t_real, heads=heads,
+        scale=scale, t_real=t_real, heads=heads, blockdiag=blockdiag,
     )
     if eps is not None:
         att = x.astype(_F32) + att  # residual rides in-kernel
@@ -372,6 +415,7 @@ def fused_rel_attention_block(
     wo: jnp.ndarray, bo: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
     batch_block: int = 1,
+    blockdiag: bool = False,
     norm_w: jnp.ndarray | None = None,
     norm_b: jnp.ndarray | None = None,
     eps: float = 1e-5,
@@ -430,6 +474,7 @@ def fused_rel_attention_block(
     kernel = functools.partial(
         _attn_block_kernel, scale=scale, t_real=t, heads=heads, nb=nb,
         eps=(eps if norm_w is not None else None),
+        blockdiag=(blockdiag and nb > 1),
     )
 
     u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)

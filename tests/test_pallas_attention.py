@@ -254,10 +254,13 @@ def test_transcriber_kernels_param(monkeypatch):
     assert got.token_ids == ref.token_ids
 
 
-def test_block_kernel_batch_blocked(monkeypatch):
+@pytest.mark.parametrize("mode", ["block2", "bd2"])
+def test_block_kernel_batch_blocked(monkeypatch, mode):
     """blockN batch-blocking (NB items per program, projections merged into
     (NB*TP, D) matmuls) == XLA path, including per-item length masking and a
-    batch that does NOT divide NB (pad items)."""
+    batch that does NOT divide NB (pad items). bdN additionally merges the
+    per-item content/AV matmuls into block-diagonal ones — must be exact up
+    to the same tolerance (off-diagonal probabilities are exactly zero)."""
     _interp_block(monkeypatch)
     cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
                           num_layers=2, num_heads=2, ffn_intermediate=32)
@@ -270,7 +273,7 @@ def test_block_kernel_batch_blocked(monkeypatch):
     lengths = jnp.asarray([64, 80, 48])
 
     ref = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
-    E.set_fused_attention("block2")
+    E.set_fused_attention(mode)
     try:
         assert E._attn_batch_block() == 2
         fused = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
