@@ -150,11 +150,11 @@ def run_e2e(args) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    # default batch: 128 measured best on BOTH metrics (r3: 31.5k encoder
-    # RTFx / 25.3k e2e with block4 + split scores, vs 24.6k/18.3k at 64 —
-    # the block kernel keeps improving with batch; see TUNING.md r3
-    # "batch-blocked attention" / "split score matmuls" sections)
-    ap.add_argument("--batch", type=int, default=128)
+    # default batch: 192 — the split-score kernel moved the knee (r3 sweep,
+    # encoder RTFx: 31.4k @128 / 33.7k @160 / 34.4k @192 / 34.2k @224 /
+    # 33.1k @256; e2e 25.5k @192 vs 25.4k @128). See TUNING.md r3
+    # "batch-blocked attention" / batch-sweep note.
+    ap.add_argument("--batch", type=int, default=192)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--secs", type=int, default=10)
     ap.add_argument("--iters", type=int, default=5, help="chained on-device iterations")
