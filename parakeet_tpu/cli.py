@@ -24,6 +24,31 @@ def _stage(label: str, t0: float) -> float:
     return t1
 
 
+def _write_subtitles(out_path, fmt, render, paths, results) -> None:
+    """--srt/--vtt output: '-' = stdout; one input = exact file path;
+    several inputs = directory of <input-stem>.<fmt> files."""
+    import os
+
+    if out_path == "-":
+        for path, res in zip(paths, results):
+            if len(paths) > 1:
+                print(f"== {path}")
+            sys.stdout.write(render(res.word_timestamps))
+        return
+    if len(paths) > 1:
+        os.makedirs(out_path, exist_ok=True)
+        for path, res in zip(paths, results):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            target = os.path.join(out_path, f"{stem}.{fmt}")
+            with open(target, "w", encoding="utf-8") as f:
+                f.write(render(res.word_timestamps))
+            print(f"  wrote {target}", file=sys.stderr)
+    else:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(render(results[0].word_timestamps))
+        print(f"  wrote {out_path}", file=sys.stderr)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="parakeet", description=__doc__)
     ap.add_argument("audio", nargs="*", help="audio file(s): wav/flac/mp3/ogg "
@@ -45,6 +70,12 @@ def main(argv=None) -> int:
                     help="timestamp grouping: words (default) or sentences "
                          "(merge at ./?/! — timestamp.cpp Sentences mode); "
                          "implies --timestamps")
+    ap.add_argument("--srt", default=None, metavar="FILE",
+                    help="write an SRT subtitle file (implies --timestamps; "
+                         "'-' = stdout; with several inputs FILE is a "
+                         "directory and files are named <input>.srt)")
+    ap.add_argument("--vtt", default=None, metavar="FILE",
+                    help="write a WebVTT subtitle file (same rules as --srt)")
     ap.add_argument("--boost", default="", help="comma-separated boost phrases")
     ap.add_argument("--boost-score", type=float, default=5.0)
     ap.add_argument("--beam-size", type=int, default=0,
@@ -76,6 +107,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.timestamp_mode != "words":
         args.timestamps = True  # --timestamp-mode implies --timestamps
+    if args.srt or args.vtt:
+        args.timestamps = True  # subtitle output needs word timestamps
 
     if args.features and args.audio:
         print("Error: pass either audio files or --features, not both", file=sys.stderr)
@@ -207,6 +240,14 @@ def main(argv=None) -> int:
                 if args.timestamps:
                     for w in res.word_timestamps:
                         print(f"  [{w.start:6.2f} - {w.end:6.2f}] ({w.confidence:.2f}) {w.word}")
+            if args.srt or args.vtt:
+                from parakeet_tpu.text.subtitles import format_srt, format_vtt
+
+                for out_path, fmt, render in (
+                    (args.srt, "srt", format_srt), (args.vtt, "vtt", format_vtt)
+                ):
+                    if out_path:
+                        _write_subtitles(out_path, fmt, render, args.audio, results)
 
         elif args.model in ("eou-120m", "nemotron-600m"):
             if args.model == "eou-120m":
