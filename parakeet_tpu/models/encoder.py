@@ -460,11 +460,13 @@ def rel_position_attention(
     num_heads: int,
     mask: jnp.ndarray | None = None,
     lengths: jnp.ndarray | None = None,
+    xla_only: bool = False,
 ) -> jnp.ndarray:
     """NeMo-style relative-position MHSA (encoder.cpp:112-181).
 
     content = (Q+u)Kᵀ; pos = rel_shift((Q+v)Pᵀ); scores scaled AFTER the sum
     (encoder.cpp:160). mask: (B, 1, T, T) bool, True = masked.
+    xla_only: never dispatch a Pallas kernel (see conformer_block).
     """
     b, t, d = x.shape
     head_dim = d // num_heads
@@ -472,7 +474,7 @@ def rel_position_attention(
 
     mha = p.sub("mha_")
 
-    out = _block_attention_or_none(p, x, lengths, mask)
+    out = None if xla_only else _block_attention_or_none(p, x, lengths, mask)
     if out is not None:
         return out
 
@@ -483,7 +485,7 @@ def rel_position_attention(
     bias_u = p["pos_bias_u_"].astype(x.dtype)[None, :, None, :]  # (1,H,1,hd)
     bias_v = p["pos_bias_v_"].astype(x.dtype)[None, :, None, :]
 
-    if _FUSED_ATTENTION and (mask is None or lengths is not None) and t <= 768:
+    if not xla_only and _FUSED_ATTENTION and (mask is None or lengths is not None) and t <= 768:
         # v1 path; also the fallback when the block kernel's guard rejects.
         # Its own per-(b,h) buffers are ~12·TP² bytes → cap T (beyond that,
         # plain XLA attention handles long clips).
@@ -524,11 +526,17 @@ def conformer_block(
     mask: jnp.ndarray | None = None,
     pad_mask: jnp.ndarray | None = None,
     lengths: jnp.ndarray | None = None,
+    xla_only: bool = False,
 ) -> jnp.ndarray:
-    """ffn1 → attn → conv → ffn2 → final LayerNorm (encoder.cpp:196-204)."""
+    """ffn1 → attn → conv → ffn2 → final LayerNorm (encoder.cpp:196-204).
+
+    xla_only: skip every fused-Pallas branch regardless of the process
+    globals — required inside shard_map/scan bodies (pipeline parallelism),
+    where Pallas programs can't run."""
     eps = cfg.layer_norm_eps
     if (
-        _FUSED_ATTENTION == "mega"
+        not xla_only
+        and _FUSED_ATTENTION == "mega"
         and (mask is None or lengths is not None)
         and _ffn_fusable(p.sub("ffn1_"), x)
         and _attn_block_fusable(p.sub("attn_"), x)
@@ -560,7 +568,7 @@ def conformer_block(
         # try the block kernel with the pre-LN + residual fused in (two
         # fewer (B,T,D) HBM round trips per layer); fall back to XLA norm
         # + separate attention when the kernel doesn't apply
-        fused = _block_attention_or_none(
+        fused = None if xla_only else _block_attention_or_none(
             p.sub("attn_"), x, lengths, mask,
             norm=p.sub("attn_").sub("norm_"), eps=eps,
         )
@@ -568,8 +576,11 @@ def conformer_block(
             x = fused
         else:
             attn_in = layer_norm(p.sub("attn_").sub("norm_"), x, eps)
-            x = x + rel_position_attention(p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths)
-    if _FUSED_BLOCK2 and _ffn_fusable(p.sub("ffn2_"), x):
+            x = x + rel_position_attention(
+                p.sub("attn_"), attn_in, pos_emb, cfg.num_heads, mask, lengths,
+                xla_only=xla_only,
+            )
+    if not xla_only and _FUSED_BLOCK2 and _ffn_fusable(p.sub("ffn2_"), x):
         # one kernel for the whole non-attention second half
         from parakeet_tpu.ops.pallas_block import fused_conv_ffn_final
 
@@ -599,7 +610,7 @@ def conformer_block(
             eps=eps,
         )
     x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask)
-    if _FUSED_FFN and _ffn_fusable(p.sub("ffn2_"), x):
+    if not xla_only and _FUSED_FFN and _ffn_fusable(p.sub("ffn2_"), x):
         # final LayerNorm rides in ffn2's kernel epilogue (one less round trip)
         return _feed_forward_fused(p.sub("ffn2_"), x, eps, final=p.sub("final_norm_"))
     x = feed_forward(p.sub("ffn2_"), x, eps)
@@ -613,6 +624,36 @@ def length_mask(lengths: jnp.ndarray, t: int) -> jnp.ndarray:
     valid = jnp.arange(t)[None, :] < lengths[:, None]  # (B, T)
     pair = valid[:, None, :] & valid[:, :, None]  # (B, T, T)
     return ~pair[:, None, :, :]
+
+
+def encode_prologue(
+    p: Params,
+    cfg: EncoderConfig,
+    features: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+):
+    """Everything before the conformer stack: subsampling (+xscaling), the
+    rel-pos table, and the padding masks. Shared by `fastconformer_encode`
+    and the pipeline-parallel encoder (parallel/pipeline.py), which runs
+    the block stack under shard_map instead of a Python loop.
+
+    Returns (x, pos_emb, mask, pad_mask, enc_lengths)."""
+    activation = getattr(cfg, "subsampling_activation", "relu")
+    xscaling = getattr(cfg, "xscaling", False)
+
+    x = conv_subsampling(p.sub("subsampling_"), features, activation)
+    if xscaling:
+        x = x * math.sqrt(cfg.hidden_size)
+
+    t = x.shape[1]
+    pos_emb = sinusoidal_position_embedding(t, cfg.hidden_size)
+
+    mask = pad_mask = enc_lengths = None
+    if lengths is not None:
+        enc_lengths = jnp.minimum(encoded_lengths(lengths), t)
+        mask = length_mask(enc_lengths, t)
+        pad_mask = jnp.arange(t)[None, :] >= enc_lengths[:, None]  # (B, T')
+    return x, pos_emb, mask, pad_mask, enc_lengths
 
 
 def fastconformer_encode(
@@ -633,27 +674,14 @@ def fastconformer_encode(
     inserts the halo/gather collectives itself. Requires the XLA attention
     path (Pallas kernels run per-device programs, not GSPMD-partitioned).
     """
-    activation = getattr(cfg, "subsampling_activation", "relu")
-    xscaling = getattr(cfg, "xscaling", False)
 
     def _constrain(a):
         if act_sharding is not None:
             return jax.lax.with_sharding_constraint(a, act_sharding)
         return a
 
-    x = conv_subsampling(p.sub("subsampling_"), features, activation)
-    if xscaling:
-        x = x * math.sqrt(cfg.hidden_size)
+    x, pos_emb, mask, pad_mask, enc_lengths = encode_prologue(p, cfg, features, lengths)
     x = _constrain(x)
-
-    t = x.shape[1]
-    pos_emb = sinusoidal_position_embedding(t, cfg.hidden_size)
-
-    mask = pad_mask = enc_lengths = None
-    if lengths is not None:
-        enc_lengths = jnp.minimum(encoded_lengths(lengths), t)
-        mask = length_mask(enc_lengths, t)
-        pad_mask = jnp.arange(t)[None, :] >= enc_lengths[:, None]  # (B, T')
 
     layers = p.sub("layers_")
     for i in range(cfg.num_layers):
@@ -682,5 +710,6 @@ __all__ = [
     "conformer_block",
     "length_mask",
     "encoded_lengths",
+    "encode_prologue",
     "fastconformer_encode",
 ]

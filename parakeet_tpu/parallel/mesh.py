@@ -11,9 +11,11 @@ and TP is provided as a config-level seam (SURVEY: "multi-chip batch DP is
 config, not code"). Sequence parallelism is likewise a config seam: a
 'seq' mesh axis + `activation_sharding` constraint on the encoder's
 (B, T, D) activations — XLA/GSPMD inserts the halo exchanges (depthwise
-conv) and K/V gathers (attention) over ICI. PP/EP are deliberately not
-built — a 24-layer 600M encoder fits one chip with room to spare, so
-pipeline bubbles and expert routing buy nothing here (SURVEY §5.7).
+conv) and K/V gathers (attention) over ICI. Pipeline parallelism lives in
+parallel/pipeline.py (GPipe over the conformer stack on a 'pipe' axis) —
+unnecessary at 110M-600M where a whole encoder fits one chip, provided as
+the scale-out seam. EP is deliberately absent: nothing in the model family
+routes tokens (no MoE), so there is no expert axis to shard (SURVEY §5.7).
 """
 
 from __future__ import annotations
@@ -32,12 +34,18 @@ def make_mesh(
     model_parallel: int = 1,
     devices=None,
     seq_parallel: int = 1,
+    pipeline_parallel: int = 1,
 ) -> Mesh:
     """Create a ('data', 'model') mesh over the first n devices.
 
     seq_parallel > 1 adds a 'seq' axis — ('data', 'seq', 'model'), model
     innermost so TP collectives ride the tightest ICI links — for sharding
-    encoder activations over time (see `activation_sharding`)."""
+    encoder activations over time (see `activation_sharding`).
+
+    pipeline_parallel > 1 builds a ('data', 'pipe') mesh instead, for the
+    GPipe trainer in parallel/pipeline.py (pipe innermost so the stage
+    handoffs ride neighbor ICI links); it composes with data parallelism
+    only — TP/SP are the orthogonal seams."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
@@ -47,6 +55,18 @@ def make_mesh(
             f"requested {n_devices} devices but only {len(devices)} available"
         )
     devices = np.asarray(devices[:n_devices])
+    if pipeline_parallel > 1:
+        if model_parallel > 1 or seq_parallel > 1:
+            raise ValueError(
+                "pipeline_parallel composes with data parallelism only"
+            )
+        if n_devices % pipeline_parallel:
+            raise ValueError(
+                f"{n_devices} devices not divisible by"
+                f" pipeline_parallel={pipeline_parallel}"
+            )
+        grid = devices.reshape(n_devices // pipeline_parallel, pipeline_parallel)
+        return Mesh(grid, ("data", "pipe"))
     if n_devices % (model_parallel * seq_parallel) != 0:
         raise ValueError(
             f"{n_devices} devices not divisible by model_parallel={model_parallel}"

@@ -70,6 +70,17 @@ def ctc_forward(
     return lp, jnp.minimum(encoded_lengths(mel_lengths), lp.shape[1])
 
 
+def ctc_loss_from_log_probs(log_probs, enc_lens, labels, label_lengths, blank_id: int):
+    """Mean CTC NLL from (B, T', V) log-probs (shared by the plain and
+    pipeline-parallel trainers)."""
+    t = log_probs.shape[1]
+    u = labels.shape[1]
+    logit_pad = (jnp.arange(t)[None, :] >= enc_lens[:, None]).astype(jnp.float32)
+    label_pad = (jnp.arange(u)[None, :] >= label_lengths[:, None]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(log_probs, logit_pad, labels, label_pad, blank_id=blank_id)
+    return jnp.mean(per_seq)
+
+
 def ctc_loss_fn(params, cfg, batch, blank_id: int, act_sharding=None):
     feats, mel_lengths, labels, label_lengths = (
         batch["features"],
@@ -78,12 +89,7 @@ def ctc_loss_fn(params, cfg, batch, blank_id: int, act_sharding=None):
         batch["label_lengths"],
     )
     log_probs, enc_lens = ctc_forward(params, cfg, feats, mel_lengths, act_sharding)
-    t = log_probs.shape[1]
-    u = labels.shape[1]
-    logit_pad = (jnp.arange(t)[None, :] >= enc_lens[:, None]).astype(jnp.float32)
-    label_pad = (jnp.arange(u)[None, :] >= label_lengths[:, None]).astype(jnp.float32)
-    per_seq = optax.ctc_loss(log_probs, logit_pad, labels, label_pad, blank_id=blank_id)
-    return jnp.mean(per_seq)
+    return ctc_loss_from_log_probs(log_probs, enc_lens, labels, label_lengths, blank_id)
 
 
 def transducer_forward(
@@ -106,6 +112,27 @@ def transducer_forward(
     The prediction net consumes [SOS=blank; labels] (NeMo convention,
     tdt.cpp:56-59) so row u conditions on the first u labels.
     """
+    root = Params(params)
+    enc = fastconformer_encode(
+        root.sub("encoder_"), cfg.encoder, feats, mel_lengths, act_sharding=act_sharding
+    )
+    out = transducer_lattice(params, cfg, enc, labels, loss=loss, joint_prefix=joint_prefix)
+    enc_lens = jnp.minimum(encoded_lengths(mel_lengths), enc.shape[1])
+    return out, enc_lens
+
+
+def transducer_lattice(
+    params: dict,
+    cfg,
+    enc: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    loss: str = "tdt",
+    joint_prefix: str | None = None,
+):
+    """Prediction net + joint over a precomputed (B, T', H) encoding —
+    the head half of `transducer_forward`, shared with the
+    pipeline-parallel trainer (which encodes via parallel/pipeline.py)."""
     if joint_prefix is None:
         # resolve from the weight schema: the tdt-ctc-110m family keys its
         # TDT joint "tdt_joint_", the 600m presets key theirs "joint_"
@@ -117,9 +144,6 @@ def transducer_forward(
             (p for p in prefs if f"{p}.{head}.weight" in params), prefs[0]
         )
     root = Params(params)
-    enc = fastconformer_encode(
-        root.sub("encoder_"), cfg.encoder, feats, mel_lengths, act_sharding=act_sharding
-    )
     b = labels.shape[0]
     blank = cfg.joint.vocab_size - 1
     sos = jnp.full((b, 1), blank, jnp.int32)
@@ -136,9 +160,52 @@ def transducer_forward(
     # enc_proj/pred_proj apply BEFORE the (T'×U+1) broadcast; only the
     # joint-hidden activation and the output head live on the full lattice.
     joint_fn = tdt_joint if loss == "tdt" else rnnt_joint
-    out = jax.checkpoint(lambda e, pr: joint_fn(jp, e, pr))(enc_b, pred_b)
-    enc_lens = jnp.minimum(encoded_lengths(mel_lengths), enc.shape[1])
-    return out, enc_lens
+    return jax.checkpoint(lambda e, pr: joint_fn(jp, e, pr))(enc_b, pred_b)
+
+
+def encoded_loss_fn(
+    params: dict,
+    cfg,
+    enc: jnp.ndarray,
+    enc_lens: jnp.ndarray,
+    batch,
+    *,
+    loss: str = "hybrid",
+    sigma: float = 0.0,
+    ctc_weight: float = 0.3,
+):
+    """Training loss from a precomputed encoding (the heads-only half of
+    the loss functions below). loss ∈ {'ctc','rnnt','tdt','hybrid'}.
+    Used by the pipeline-parallel trainer, where the encoder runs under
+    shard_map and must be computed exactly once."""
+    labels, label_lengths = batch["labels"], batch["label_lengths"]
+    root = Params(params)
+
+    def _ctc():
+        lp = ctc_log_probs(root.sub("ctc_decoder_"), enc)
+        blank = cfg.ctc_vocab_size - 1
+        return ctc_loss_from_log_probs(lp, enc_lens, labels, label_lengths, blank)
+
+    def _transducer(kind):
+        out = transducer_lattice(params, cfg, enc, labels, loss=kind)
+        blank = cfg.joint.vocab_size - 1
+        if kind == "tdt":
+            lab_lp, dur_lp = out
+            per_seq = tdt_loss(
+                lab_lp, dur_lp, labels, enc_lens, label_lengths, blank,
+                tuple(cfg.durations), sigma=sigma,
+            )
+        else:
+            per_seq = rnnt_loss(out, labels, enc_lens, label_lengths, blank)
+        return jnp.mean(per_seq)
+
+    if loss == "ctc":
+        return _ctc()
+    if loss in ("rnnt", "tdt"):
+        return _transducer(loss)
+    if loss == "hybrid":
+        return (1.0 - ctc_weight) * _transducer("tdt") + ctc_weight * _ctc()
+    raise ValueError(f"unknown loss {loss!r}")
 
 
 def transducer_loss_fn(
@@ -288,7 +355,10 @@ def make_sharded_trainer(
     act_sharding = activation_sharding(mesh)
     optimizer = optax.adamw(learning_rate)
     with mesh:
-        sharded = shard_params(params, mesh)
+        # copy: the jitted step donates its params, and shard_params'
+        # device_put can alias an already-placed array — never invalidate
+        # the caller's dict
+        sharded = shard_params({k: jnp.array(v, copy=True) for k, v in params.items()}, mesh)
         opt_state = jax.jit(optimizer.init)(sharded)
         if loss == "ctc":
             step = make_train_step(cfg, optimizer, act_sharding=act_sharding)
@@ -324,6 +394,9 @@ __all__ = [
     "TrainState",
     "ctc_forward",
     "ctc_loss_fn",
+    "ctc_loss_from_log_probs",
+    "encoded_loss_fn",
+    "transducer_lattice",
     "hybrid_loss_fn",
     "make_hybrid_train_step",
     "make_train_step",

@@ -51,6 +51,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--seq-parallel", type=int, default=1,
                     help="sequence-parallel ways: encoder activations sharded over "
                          "time (mesh = data × seq × model)")
+    ap.add_argument("--pipeline-parallel", type=int, default=1,
+                    help="pipeline-parallel stages: conformer layers sharded over a "
+                         "'pipe' mesh axis, GPipe microbatch schedule "
+                         "(mesh = data × pipe; excludes --model/--seq-parallel)")
+    ap.add_argument("--micro-batches", type=int, default=2,
+                    help="GPipe microbatches per step with --pipeline-parallel "
+                         "(must divide the per-data-shard batch)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--frame-multiple", type=int, default=160,
                     help="pad mel frames per batch up to this multiple (bounds recompiles)")
@@ -155,23 +162,50 @@ def main(argv=None) -> int:
     print(f"# {len(dataset)} clips, {len(loader)} batches/epoch, loss={loss}",
           file=sys.stderr)
 
-    mp, sp = args.model_parallel, args.seq_parallel
-    dp = args.data_parallel or max(1, len(jax.devices()) // (mp * sp))
+    mp, sp, pp = args.model_parallel, args.seq_parallel, args.pipeline_parallel
+    if pp > 1 and (mp > 1 or sp > 1):
+        raise SystemExit("--pipeline-parallel composes with data parallelism only")
+    dp = args.data_parallel or max(1, len(jax.devices()) // (mp * sp * pp))
     if args.batch_size % dp:
         raise SystemExit(
             f"--batch-size {args.batch_size} must be divisible by the data-parallel "
             f"ways ({dp}); pass --data-parallel explicitly to shrink the mesh"
         )
-    mesh = make_mesh(dp * mp * sp, model_parallel=mp, seq_parallel=sp)
-    mesh, state, step_fn, place_batch = make_sharded_trainer(
-        cfg, params, mesh, learning_rate=args.lr, loss=loss, sigma=args.sigma
-    )
+    if pp > 1:
+        from parakeet_tpu.parallel.pipeline import (
+            make_pp_trainer,
+            merge_layer_params,
+            split_layer_params,
+        )
+
+        if (args.batch_size // dp) % args.micro_batches:
+            raise SystemExit(
+                f"per-shard batch {args.batch_size // dp} must be divisible by "
+                f"--micro-batches {args.micro_batches}"
+            )
+        mesh = make_mesh(dp * pp, pipeline_parallel=pp)
+        state, step_fn, place_batch, _export_pp = make_pp_trainer(
+            cfg, params, mesh, n_micro=args.micro_batches,
+            learning_rate=args.lr, loss=loss, sigma=args.sigma,
+        )
+        as_schema_params = lambda p: merge_layer_params(p["layers"], p["rest"])  # noqa: E731
+
+        def from_schema_params(p):
+            layers, rest = split_layer_params(p, cfg.encoder.num_layers)
+            return {"layers": layers, "rest": rest}
+    else:
+        mesh = make_mesh(dp * mp * sp, model_parallel=mp, seq_parallel=sp)
+        mesh, state, step_fn, place_batch = make_sharded_trainer(
+            cfg, params, mesh, learning_rate=args.lr, loss=loss, sigma=args.sigma
+        )
+        as_schema_params = from_schema_params = lambda p: p  # noqa: E731
     if args.resume:
         if not args.checkpoint_dir:
             raise SystemExit("--resume needs --checkpoint-dir")
         ck = Path(args.checkpoint_dir)
         if (ck / "state.safetensors").exists() or (ck / "params.safetensors").exists():
             p2, o2, s2 = load_train_state(ck, state.opt_state)
+            p2 = from_schema_params(p2)  # pp trainers hold {layers, rest}
             if mp > 1:
                 # a sharded trainer holds vocab-PADDED params (mesh.py
                 # pad_vocab_dim); re-pad schema-shaped checkpoints so the
@@ -218,10 +252,12 @@ def main(argv=None) -> int:
                     print(f"step {step}/{args.steps}  loss {float(lval):.4f}  "
                           f"{dt / max(1, step - state.step):.2f}s/step", file=sys.stderr)
                 if args.checkpoint_dir and step % args.checkpoint_every == 0:
-                    save_train_state(args.checkpoint_dir, params, opt_state, step)
+                    save_train_state(
+                        args.checkpoint_dir, as_schema_params(params), opt_state, step
+                    )
 
     if args.checkpoint_dir:
-        save_train_state(args.checkpoint_dir, params, opt_state, step)
+        save_train_state(args.checkpoint_dir, as_schema_params(params), opt_state, step)
         print(f"# checkpoint: {args.checkpoint_dir} (step {step})", file=sys.stderr)
     if args.export:
         # export the final in-memory params (== the final checkpoint) with
@@ -231,7 +267,7 @@ def main(argv=None) -> int:
         from parakeet_tpu.io.safetensors import save_safetensors
         from parakeet_tpu.parallel.mesh import unpad_vocab_params
 
-        host = {k: np.asarray(v) for k, v in params.items()}
+        host = {k: np.asarray(v) for k, v in as_schema_params(params).items()}
         vocab = getattr(getattr(cfg, "joint", None), "vocab_size", None)
         if vocab is not None:
             host = unpad_vocab_params(

@@ -144,3 +144,46 @@ def test_model_parallel_export_unpads_vocab(tmp_path):
     cfg, kind, _ = _preset("tiny")
     cfg = _fit_vocab(cfg, kind, Tokenizer(v))
     P.load_params(_spec_for(cfg, kind), str(out), strict=True)
+
+
+def test_pipeline_parallel_end_to_end(tmp_path, capsys):
+    """--pipeline-parallel 2: GPipe trainer runs, checkpoints stay
+    reference-schema-flat (pp {layers, rest} state merged on save), resume
+    re-splits, and --export is Transcriber-schema weights."""
+    m, v = write_corpus(tmp_path)
+    ck = tmp_path / "ck_pp"
+    out = tmp_path / "pp.safetensors"
+    base = ["--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+            "--batch-size", "4", "--data-parallel", "2", "--pipeline-parallel", "2",
+            "--micro-batches", "2", "--frame-multiple", "32", "--label-multiple", "8",
+            "--checkpoint-dir", str(ck)]
+    assert main(base + ["--steps", "2", "--checkpoint-every", "1",
+                        "--export", str(out)]) == 0
+    assert out.exists()
+
+    from parakeet_tpu.io.safetensors import load_safetensors
+
+    blob = load_safetensors(ck / "state.safetensors")
+    assert any(k.startswith("encoder_.layers_.0.") for k in blob)  # schema-flat
+    assert not any(k.startswith("layers") or k.startswith("rest") for k in blob)
+
+    capsys.readouterr()
+    assert main(base + ["--steps", "3", "--resume"]) == 0
+    assert "# resumed at step 2" in capsys.readouterr().err
+
+    # exported weights are reference-schema (per-layer keys restored)
+    weights = load_safetensors(out)
+    assert any(k.startswith("encoder_.layers_.1.") for k in weights)
+
+
+def test_pipeline_parallel_arg_guards(tmp_path):
+    m, v = write_corpus(tmp_path)
+    with pytest.raises(SystemExit, match="data parallelism only"):
+        main(["--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+              "--batch-size", "2", "--pipeline-parallel", "2",
+              "--model-parallel", "2", "--steps", "1"])
+    with pytest.raises(SystemExit, match="micro-batches"):
+        main(["--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+              "--batch-size", "2", "--data-parallel", "2",
+              "--pipeline-parallel", "2", "--micro-batches", "3", "--steps", "1",
+              "--frame-multiple", "32", "--label-multiple", "8"])
