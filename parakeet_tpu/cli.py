@@ -37,8 +37,13 @@ def _write_subtitles(out_path, fmt, render, paths, results) -> None:
         return
     if len(paths) > 1:
         os.makedirs(out_path, exist_ok=True)
-        for path, res in zip(paths, results):
-            stem = os.path.splitext(os.path.basename(path))[0]
+        stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        # colliding stems (same basename in two dirs, or --features pseudo
+        # names 'x.npy[i]' which all share one stem) get the input index
+        # appended so no clip's subtitles silently overwrite another's
+        dup = {s for s in stems if stems.count(s) > 1}
+        stems = [f"{s}.{i}" if s in dup else s for i, s in enumerate(stems)]
+        for stem, res in zip(stems, results):
             target = os.path.join(out_path, f"{stem}.{fmt}")
             with open(target, "w", encoding="utf-8") as f:
                 f.write(render(res.word_timestamps))
@@ -167,6 +172,8 @@ def main(argv=None) -> int:
                 ("--lm", bool(args.lm)),
                 ("--boost", bool(boost)),
                 ("--progress", args.progress),
+                ("--srt", bool(args.srt)),
+                ("--vtt", bool(args.vtt)),
             ) if on
         ]
         if unsupported:

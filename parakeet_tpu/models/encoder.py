@@ -195,9 +195,10 @@ def _ffn_fusable(p: Params, x: jnp.ndarray) -> bool:
     return 2 * w1.size * w1.dtype.itemsize <= 8 * 1024 * 1024
 
 
-def feed_forward(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Macaron FFN with 0.5 half-step residual (encoder.cpp:39-46)."""
-    if _FUSED_FFN and _ffn_fusable(p, x):
+def feed_forward(p: Params, x: jnp.ndarray, eps: float, xla_only: bool = False) -> jnp.ndarray:
+    """Macaron FFN with 0.5 half-step residual (encoder.cpp:39-46).
+    xla_only: never dispatch the Pallas kernel (see conformer_block)."""
+    if not xla_only and _FUSED_FFN and _ffn_fusable(p, x):
         return _feed_forward_fused(p, x, eps)
     h = layer_norm(p.sub("norm_"), x, eps)
     h = _silu(linear(p.sub("fc1_"), h))
@@ -252,6 +253,7 @@ def conv_module(
     kernel_size: int,
     eps: float,
     pad_mask: jnp.ndarray | None = None,
+    xla_only: bool = False,
 ) -> jnp.ndarray:
     """Pointwise→GLU→depthwise→BN(inference)→SiLU→pointwise, residual
     (encoder.cpp:59-75).
@@ -265,9 +267,10 @@ def conv_module(
     pad_mask: optional (B, T) bool, True = padding. Padded positions are
     zero-filled before the depthwise conv (NeMo batching semantics) so pad
     garbage can't bleed into valid frames. The reference is batch-1 and
-    never pads, so this is a no-op on its path."""
+    never pads, so this is a no-op on its path.
+    xla_only: never dispatch the Pallas layout (see conformer_block)."""
     d = x.shape[-1]
-    if _CONV_LAYOUT == "pallas":
+    if _CONV_LAYOUT == "pallas" and not xla_only:
         from parakeet_tpu.ops.pallas_conv import fused_conv_module
 
         lengths = None
@@ -564,7 +567,7 @@ def conformer_block(
             lengths=lengths, eps=eps,
         )
     else:
-        x = feed_forward(p.sub("ffn1_"), x, eps)
+        x = feed_forward(p.sub("ffn1_"), x, eps, xla_only=xla_only)
         # try the block kernel with the pre-LN + residual fused in (two
         # fewer (B,T,D) HBM round trips per layer); fall back to XLA norm
         # + separate attention when the kernel doesn't apply
@@ -609,11 +612,11 @@ def conformer_block(
             lengths=kern_lengths,
             eps=eps,
         )
-    x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask)
+    x = conv_module(p.sub("conv_"), x, cfg.conv_kernel_size, eps, pad_mask, xla_only=xla_only)
     if not xla_only and _FUSED_FFN and _ffn_fusable(p.sub("ffn2_"), x):
         # final LayerNorm rides in ffn2's kernel epilogue (one less round trip)
         return _feed_forward_fused(p.sub("ffn2_"), x, eps, final=p.sub("final_norm_"))
-    x = feed_forward(p.sub("ffn2_"), x, eps)
+    x = feed_forward(p.sub("ffn2_"), x, eps, xla_only=xla_only)
     return layer_norm(p.sub("final_norm_"), x, eps)
 
 

@@ -32,7 +32,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 from parakeet_tpu.models.encoder import (
@@ -208,6 +207,8 @@ def make_pp_trainer(
     Loss values and parameter updates match the plain `make_sharded_trainer`
     exactly (pinned by tests/test_pipeline.py).
     """
+    import optax
+
     from parakeet_tpu.train import TrainState, encoded_loss_fn
 
     axes = dict(mesh.shape)

@@ -86,8 +86,11 @@ def build_cues(
 
     for w in words:
         if group:
-            text_len = sum(len(g.word) + 1 for g in group) + len(w.word)
-            over_text = text_len > max_lines * max_line_chars
+            # wrap-test the prospective group: a plain char budget can admit
+            # word sets no layout fits in max_lines lines (e.g. three
+            # 22-char words under 2×42 wrap to 3 lines)
+            prospective = _wrap([g.word for g in group] + [w.word], max_line_chars)
+            over_text = len(prospective) > max_lines
             over_time = w.end - group[0].start > max_duration
             gap = w.start - group[-1].end > max_gap
             if over_text or over_time or gap or _sentence_end(group[-1].word):

@@ -216,3 +216,53 @@ def test_pp_guards(setup):
     # tp/sp mesh rejected by the trainer
     with pytest.raises(ValueError, match="data parallelism only"):
         make_pp_trainer(cfg, params, make_mesh(8, model_parallel=2))
+
+
+def test_pipeline_ignores_fused_kernel_globals(setup):
+    """set_fused_ffn/set_conv_layout/set_fused_attention must not leak
+    Pallas dispatches into the shard_map body (xla_only= threads through
+    every block sub-module). On CPU any leaked pallas_call raises
+    ('interpret mode only'); on TPU it would crash the lowering cache
+    (pallas inside scan). T'=64 so _ffn_fusable would fire without the
+    guard."""
+    from parakeet_tpu.models import encoder as E
+
+    cfg, params, _ = setup
+    feats = jnp.asarray(np.random.RandomState(1).randn(4, 512, 80) * 0.1,
+                        jnp.float32)
+    lens = jnp.full((4,), 512, jnp.int32)
+    ref = fastconformer_encode(Params(params).sub("encoder_"), cfg.encoder, feats, lens)
+
+    mesh = make_mesh(8, pipeline_parallel=2)
+    stacked, rest = split_layer_params(params, cfg.encoder.num_layers)
+    E.set_fused_ffn(True)
+    E.set_conv_layout("pallas")
+    E.set_fused_attention("block4")
+    try:
+        with mesh:
+            got = jax.jit(
+                lambda s, r, f, l: pipeline_encode(
+                    s, r, cfg.encoder, f, l, mesh=mesh, n_micro=1
+                )
+            )(stacked, rest, feats, lens)
+    finally:
+        E.set_fused_ffn(False)
+        E.set_conv_layout("nch")
+        E.set_fused_attention(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_parallel_package_does_not_eagerly_import_optax():
+    """parallel/__init__ lazily resolves the pipeline trainer so
+    inference-only installs (deps: jax + numpy) keep mesh/sharding."""
+    import subprocess
+    import sys
+
+    code = (
+        "import parakeet_tpu.parallel, sys;"
+        "assert 'optax' not in sys.modules, 'optax imported eagerly';"
+        "import parakeet_tpu.parallel.mesh;"
+        "assert 'optax' not in sys.modules;"
+        "parakeet_tpu.parallel.make_pp_trainer"  # lazy attr resolves
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=240)

@@ -121,3 +121,43 @@ def test_cli_srt_implies_timestamps():
     # hits the early audio-vs-features exit (1); parsing must accept --srt
     rc = main(["--srt", "out.srt", "clip.wav", "--features", "f.npy"])
     assert rc == 1
+
+
+def test_write_subtitles_colliding_stems(tmp_path):
+    """Same basename from two dirs (or --features 'x.npy[i]' pseudo-names)
+    must not silently overwrite — colliding stems get the input index."""
+    target = tmp_path / "subs"
+    _write_subtitles(str(target), "srt", format_srt,
+                     ["d1/x.wav", "d2/x.wav", "y.wav"],
+                     [_Res([W("one", 0.0, 1.0)]), _Res([W("two", 0.0, 1.0)]),
+                      _Res([W("three", 0.0, 1.0)])])
+    assert "one" in (target / "x.0.srt").read_text()
+    assert "two" in (target / "x.1.srt").read_text()
+    assert "three" in (target / "y.srt").read_text()  # unique stem unchanged
+
+    target2 = tmp_path / "subs2"
+    _write_subtitles(str(target2), "srt", format_srt,
+                     ["batch.npy[0]", "batch.npy[1]"],
+                     [_Res([W("a", 0.0, 1.0)]), _Res([W("b", 0.0, 1.0)])])
+    assert sorted(p.name for p in target2.iterdir()) == ["batch.0.srt", "batch.1.srt"]
+
+
+def test_srt_rejected_for_streaming_models(capsys):
+    """--srt/--vtt are offline-only and must fail loudly, like --vad/--lm
+    (previously they were silently ignored: exit 0, no file written)."""
+    rc = main(["clip.wav", "--model", "eou-120m", "--random-weights",
+               "--srt", "out.srt"])
+    assert rc == 1
+    assert "--srt" in capsys.readouterr().err
+
+
+def test_wrap_never_exceeds_max_lines():
+    """Three 22-char words pass a 2x42 char budget but no layout fits them
+    in 2 lines; the cue builder must wrap-test, not char-count."""
+    long = "x" * 22
+    words = [W(long, i * 0.5, i * 0.5 + 0.4) for i in range(3)]
+    cues = build_cues(words)
+    assert all(len(c.lines) <= 2 for c in cues)
+    assert sum(len(c.lines) for c in cues) >= 2  # all words still present
+    got = " ".join(" ".join(c.lines) for c in cues).split()
+    assert got == [long] * 3
