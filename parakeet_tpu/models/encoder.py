@@ -665,6 +665,7 @@ def fastconformer_encode(
     features: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
     act_sharding=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """(B, T, mel) → (B, T', d_model). Reference: encoder.cpp:245-271 (offline)
     and streaming_encoder.cpp:389-427 (full-seq path with activation/xscaling).
@@ -676,6 +677,12 @@ def fastconformer_encode(
     block's output so GSPMD shards the encoder over time ('seq' axis) and
     inserts the halo/gather collectives itself. Requires the XLA attention
     path (Pallas kernels run per-device programs, not GSPMD-partitioned).
+    `remat`: training-memory lever — wrap each conformer block in
+    `jax.checkpoint`, so backward stores only the per-block inputs and
+    recomputes the block's internals (attention scores, FFN hiddens:
+    the O(B·T²·H + B·T·4D) terms) instead of keeping them alive. Forces
+    the XLA path (a rematerialized Pallas call would re-enter the kernel
+    inside the grad jaxpr, which this jax version's lowering cache rejects).
     """
 
     def _constrain(a):
@@ -688,7 +695,14 @@ def fastconformer_encode(
 
     layers = p.sub("layers_")
     for i in range(cfg.num_layers):
-        x = conformer_block(layers.sub(str(i)), x, pos_emb, cfg, mask, pad_mask, enc_lengths)
+        if remat:
+            def _block(xx, layer=layers.sub(str(i))):
+                return conformer_block(
+                    layer, xx, pos_emb, cfg, mask, pad_mask, enc_lengths, xla_only=True
+                )
+            x = jax.checkpoint(_block)(x)
+        else:
+            x = conformer_block(layers.sub(str(i)), x, pos_emb, cfg, mask, pad_mask, enc_lengths)
         x = _constrain(x)
     return x
 

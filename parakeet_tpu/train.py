@@ -56,15 +56,19 @@ class TrainState:
 
 
 def ctc_forward(
-    params: dict, cfg, feats: jnp.ndarray, mel_lengths: jnp.ndarray, act_sharding=None
+    params: dict, cfg, feats: jnp.ndarray, mel_lengths: jnp.ndarray, act_sharding=None,
+    remat: bool = False,
 ):
     """(B, T, mel) → (B, T', V) log-probs + (B,) encoder lengths.
 
     act_sharding: optional (B, T, D) NamedSharding for sequence-parallel
-    encoding (parallel.mesh.activation_sharding)."""
+    encoding (parallel.mesh.activation_sharding).
+    remat: rematerialize each conformer block in backward (see
+    fastconformer_encode)."""
     root = Params(params)
     enc = fastconformer_encode(
-        root.sub("encoder_"), cfg.encoder, feats, mel_lengths, act_sharding=act_sharding
+        root.sub("encoder_"), cfg.encoder, feats, mel_lengths,
+        act_sharding=act_sharding, remat=remat,
     )
     lp = ctc_log_probs(root.sub("ctc_decoder_"), enc)
     return lp, jnp.minimum(encoded_lengths(mel_lengths), lp.shape[1])
@@ -81,14 +85,14 @@ def ctc_loss_from_log_probs(log_probs, enc_lens, labels, label_lengths, blank_id
     return jnp.mean(per_seq)
 
 
-def ctc_loss_fn(params, cfg, batch, blank_id: int, act_sharding=None):
+def ctc_loss_fn(params, cfg, batch, blank_id: int, act_sharding=None, remat: bool = False):
     feats, mel_lengths, labels, label_lengths = (
         batch["features"],
         batch["mel_lengths"],
         batch["labels"],
         batch["label_lengths"],
     )
-    log_probs, enc_lens = ctc_forward(params, cfg, feats, mel_lengths, act_sharding)
+    log_probs, enc_lens = ctc_forward(params, cfg, feats, mel_lengths, act_sharding, remat=remat)
     return ctc_loss_from_log_probs(log_probs, enc_lens, labels, label_lengths, blank_id)
 
 
@@ -102,6 +106,7 @@ def transducer_forward(
     loss: str = "tdt",
     joint_prefix: str | None = None,
     act_sharding=None,
+    remat: bool = False,
 ):
     """Full-lattice transducer forward for training.
 
@@ -114,7 +119,8 @@ def transducer_forward(
     """
     root = Params(params)
     enc = fastconformer_encode(
-        root.sub("encoder_"), cfg.encoder, feats, mel_lengths, act_sharding=act_sharding
+        root.sub("encoder_"), cfg.encoder, feats, mel_lengths,
+        act_sharding=act_sharding, remat=remat,
     )
     out = transducer_lattice(params, cfg, enc, labels, loss=loss, joint_prefix=joint_prefix)
     enc_lens = jnp.minimum(encoded_lengths(mel_lengths), enc.shape[1])
@@ -217,6 +223,7 @@ def transducer_loss_fn(
     sigma: float = 0.0,
     joint_prefix: str | None = None,
     act_sharding=None,
+    remat: bool = False,
 ):
     """Mean RNNT/TDT negative log-likelihood over a padded batch."""
     feats, mel_lengths, labels, label_lengths = (
@@ -227,7 +234,7 @@ def transducer_loss_fn(
     )
     out, enc_lens = transducer_forward(
         params, cfg, feats, mel_lengths, labels, loss=loss,
-        joint_prefix=joint_prefix, act_sharding=act_sharding,
+        joint_prefix=joint_prefix, act_sharding=act_sharding, remat=remat,
     )
     blank = cfg.joint.vocab_size - 1
     if loss == "tdt":
@@ -241,6 +248,40 @@ def transducer_loss_fn(
     return jnp.mean(per_seq)
 
 
+def value_and_grad_accum(loss_fn, accum_steps: int = 1):
+    """`jax.value_and_grad` over a (params, batch) loss — or, when
+    accum_steps > 1, a `lax.scan` of per-chunk value_and_grads averaged
+    into one (loss, grads) pair (gradient accumulation). The batch splits
+    on its leading dim into equal chunks, so the averaged result equals the
+    full-batch mean exactly, while backward peak memory drops to one
+    chunk's activations + the running grad buffer."""
+    if accum_steps <= 1:
+        return jax.value_and_grad(loss_fn)
+
+    def f(params, batch):
+        n = accum_steps
+
+        def split(v):
+            if v.shape[0] % n:
+                raise ValueError(
+                    f"batch dim {v.shape[0]} not divisible by accum_steps={n}"
+                )
+            return v.reshape(n, v.shape[0] // n, *v.shape[1:])
+
+        chunks = {k: split(jnp.asarray(v)) for k, v in batch.items()}
+
+        def body(carry, chunk):
+            lval, grads = jax.value_and_grad(loss_fn)(params, chunk)
+            cl, cg = carry
+            return (cl + lval / n, jax.tree.map(lambda a, b: a + b / n, cg, grads)), None
+
+        zero = (jnp.zeros((), jnp.float32), jax.tree.map(jnp.zeros_like, params))
+        (lval, grads), _ = jax.lax.scan(body, zero, chunks)
+        return lval, grads
+
+    return f
+
+
 def make_transducer_train_step(
     cfg,
     optimizer: optax.GradientTransformation,
@@ -249,18 +290,25 @@ def make_transducer_train_step(
     sigma: float = 0.0,
     joint_prefix: str | None = None,
     act_sharding=None,
+    remat: bool = False,
+    accum_steps: int = 1,
 ):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss) for the
     RNNT/TDT stacks (loss='rnnt'|'tdt')."""
     if loss not in ("rnnt", "tdt"):
         raise ValueError(f"loss must be 'rnnt' or 'tdt', got {loss!r}")
 
+    vag = value_and_grad_accum(
+        lambda p, b: transducer_loss_fn(
+            p, cfg, b, loss=loss, sigma=sigma,
+            joint_prefix=joint_prefix, act_sharding=act_sharding, remat=remat,
+        ),
+        accum_steps,
+    )
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        lval, grads = jax.value_and_grad(transducer_loss_fn)(
-            params, cfg, batch, loss=loss, sigma=sigma,
-            joint_prefix=joint_prefix, act_sharding=act_sharding,
-        )
+        lval, grads = vag(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, lval
@@ -276,15 +324,17 @@ def hybrid_loss_fn(
     ctc_weight: float = 0.3,
     sigma: float = 0.0,
     act_sharding=None,
+    remat: bool = False,
 ):
     """(1-w)·TDT + w·CTC over the shared encoder — the training objective of
     the hybrid tdt-ctc checkpoints this framework's flagship preset serves
     (both heads share one encoder; XLA CSEs the duplicated encoder call
     inside the jitted step)."""
     tdt = transducer_loss_fn(
-        params, cfg, batch, loss="tdt", sigma=sigma, act_sharding=act_sharding
+        params, cfg, batch, loss="tdt", sigma=sigma, act_sharding=act_sharding,
+        remat=remat,
     )
-    ctc = ctc_loss_fn(params, cfg, batch, cfg.ctc_vocab_size - 1, act_sharding)
+    ctc = ctc_loss_fn(params, cfg, batch, cfg.ctc_vocab_size - 1, act_sharding, remat=remat)
     return (1.0 - ctc_weight) * tdt + ctc_weight * ctc
 
 
@@ -295,15 +345,21 @@ def make_hybrid_train_step(
     ctc_weight: float = 0.3,
     sigma: float = 0.0,
     act_sharding=None,
+    remat: bool = False,
+    accum_steps: int = 1,
 ):
     """Jitted hybrid TDT+CTC train step (the flagship objective)."""
+    vag = value_and_grad_accum(
+        lambda p, b: hybrid_loss_fn(
+            p, cfg, b, ctc_weight=ctc_weight, sigma=sigma,
+            act_sharding=act_sharding, remat=remat,
+        ),
+        accum_steps,
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        lval, grads = jax.value_and_grad(hybrid_loss_fn)(
-            params, cfg, batch, ctc_weight=ctc_weight, sigma=sigma,
-            act_sharding=act_sharding,
-        )
+        lval, grads = vag(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, lval
@@ -316,16 +372,21 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     blank_id=None,
     act_sharding=None,
+    remat: bool = False,
+    accum_steps: int = 1,
 ):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss)."""
     if blank_id is None:
         blank_id = cfg.ctc_vocab_size - 1
 
+    vag = value_and_grad_accum(
+        lambda p, b: ctc_loss_fn(p, cfg, b, blank_id, act_sharding, remat=remat),
+        accum_steps,
+    )
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(ctc_loss_fn)(
-            params, cfg, batch, blank_id, act_sharding
-        )
+        loss, grads = vag(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -343,17 +404,23 @@ def make_sharded_trainer(
     seq_parallel: int = 1,
     loss: str = "ctc",
     sigma: float = 0.0,
+    remat: bool = False,
+    accum_steps: int = 1,
 ):
     """Set up a mesh-sharded trainer: params placed per TP rules, batches
     sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt', 'hybrid'} ('hybrid'
     = the flagship TDT+CTC objective). A mesh with a 'seq' axis (> 1) —
     from make_mesh(seq_parallel=…) or given explicitly — additionally
     shards encoder activations over time (sequence parallelism).
+    remat/accum_steps: training-memory levers (per-block rematerialization;
+    gradient accumulation over equal batch chunks) — both numerically
+    identical to the plain step.
     Returns (mesh, state, step_fn, place_batch)."""
     if mesh is None:
         mesh = make_mesh(model_parallel=model_parallel, seq_parallel=seq_parallel)
     act_sharding = activation_sharding(mesh)
     optimizer = optax.adamw(learning_rate)
+    mem = dict(remat=remat, accum_steps=accum_steps)
     with mesh:
         # copy: the jitted step donates its params, and shard_params'
         # device_put can alias an already-placed array — never invalidate
@@ -361,12 +428,12 @@ def make_sharded_trainer(
         sharded = shard_params({k: jnp.array(v, copy=True) for k, v in params.items()}, mesh)
         opt_state = jax.jit(optimizer.init)(sharded)
         if loss == "ctc":
-            step = make_train_step(cfg, optimizer, act_sharding=act_sharding)
+            step = make_train_step(cfg, optimizer, act_sharding=act_sharding, **mem)
         elif loss == "hybrid":
-            step = make_hybrid_train_step(cfg, optimizer, sigma=sigma, act_sharding=act_sharding)
+            step = make_hybrid_train_step(cfg, optimizer, sigma=sigma, act_sharding=act_sharding, **mem)
         else:
             step = make_transducer_train_step(
-                cfg, optimizer, loss=loss, sigma=sigma, act_sharding=act_sharding
+                cfg, optimizer, loss=loss, sigma=sigma, act_sharding=act_sharding, **mem
             )
 
     def place_batch(batch: dict) -> dict:
@@ -405,4 +472,5 @@ __all__ = [
     "synthetic_batch",
     "transducer_forward",
     "transducer_loss_fn",
+    "value_and_grad_accum",
 ]

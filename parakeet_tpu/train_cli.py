@@ -58,6 +58,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--micro-batches", type=int, default=2,
                     help="GPipe microbatches per step with --pipeline-parallel "
                          "(must divide the per-data-shard batch)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize each conformer block in backward "
+                         "(less activation memory, same numerics)")
+    ap.add_argument("--accum-steps", type=int, default=1,
+                    help="gradient accumulation: split each batch into N equal "
+                         "chunks scanned sequentially (same numerics, less "
+                         "activation memory; N must divide --batch-size)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--frame-multiple", type=int, default=160,
                     help="pad mel frames per batch up to this multiple (bounds recompiles)")
@@ -194,9 +201,14 @@ def main(argv=None) -> int:
             layers, rest = split_layer_params(p, cfg.encoder.num_layers)
             return {"layers": layers, "rest": rest}
     else:
+        if args.batch_size % max(args.accum_steps, 1):
+            raise SystemExit(
+                f"--accum-steps {args.accum_steps} must divide --batch-size"
+            )
         mesh = make_mesh(dp * mp * sp, model_parallel=mp, seq_parallel=sp)
         mesh, state, step_fn, place_batch = make_sharded_trainer(
-            cfg, params, mesh, learning_rate=args.lr, loss=loss, sigma=args.sigma
+            cfg, params, mesh, learning_rate=args.lr, loss=loss, sigma=args.sigma,
+            remat=args.remat, accum_steps=args.accum_steps,
         )
         as_schema_params = from_schema_params = lambda p: p  # noqa: E731
     if args.resume:

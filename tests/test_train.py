@@ -200,3 +200,78 @@ def test_rnnt600m_schema_trains():
     batch = synthetic_batch(cfg, batch=2, mel_frames=64, max_labels=6)
     params, opt_state, loss = step(params, opt_state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_remat_and_accum_match_plain_grads():
+    """remat (per-block jax.checkpoint) and accum_steps (chunked lax.scan
+    grad accumulation) are pure memory levers — loss and gradients must
+    equal the plain hybrid value_and_grad."""
+    import jax
+    import jax.numpy as jnp
+
+    from parakeet_tpu.train import hybrid_loss_fn, value_and_grad_accum
+
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=7)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, batch=4, mel_frames=64, max_labels=6).items()}
+
+    ref_l, ref_g = jax.value_and_grad(hybrid_loss_fn)(params, cfg, batch, sigma=0.05)
+
+    remat_l, remat_g = jax.value_and_grad(hybrid_loss_fn)(
+        params, cfg, batch, sigma=0.05, remat=True
+    )
+    assert abs(float(remat_l) - float(ref_l)) < 1e-5 * max(1.0, abs(float(ref_l)))
+    for k in ref_g:
+        np.testing.assert_allclose(
+            np.asarray(remat_g[k]), np.asarray(ref_g[k]),
+            rtol=1e-4, atol=1e-6, err_msg=f"remat {k}",
+        )
+
+    vag = value_and_grad_accum(
+        lambda p, b: hybrid_loss_fn(p, cfg, b, sigma=0.05), accum_steps=2
+    )
+    acc_l, acc_g = jax.jit(vag)(params, batch)
+    assert abs(float(acc_l) - float(ref_l)) < 1e-4 * max(1.0, abs(float(ref_l)))
+    for k in ref_g:
+        np.testing.assert_allclose(
+            np.asarray(acc_g[k]), np.asarray(ref_g[k]),
+            rtol=2e-3, atol=2e-5, err_msg=f"accum {k}",
+        )
+
+
+def test_accum_steps_trainer_runs_and_matches():
+    """make_sharded_trainer(accum_steps=2, remat=True) on the 8-device mesh:
+    step runs, loss equals the plain trainer's first-step loss."""
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=8)
+    batch = synthetic_batch(cfg, batch=8, mel_frames=64, max_labels=6)
+
+    mesh, state, step, place = make_sharded_trainer(
+        cfg, params, make_mesh(4), loss="hybrid", sigma=0.05
+    )
+    with mesh:
+        _, _, ref_loss = step(state.params, state.opt_state, place(batch))
+
+    mesh2, state2, step2, place2 = make_sharded_trainer(
+        cfg, params, make_mesh(4), loss="hybrid", sigma=0.05,
+        remat=True, accum_steps=2,
+    )
+    with mesh2:
+        _, _, loss2 = step2(state2.params, state2.opt_state, place2(batch))
+    assert abs(float(loss2) - float(ref_loss)) < 1e-3 * max(1.0, abs(float(ref_loss)))
+
+
+def test_accum_steps_rejects_indivisible_batch():
+    import jax
+
+    from parakeet_tpu.train import ctc_loss_fn, value_and_grad_accum
+
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=9)
+    batch = synthetic_batch(cfg, batch=3, mel_frames=64, max_labels=6)
+    vag = value_and_grad_accum(
+        lambda p, b: ctc_loss_fn(p, cfg, b, cfg.ctc_vocab_size - 1), accum_steps=2
+    )
+    with pytest.raises(ValueError, match="not divisible by accum_steps"):
+        jax.jit(vag)(params, {k: np.asarray(v) for k, v in batch.items()})
