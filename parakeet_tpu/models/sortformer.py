@@ -63,12 +63,38 @@ class AOSCCache:
         self._order: list[int] = []
 
 
-def _speaker_head(root: Params, trans_out: jnp.ndarray) -> jnp.ndarray:
+def _speaker_logits(root: Params, trans_out: jnp.ndarray) -> jnp.ndarray:
     h = jax.nn.relu(trans_out)
     h = linear(root.sub("first_hidden_"), h)
     h = jax.nn.relu(h)
-    logits = linear(root.sub("output_proj_"), h)
-    return jax.nn.sigmoid(logits.astype(jnp.float32))
+    return linear(root.sub("output_proj_"), h)
+
+
+def _speaker_head(root: Params, trans_out: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.sigmoid(_speaker_logits(root, trans_out).astype(jnp.float32))
+
+
+def sortformer_logits(
+    params: dict,
+    features: jnp.ndarray,
+    *,
+    cfg: SortformerConfig,
+    mel_lengths: jnp.ndarray | None = None,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """(B, mel_len, 128) → (B, T, max_speakers) PRE-sigmoid activity logits.
+
+    The training-side twin of `sortformer_forward` (inference applies
+    sigmoid; the BCE losses in train.py want logits for stability).
+    mel_lengths enables pad masking for batched training; remat
+    rematerializes encoder blocks in backward (fastconformer_encode)."""
+    root = Params(params)
+    enc = fastconformer_encode(
+        root.sub("nest_encoder_"), cfg.nest_encoder, features, mel_lengths, remat=remat
+    )
+    proj = linear(root.sub("projection_"), enc)
+    trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj)
+    return _speaker_logits(root, trans).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -238,6 +264,7 @@ __all__ = [
     "Sortformer",
     "probs_to_segments",
     "sortformer_forward",
+    "sortformer_logits",
     "sortformer_states",
     "speaker_embeddings",
 ]

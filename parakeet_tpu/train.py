@@ -446,6 +446,127 @@ def make_sharded_trainer(
     return mesh, TrainState(sharded, opt_state), step, place_batch
 
 
+# ─── Sortformer (diarization) training ──────────────────────────────────────
+# The reference serves Sortformer inference-only; this trains it the way the
+# Sortformer recipe does (arXiv:2409.06656): BCE on per-frame per-speaker
+# activity, as a weighted hybrid of Sort Loss (targets ordered by arrival
+# time — the model's output channels are arrival-ordered by construction)
+# and PIL (min BCE over all speaker permutations; S=4 → 24, enumerable).
+
+
+def sort_speakers_by_arrival(targets: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, S) 0/1 activity → channels reordered by each speaker's first
+    active frame (never-active speakers last, original order preserved on
+    ties — argsort is stable)."""
+    t = targets.shape[1]
+    active = targets > 0.5
+    first = jnp.where(active.any(axis=1), jnp.argmax(active, axis=1), t)  # (B, S)
+    order = jnp.argsort(first, axis=1, stable=True)
+    return jnp.take_along_axis(targets, order[:, None, :], axis=2)
+
+
+def sortformer_bce(logits: jnp.ndarray, targets: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-sequence mean sigmoid BCE over valid frames: (B, T, S) logits ×
+    targets, (B, T) mask → (B,)."""
+    per = optax.sigmoid_binary_cross_entropy(logits, targets)  # (B, T, S)
+    per = per * frame_mask[:, :, None]
+    denom = jnp.maximum(frame_mask.sum(axis=1), 1.0) * targets.shape[-1]
+    return per.sum(axis=(1, 2)) / denom
+
+
+def sortformer_loss_fn(
+    params: dict,
+    cfg,
+    batch,
+    *,
+    sort_weight: float = 0.5,
+    remat: bool = False,
+):
+    """sort_weight·SortLoss + (1-sort_weight)·PIL over a padded batch.
+
+    batch: features (B, mel_len, mel_bins), mel_lengths (B,), targets
+    (B, T', S) 0/1 activity at the ENCODER frame rate (8× subsampled)."""
+    from parakeet_tpu.models.sortformer import sortformer_logits
+
+    feats, mel_lengths, targets = (
+        batch["features"],
+        batch["mel_lengths"],
+        batch["targets"],
+    )
+    logits = sortformer_logits(
+        params, feats, cfg=cfg, mel_lengths=mel_lengths, remat=remat
+    )
+    t = logits.shape[1]
+    enc_lens = jnp.minimum(encoded_lengths(mel_lengths), t)
+    mask = (jnp.arange(t)[None, :] < enc_lens[:, None]).astype(jnp.float32)
+    tgt = targets[:, :t].astype(jnp.float32) * mask[:, :, None]
+
+    total = 0.0
+    if sort_weight > 0.0:
+        total = total + sort_weight * sortformer_bce(
+            logits, sort_speakers_by_arrival(tgt), mask
+        )
+    if sort_weight < 1.0:
+        import itertools
+
+        s = tgt.shape[-1]
+        pil = jnp.stack(
+            [sortformer_bce(logits, tgt[:, :, list(p)], mask)
+             for p in itertools.permutations(range(s))],
+            axis=1,
+        ).min(axis=1)
+        total = total + (1.0 - sort_weight) * pil
+    return jnp.mean(total)
+
+
+def make_sortformer_train_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    *,
+    sort_weight: float = 0.5,
+    remat: bool = False,
+    accum_steps: int = 1,
+):
+    """Jitted (params, opt_state, batch) → (params, opt_state, loss) for
+    Sortformer diarization fine-tuning."""
+    vag = value_and_grad_accum(
+        lambda p, b: sortformer_loss_fn(
+            p, cfg, b, sort_weight=sort_weight, remat=remat
+        ),
+        accum_steps,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        lval, grads = vag(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, lval
+
+    return step
+
+
+def synthetic_sortformer_batch(cfg, batch: int, mel_frames: int, seed=0):
+    """Random mel features + block-structured 0/1 activity targets at the
+    encoder frame rate (tests/dry runs; mirrors synthetic_batch)."""
+    from parakeet_tpu.models.encoder import subsample_length
+
+    rng = np.random.RandomState(seed)
+    t = subsample_length(mel_frames)
+    s = cfg.max_speakers
+    targets = np.zeros((batch, t, s), np.float32)
+    for b in range(batch):
+        for k in range(rng.randint(1, s + 1)):
+            start = rng.randint(0, max(1, t - 2))
+            end = rng.randint(start + 1, t + 1)
+            targets[b, start:end, k] = 1.0
+    return {
+        "features": rng.randn(batch, mel_frames, cfg.nest_encoder.mel_bins).astype(np.float32),
+        "mel_lengths": np.full((batch,), mel_frames, np.int32),
+        "targets": targets,
+    }
+
+
 def synthetic_batch(cfg, batch: int, mel_frames: int, max_labels: int, seed=0):
     rng = np.random.RandomState(seed)
     vocab = getattr(cfg, "ctc_vocab_size", cfg.joint.vocab_size) - 1  # labels exclude blank
@@ -468,8 +589,13 @@ __all__ = [
     "make_hybrid_train_step",
     "make_train_step",
     "make_sharded_trainer",
+    "make_sortformer_train_step",
     "make_transducer_train_step",
+    "sort_speakers_by_arrival",
+    "sortformer_bce",
+    "sortformer_loss_fn",
     "synthetic_batch",
+    "synthetic_sortformer_batch",
     "transducer_forward",
     "transducer_loss_fn",
     "value_and_grad_accum",
