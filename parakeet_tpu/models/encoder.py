@@ -86,6 +86,19 @@ def get_fused_attention() -> str | bool:
     return _FUSED_ATTENTION
 
 
+def fused_kernels_active() -> bool:
+    """True when ANY process-global fused-Pallas mode is on (attention,
+    ffn, block2, conv layout). Callers that trace model code inside
+    lax.scan/fori_loop check this — pallas_call inside a scan body crashes
+    this jax version's lowering cache (see CLAUDE.md)."""
+    return (
+        bool(_FUSED_ATTENTION)
+        or _FUSED_FFN
+        or _FUSED_BLOCK2
+        or _CONV_LAYOUT == "pallas"
+    )
+
+
 # ─── Sinusoidal relative position embedding (encoder.cpp:9-30) ──────────────
 
 
@@ -729,4 +742,5 @@ __all__ = [
     "encoded_lengths",
     "encode_prologue",
     "fastconformer_encode",
+    "fused_kernels_active",
 ]

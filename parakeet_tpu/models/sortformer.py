@@ -86,14 +86,22 @@ def sortformer_logits(
 
     The training-side twin of `sortformer_forward` (inference applies
     sigmoid; the BCE losses in train.py want logits for stability).
-    mel_lengths enables pad masking for batched training; remat
+    mel_lengths enables pad masking for batched training — in the NEST
+    encoder AND the transformer stage, so padded frames never leak into
+    valid-frame logits (the loss additionally masks padded rows). remat
     rematerializes encoder blocks in backward (fastconformer_encode)."""
+    from parakeet_tpu.models.encoder import encoded_lengths, length_mask
+
     root = Params(params)
     enc = fastconformer_encode(
         root.sub("nest_encoder_"), cfg.nest_encoder, features, mel_lengths, remat=remat
     )
+    mask = None
+    if mel_lengths is not None:
+        enc_lens = jnp.minimum(encoded_lengths(mel_lengths), enc.shape[1])
+        mask = length_mask(enc_lens, enc.shape[1])
     proj = linear(root.sub("projection_"), enc)
-    trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj)
+    trans = transformer_encode(root.sub("transformer_"), cfg.transformer, proj, mask)
     return _speaker_logits(root, trans).astype(jnp.float32)
 
 

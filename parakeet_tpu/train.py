@@ -259,6 +259,18 @@ def value_and_grad_accum(loss_fn, accum_steps: int = 1):
         return jax.value_and_grad(loss_fn)
 
     def f(params, batch):
+        from parakeet_tpu.models.encoder import fused_kernels_active
+
+        if fused_kernels_active():
+            # the loss (conformer blocks included) traces inside lax.scan;
+            # a pallas_call in the scan body crashes this jax version's
+            # lowering cache (CLAUDE.md) — fail loudly instead
+            raise ValueError(
+                "gradient accumulation scans the loss; disable the fused "
+                "Pallas kernels first (set_fused_attention(False), "
+                "set_fused_ffn(False), set_fused_block2(False), "
+                "set_conv_layout('nch')) — they are inference-only levers"
+            )
         n = accum_steps
 
         def split(v):
@@ -406,12 +418,15 @@ def make_sharded_trainer(
     sigma: float = 0.0,
     remat: bool = False,
     accum_steps: int = 1,
+    sort_weight: float = 0.5,
 ):
     """Set up a mesh-sharded trainer: params placed per TP rules, batches
-    sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt', 'hybrid'} ('hybrid'
-    = the flagship TDT+CTC objective). A mesh with a 'seq' axis (> 1) —
-    from make_mesh(seq_parallel=…) or given explicitly — additionally
-    shards encoder activations over time (sequence parallelism).
+    sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt', 'hybrid',
+    'sortformer'} ('hybrid' = the flagship TDT+CTC objective; 'sortformer'
+    = diarization Sort Loss + PIL, sort_weight applies). A mesh with a
+    'seq' axis (> 1) — from make_mesh(seq_parallel=…) or given explicitly —
+    additionally shards encoder activations over time (sequence
+    parallelism; ASR objectives only).
     remat/accum_steps: training-memory levers (per-block rematerialization;
     gradient accumulation over equal batch chunks) — both numerically
     identical to the plain step.
@@ -421,6 +436,8 @@ def make_sharded_trainer(
     act_sharding = activation_sharding(mesh)
     optimizer = optax.adamw(learning_rate)
     mem = dict(remat=remat, accum_steps=accum_steps)
+    if loss == "sortformer" and act_sharding is not None:
+        raise ValueError("sequence parallelism is not supported for the sortformer objective")
     with mesh:
         # copy: the jitted step donates its params, and shard_params'
         # device_put can alias an already-placed array — never invalidate
@@ -431,6 +448,8 @@ def make_sharded_trainer(
             step = make_train_step(cfg, optimizer, act_sharding=act_sharding, **mem)
         elif loss == "hybrid":
             step = make_hybrid_train_step(cfg, optimizer, sigma=sigma, act_sharding=act_sharding, **mem)
+        elif loss == "sortformer":
+            step = make_sortformer_train_step(cfg, optimizer, sort_weight=sort_weight, **mem)
         else:
             step = make_transducer_train_step(
                 cfg, optimizer, loss=loss, sigma=sigma, act_sharding=act_sharding, **mem

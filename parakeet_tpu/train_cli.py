@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from dataclasses import replace
 from pathlib import Path
 
@@ -133,7 +132,6 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
-    import jax.numpy as jnp
     import numpy as np
 
     from parakeet_tpu import params as P
@@ -142,7 +140,7 @@ def main(argv=None) -> int:
     from parakeet_tpu.data import ManifestDataset, TrainDataLoader
     from parakeet_tpu.parallel.mesh import make_mesh
     from parakeet_tpu.text.tokenizer import Tokenizer
-    from parakeet_tpu.train import TrainState, make_sharded_trainer
+    from parakeet_tpu.train import make_sharded_trainer
 
     tokenizer = Tokenizer(args.vocab)
     cfg, kind, default_loss = _preset(args.model)
@@ -190,6 +188,15 @@ def main(argv=None) -> int:
                 f"per-shard batch {args.batch_size // dp} must be divisible by "
                 f"--micro-batches {args.micro_batches}"
             )
+        if args.remat or args.accum_steps > 1:
+            # never silently drop a memory flag the user is relying on:
+            # the GPipe trainer already remats per stage and microbatches
+            # via --micro-batches
+            raise SystemExit(
+                "--remat/--accum-steps don't apply with --pipeline-parallel "
+                "(the GPipe trainer rematerializes each stage and "
+                "microbatches via --micro-batches)"
+            )
         mesh = make_mesh(dp * pp, pipeline_parallel=pp)
         state, step_fn, place_batch, _export_pp = make_pp_trainer(
             cfg, params, mesh, n_micro=args.micro_batches,
@@ -216,6 +223,8 @@ def main(argv=None) -> int:
             raise SystemExit("--resume needs --checkpoint-dir")
         ck = Path(args.checkpoint_dir)
         if (ck / "state.safetensors").exists() or (ck / "params.safetensors").exists():
+            from parakeet_tpu.train_loop import place_train_state
+
             p2, o2, s2 = load_train_state(ck, state.opt_state)
             p2 = from_schema_params(p2)  # pp trainers hold {layers, rest}
             if mp > 1:
@@ -229,44 +238,17 @@ def main(argv=None) -> int:
                     k: (pad_vocab_dim(k, v, mp) if pad_vocab_dim(k, v, mp) is not None else v)
                     for k, v in p2.items()
                 }
-            # re-apply the trainer's device placement: load_train_state
-            # returns host arrays, and committing them with the fresh
-            # state's shardings preserves the TP/seq layout the step_fn was
-            # compiled for (else a 600m resume replicates params+opt state
-            # on every chip). Leaves whose fresh sharding isn't a
-            # NamedSharding (e.g. the optimizer's scalar count, committed
-            # to one device by jit) are replicated over the whole mesh so
-            # every input lives on the same device set.
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            def _placed(host, ref):
-                sh = ref.sharding
-                if not isinstance(sh, NamedSharding):
-                    sh = NamedSharding(mesh, PartitionSpec())
-                return jax.device_put(jnp.asarray(host), sh)
-
-            p2 = jax.tree.map(_placed, p2, state.params)
-            o2 = jax.tree.map(_placed, o2, state.opt_state)
-            state = TrainState(p2, o2, s2)
+            state = place_train_state(mesh, p2, o2, s2, state)
             print(f"# resumed at step {s2}", file=sys.stderr)
 
-    params, opt_state, step = state.params, state.opt_state, state.step
-    t0 = time.perf_counter()
-    with mesh:
-        while step < args.steps:
-            for batch in loader:
-                if step >= args.steps:
-                    break
-                params, opt_state, lval = step_fn(params, opt_state, place_batch(batch))
-                step += 1
-                if step % args.log_every == 0 or step == args.steps:
-                    dt = time.perf_counter() - t0
-                    print(f"step {step}/{args.steps}  loss {float(lval):.4f}  "
-                          f"{dt / max(1, step - state.step):.2f}s/step", file=sys.stderr)
-                if args.checkpoint_dir and step % args.checkpoint_every == 0:
-                    save_train_state(
-                        args.checkpoint_dir, as_schema_params(params), opt_state, step
-                    )
+    from parakeet_tpu.train_loop import run_training
+
+    params, opt_state, step = run_training(
+        mesh, loader, state, step_fn, place_batch,
+        steps=args.steps, log_every=args.log_every,
+        checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
+        as_schema=as_schema_params,
+    )
 
     if args.checkpoint_dir:
         save_train_state(args.checkpoint_dir, as_schema_params(params), opt_state, step)

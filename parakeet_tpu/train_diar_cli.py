@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 
@@ -89,16 +88,15 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
-    import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from parakeet_tpu import params as P
     from parakeet_tpu.checkpoint import load_train_state, save_train_state
     from parakeet_tpu.config import AudioConfig
     from parakeet_tpu.data import DiarizationDataLoader, DiarizationDataset
-    from parakeet_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
-    from parakeet_tpu.train import TrainState, make_sortformer_train_step
+    from parakeet_tpu.parallel.mesh import make_mesh
+    from parakeet_tpu.train import make_sharded_trainer
+    from parakeet_tpu.train_loop import place_train_state, run_training
 
     cfg = _preset(args.model)
     params = (
@@ -127,58 +125,25 @@ def main(argv=None) -> int:
         )
     if args.batch_size % max(args.accum_steps, 1):
         raise SystemExit(f"--accum-steps {args.accum_steps} must divide --batch-size")
-    mesh = make_mesh(dp)
-    optimizer = optax.adamw(args.lr)
-    with mesh:
-        sharded = shard_params({k: jnp.array(v, copy=True) for k, v in params.items()}, mesh)
-        opt_state = jax.jit(optimizer.init)(sharded)
-    step_fn = make_sortformer_train_step(
-        cfg, optimizer, sort_weight=args.sort_weight,
-        remat=args.remat, accum_steps=args.accum_steps,
+    mesh, state, step_fn, place_batch = make_sharded_trainer(
+        cfg, params, make_mesh(dp), learning_rate=args.lr, loss="sortformer",
+        sort_weight=args.sort_weight, remat=args.remat, accum_steps=args.accum_steps,
     )
-    state = TrainState(sharded, opt_state)
-
-    def place_batch(batch):
-        return {
-            k: jax.device_put(jnp.asarray(v), batch_sharding(mesh, np.ndim(v)))
-            for k, v in batch.items()
-        }
 
     if args.resume:
         if not args.checkpoint_dir:
             raise SystemExit("--resume needs --checkpoint-dir")
         ck = Path(args.checkpoint_dir)
         if (ck / "state.safetensors").exists():
-            from jax.sharding import NamedSharding, PartitionSpec
-
             p2, o2, s2 = load_train_state(ck, state.opt_state)
-
-            def _placed(host, ref):
-                sh = ref.sharding
-                if not isinstance(sh, NamedSharding):
-                    sh = NamedSharding(mesh, PartitionSpec())
-                return jax.device_put(jnp.asarray(host), sh)
-
-            p2 = jax.tree.map(_placed, p2, state.params)
-            o2 = jax.tree.map(_placed, o2, state.opt_state)
-            state = TrainState(p2, o2, s2)
+            state = place_train_state(mesh, p2, o2, s2, state)
             print(f"# resumed at step {s2}", file=sys.stderr)
 
-    params, opt_state, step = state.params, state.opt_state, state.step
-    t0 = time.perf_counter()
-    with mesh:
-        while step < args.steps:
-            for batch in loader:
-                if step >= args.steps:
-                    break
-                params, opt_state, lval = step_fn(params, opt_state, place_batch(batch))
-                step += 1
-                if step % args.log_every == 0 or step == args.steps:
-                    dt = time.perf_counter() - t0
-                    print(f"step {step}/{args.steps}  loss {float(lval):.4f}  "
-                          f"{dt / max(1, step - state.step):.2f}s/step", file=sys.stderr)
-                if args.checkpoint_dir and step % args.checkpoint_every == 0:
-                    save_train_state(args.checkpoint_dir, params, opt_state, step)
+    params, opt_state, step = run_training(
+        mesh, loader, state, step_fn, place_batch,
+        steps=args.steps, log_every=args.log_every,
+        checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
+    )
 
     if args.checkpoint_dir:
         save_train_state(args.checkpoint_dir, params, opt_state, step)

@@ -275,3 +275,25 @@ def test_accum_steps_rejects_indivisible_batch():
     )
     with pytest.raises(ValueError, match="not divisible by accum_steps"):
         jax.jit(vag)(params, {k: np.asarray(v) for k, v in batch.items()})
+
+
+def test_accum_rejects_fused_kernels():
+    """Gradient accumulation scans the loss; fused Pallas kernels in the
+    scan body crash this jax version's lowering — must fail loudly."""
+    import jax
+
+    from parakeet_tpu.models import encoder as E
+    from parakeet_tpu.train import ctc_loss_fn, value_and_grad_accum
+
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=1)
+    batch = synthetic_batch(cfg, batch=2, mel_frames=64, max_labels=6)
+    vag = value_and_grad_accum(
+        lambda p, b: ctc_loss_fn(p, cfg, b, cfg.ctc_vocab_size - 1), accum_steps=2
+    )
+    E.set_fused_attention("block")
+    try:
+        with pytest.raises(ValueError, match="fused"):
+            jax.jit(vag)(params, {k: np.asarray(v) for k, v in batch.items()})
+    finally:
+        E.set_fused_attention(False)

@@ -187,3 +187,17 @@ def test_pipeline_parallel_arg_guards(tmp_path):
               "--batch-size", "2", "--data-parallel", "2",
               "--pipeline-parallel", "2", "--micro-batches", "3", "--steps", "1",
               "--frame-multiple", "32", "--label-multiple", "8"])
+
+
+def test_pipeline_parallel_rejects_memory_flags(tmp_path):
+    """--remat/--accum-steps must not be silently dropped with
+    --pipeline-parallel (the GPipe trainer has its own levers)."""
+    m, v = write_corpus(tmp_path)
+    base = ["--manifest", str(m), "--vocab", str(v), "--model", "tiny",
+            "--batch-size", "4", "--data-parallel", "2", "--pipeline-parallel", "2",
+            "--micro-batches", "2", "--steps", "1",
+            "--frame-multiple", "32", "--label-multiple", "8"]
+    with pytest.raises(SystemExit, match="don't apply"):
+        main(base + ["--remat"])
+    with pytest.raises(SystemExit, match="don't apply"):
+        main(base + ["--accum-steps", "2"])
