@@ -102,6 +102,28 @@ def batch_norm_1d(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+# When True (default), convs accumulate into f32 outputs even from bf16
+# inputs (preferred_element_type) — the inference numerics. bf16 TRAINING
+# must turn this off (train.with_compute_dtype does, at trace time): this
+# jax version's conv TRANSPOSE rule can't mix a f32 cotangent with bf16
+# operands ("requires arguments to have the same dtypes"), and rounding
+# conv outputs to bf16 is standard bf16-training behavior anyway.
+_CONV_ACCUM_F32 = True
+
+
+def set_conv_accum_f32(enabled: bool) -> None:
+    global _CONV_ACCUM_F32
+    _CONV_ACCUM_F32 = bool(enabled)
+
+
+def get_conv_accum_f32() -> bool:
+    return _CONV_ACCUM_F32
+
+
+def _conv_pref(x) -> jnp.dtype | None:
+    return _F32 if (_CONV_ACCUM_F32 or x.dtype == _F32) else None
+
+
 def conv1d(
     p: Params,
     x: jnp.ndarray,
@@ -119,12 +141,12 @@ def conv1d(
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=_F32,
+        preferred_element_type=_conv_pref(x),
         precision=matmul_precision(x.dtype),
     )
     b = p.get("bias")
     if b is not None:
-        y = y + b.astype(_F32)[None, :, None]
+        y = y + b.astype(y.dtype)[None, :, None]
     return y.astype(x.dtype)
 
 
@@ -150,14 +172,14 @@ def conv2d(
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         dimension_numbers=(layout, "OIHW", layout),
         feature_group_count=groups,
-        preferred_element_type=_F32,
+        preferred_element_type=_conv_pref(x),
         precision=matmul_precision(x.dtype),
     )
     b = p.get("bias")
     if b is not None:
         bshape = [1, 1, 1, 1]
         bshape[layout.index("C")] = -1
-        y = y + b.astype(_F32).reshape(bshape)
+        y = y + b.astype(y.dtype).reshape(bshape)
     return y.astype(x.dtype)
 
 
@@ -171,4 +193,4 @@ def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return a * jax.nn.sigmoid(b)
 
 
-__all__ = ["matmul_precision", "set_bf16_precision", "linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]
+__all__ = ["matmul_precision", "set_bf16_precision", "set_conv_accum_f32", "get_conv_accum_f32", "linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]

@@ -198,6 +198,9 @@ def make_pp_trainer(
     loss: str = "hybrid",
     sigma: float = 0.0,
     ctc_weight: float = 0.3,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int | None = None,
 ):
     """Pipeline-parallel trainer over a ('data', 'pipe') mesh.
 
@@ -209,7 +212,7 @@ def make_pp_trainer(
     """
     import optax
 
-    from parakeet_tpu.train import TrainState, encoded_loss_fn
+    from parakeet_tpu.train import TrainState, encoded_loss_fn, make_lr_schedule
 
     axes = dict(mesh.shape)
     if axes.get("model", 1) > 1 or axes.get("seq", 1) > 1:
@@ -231,7 +234,10 @@ def make_pp_trainer(
             for k, v in rest.items()
         }
     train_params = {"layers": stacked, "rest": rest}
-    optimizer = optax.adamw(learning_rate)
+    optimizer = optax.adamw(make_lr_schedule(
+        learning_rate, schedule=schedule, warmup_steps=warmup_steps,
+        decay_steps=decay_steps,
+    ))
     with mesh:
         opt_state = jax.jit(optimizer.init)(train_params)
 

@@ -248,6 +248,74 @@ def transducer_loss_fn(
     return jnp.mean(per_seq)
 
 
+def make_lr_schedule(
+    learning_rate: float,
+    *,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int | None = None,
+):
+    """Learning-rate schedule for the trainers (resume-correct: schedules
+    read the optimizer's step count, which checkpoints carry).
+
+    - 'constant': flat lr, with an optional linear warmup from 0.
+    - 'cosine': linear warmup to lr, cosine decay to 0 over decay_steps
+      (required — pass the run's total steps).
+    - 'noam': the Transformer inverse-sqrt schedule, peak lr at
+      warmup_steps then lr·sqrt(warmup/step).
+    """
+    if schedule == "constant":
+        if warmup_steps > 0:
+            return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return learning_rate
+    if schedule == "cosine":
+        if not decay_steps:
+            raise ValueError("cosine schedule needs decay_steps (total steps)")
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, max(warmup_steps, 1), decay_steps
+        )
+    if schedule == "noam":
+        warm = max(warmup_steps, 1)
+
+        def noam(count):
+            step = jnp.maximum(count, 1).astype(jnp.float32)
+            return learning_rate * jnp.minimum(step / warm, jnp.sqrt(warm / step))
+
+        return noam
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
+def with_compute_dtype(loss_fn, compute_dtype):
+    """Wrap a (params, batch) loss so the model runs in `compute_dtype`
+    (e.g. bfloat16 — MXU-rate training) while the caller keeps f32 master
+    params: the cast happens INSIDE the differentiated function, so
+    gradients flow back to the f32 masters (cast's transpose is cast).
+    Norm params stay f32 (params.cast_params), and the losses themselves
+    already accumulate in f32 log-space."""
+    if compute_dtype in (None, "float32", jnp.float32):
+        return loss_fn
+    from parakeet_tpu.ops import layers
+    from parakeet_tpu.params import cast_params
+
+    dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.dtype(compute_dtype)
+
+    def f(params, batch):
+        cp = cast_params(params, dt)
+        cb = dict(batch, features=jnp.asarray(batch["features"]).astype(dt))
+        # trace-time switch: f32-accumulating convs are not differentiable
+        # in this jax version (the transpose conv rejects the mixed f32
+        # cotangent / bf16 operand dtypes); bf16 training rounds conv
+        # outputs like every other op. Inference paths are untouched.
+        old = layers.get_conv_accum_f32()
+        layers.set_conv_accum_f32(False)
+        try:
+            return loss_fn(cp, cb)
+        finally:
+            layers.set_conv_accum_f32(old)
+
+    return f
+
+
 def value_and_grad_accum(loss_fn, accum_steps: int = 1):
     """`jax.value_and_grad` over a (params, batch) loss — or, when
     accum_steps > 1, a `lax.scan` of per-chunk value_and_grads averaged
@@ -304,6 +372,7 @@ def make_transducer_train_step(
     act_sharding=None,
     remat: bool = False,
     accum_steps: int = 1,
+    compute_dtype: str = "float32",
 ):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss) for the
     RNNT/TDT stacks (loss='rnnt'|'tdt')."""
@@ -311,9 +380,12 @@ def make_transducer_train_step(
         raise ValueError(f"loss must be 'rnnt' or 'tdt', got {loss!r}")
 
     vag = value_and_grad_accum(
-        lambda p, b: transducer_loss_fn(
-            p, cfg, b, loss=loss, sigma=sigma,
-            joint_prefix=joint_prefix, act_sharding=act_sharding, remat=remat,
+        with_compute_dtype(
+            lambda p, b: transducer_loss_fn(
+                p, cfg, b, loss=loss, sigma=sigma,
+                joint_prefix=joint_prefix, act_sharding=act_sharding, remat=remat,
+            ),
+            compute_dtype,
         ),
         accum_steps,
     )
@@ -359,12 +431,16 @@ def make_hybrid_train_step(
     act_sharding=None,
     remat: bool = False,
     accum_steps: int = 1,
+    compute_dtype: str = "float32",
 ):
     """Jitted hybrid TDT+CTC train step (the flagship objective)."""
     vag = value_and_grad_accum(
-        lambda p, b: hybrid_loss_fn(
-            p, cfg, b, ctc_weight=ctc_weight, sigma=sigma,
-            act_sharding=act_sharding, remat=remat,
+        with_compute_dtype(
+            lambda p, b: hybrid_loss_fn(
+                p, cfg, b, ctc_weight=ctc_weight, sigma=sigma,
+                act_sharding=act_sharding, remat=remat,
+            ),
+            compute_dtype,
         ),
         accum_steps,
     )
@@ -386,13 +462,17 @@ def make_train_step(
     act_sharding=None,
     remat: bool = False,
     accum_steps: int = 1,
+    compute_dtype: str = "float32",
 ):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss)."""
     if blank_id is None:
         blank_id = cfg.ctc_vocab_size - 1
 
     vag = value_and_grad_accum(
-        lambda p, b: ctc_loss_fn(p, cfg, b, blank_id, act_sharding, remat=remat),
+        with_compute_dtype(
+            lambda p, b: ctc_loss_fn(p, cfg, b, blank_id, act_sharding, remat=remat),
+            compute_dtype,
+        ),
         accum_steps,
     )
 
@@ -419,6 +499,10 @@ def make_sharded_trainer(
     remat: bool = False,
     accum_steps: int = 1,
     sort_weight: float = 0.5,
+    compute_dtype: str = "float32",
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int | None = None,
 ):
     """Set up a mesh-sharded trainer: params placed per TP rules, batches
     sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt', 'hybrid',
@@ -429,13 +513,20 @@ def make_sharded_trainer(
     parallelism; ASR objectives only).
     remat/accum_steps: training-memory levers (per-block rematerialization;
     gradient accumulation over equal batch chunks) — both numerically
-    identical to the plain step.
+    identical to the plain step. compute_dtype='bfloat16' runs the model
+    at MXU rate while Adam keeps f32 master params (with_compute_dtype).
+    schedule/warmup_steps/decay_steps: learning-rate schedule
+    (make_lr_schedule) — resume-correct via the optimizer step count.
     Returns (mesh, state, step_fn, place_batch)."""
     if mesh is None:
         mesh = make_mesh(model_parallel=model_parallel, seq_parallel=seq_parallel)
     act_sharding = activation_sharding(mesh)
-    optimizer = optax.adamw(learning_rate)
-    mem = dict(remat=remat, accum_steps=accum_steps)
+    lr = make_lr_schedule(
+        learning_rate, schedule=schedule, warmup_steps=warmup_steps,
+        decay_steps=decay_steps,
+    )
+    optimizer = optax.adamw(lr)
+    mem = dict(remat=remat, accum_steps=accum_steps, compute_dtype=compute_dtype)
     if loss == "sortformer" and act_sharding is not None:
         raise ValueError("sequence parallelism is not supported for the sortformer objective")
     with mesh:
@@ -545,12 +636,16 @@ def make_sortformer_train_step(
     sort_weight: float = 0.5,
     remat: bool = False,
     accum_steps: int = 1,
+    compute_dtype: str = "float32",
 ):
     """Jitted (params, opt_state, batch) → (params, opt_state, loss) for
     Sortformer diarization fine-tuning."""
     vag = value_and_grad_accum(
-        lambda p, b: sortformer_loss_fn(
-            p, cfg, b, sort_weight=sort_weight, remat=remat
+        with_compute_dtype(
+            lambda p, b: sortformer_loss_fn(
+                p, cfg, b, sort_weight=sort_weight, remat=remat
+            ),
+            compute_dtype,
         ),
         accum_steps,
     )
@@ -613,9 +708,11 @@ __all__ = [
     "sort_speakers_by_arrival",
     "sortformer_bce",
     "sortformer_loss_fn",
+    "make_lr_schedule",
     "synthetic_batch",
     "synthetic_sortformer_batch",
     "transducer_forward",
     "transducer_loss_fn",
     "value_and_grad_accum",
+    "with_compute_dtype",
 ]

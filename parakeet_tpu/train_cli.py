@@ -41,6 +41,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--steps", type=int, default=100, help="optimizer steps to run")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--schedule", default="constant",
+                    choices=["constant", "cosine", "noam"],
+                    help="learning-rate schedule (cosine decays over --steps; "
+                         "noam = Transformer inverse-sqrt)")
+    ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the model in bfloat16 (MXU rate); Adam keeps "
+                         "f32 master params")
     ap.add_argument("--sigma", type=float, default=0.05, help="TDT logit under-normalization")
     ap.add_argument("--model-parallel", type=int, default=1,
                     help="tensor-parallel ways (mesh = data × model)")
@@ -188,19 +196,21 @@ def main(argv=None) -> int:
                 f"per-shard batch {args.batch_size // dp} must be divisible by "
                 f"--micro-batches {args.micro_batches}"
             )
-        if args.remat or args.accum_steps > 1:
-            # never silently drop a memory flag the user is relying on:
-            # the GPipe trainer already remats per stage and microbatches
-            # via --micro-batches
+        if args.remat or args.accum_steps > 1 or args.bf16:
+            # never silently drop a flag the user is relying on: the GPipe
+            # trainer already remats per stage and microbatches via
+            # --micro-batches; bf16 isn't wired through the pipeline path
             raise SystemExit(
-                "--remat/--accum-steps don't apply with --pipeline-parallel "
-                "(the GPipe trainer rematerializes each stage and "
-                "microbatches via --micro-batches)"
+                "--remat/--accum-steps/--bf16 don't apply with "
+                "--pipeline-parallel (the GPipe trainer rematerializes each "
+                "stage and microbatches via --micro-batches)"
             )
         mesh = make_mesh(dp * pp, pipeline_parallel=pp)
         state, step_fn, place_batch, _export_pp = make_pp_trainer(
             cfg, params, mesh, n_micro=args.micro_batches,
             learning_rate=args.lr, loss=loss, sigma=args.sigma,
+            schedule=args.schedule, warmup_steps=args.warmup_steps,
+            decay_steps=args.steps,
         )
         as_schema_params = lambda p: merge_layer_params(p["layers"], p["rest"])  # noqa: E731
 
@@ -216,6 +226,9 @@ def main(argv=None) -> int:
         mesh, state, step_fn, place_batch = make_sharded_trainer(
             cfg, params, mesh, learning_rate=args.lr, loss=loss, sigma=args.sigma,
             remat=args.remat, accum_steps=args.accum_steps,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+            schedule=args.schedule, warmup_steps=args.warmup_steps,
+            decay_steps=args.steps,
         )
         as_schema_params = from_schema_params = lambda p: p  # noqa: E731
     if args.resume:

@@ -35,6 +35,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--schedule", default="constant",
+                    choices=["constant", "cosine", "noam"])
+    ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the model in bfloat16; Adam keeps f32 masters")
     ap.add_argument("--sort-weight", type=float, default=0.5,
                     help="Sort Loss weight; (1-w) goes to PIL")
     ap.add_argument("--data-parallel", type=int, default=None,
@@ -128,6 +133,8 @@ def main(argv=None) -> int:
     mesh, state, step_fn, place_batch = make_sharded_trainer(
         cfg, params, make_mesh(dp), learning_rate=args.lr, loss="sortformer",
         sort_weight=args.sort_weight, remat=args.remat, accum_steps=args.accum_steps,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        schedule=args.schedule, warmup_steps=args.warmup_steps, decay_steps=args.steps,
     )
 
     if args.resume:

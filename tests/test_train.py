@@ -297,3 +297,64 @@ def test_accum_rejects_fused_kernels():
             jax.jit(vag)(params, {k: np.asarray(v) for k, v in batch.items()})
     finally:
         E.set_fused_attention(False)
+
+
+def test_lr_schedules():
+    import jax.numpy as jnp
+
+    from parakeet_tpu.train import make_lr_schedule
+
+    assert make_lr_schedule(1e-3) == 1e-3  # plain constant
+    warm = make_lr_schedule(1e-3, warmup_steps=10)
+    assert float(warm(0)) == 0.0 and float(warm(10)) == pytest.approx(1e-3)
+
+    cos = make_lr_schedule(1e-3, schedule="cosine", warmup_steps=10, decay_steps=100)
+    assert float(cos(10)) == pytest.approx(1e-3)
+    assert float(cos(100)) == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_lr_schedule(1e-3, schedule="cosine")
+
+    noam = make_lr_schedule(1e-3, schedule="noam", warmup_steps=100)
+    # peak at warmup, rises before, decays as 1/sqrt after
+    assert float(noam(jnp.asarray(100))) == pytest.approx(1e-3)
+    assert float(noam(jnp.asarray(50))) == pytest.approx(5e-4)
+    assert float(noam(jnp.asarray(400))) == pytest.approx(5e-4)
+    with pytest.raises(ValueError, match="unknown schedule"):
+        make_lr_schedule(1e-3, schedule="linear")
+
+
+def test_bf16_training_step():
+    """compute_dtype='bfloat16': model runs bf16, master params stay f32,
+    loss tracks the f32 loss and decreases."""
+    import jax.numpy as jnp
+
+    from parakeet_tpu.train import hybrid_loss_fn, with_compute_dtype
+
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=11)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, batch=2, mel_frames=64, max_labels=6).items()}
+
+    f32_loss = float(hybrid_loss_fn(params, cfg, batch, sigma=0.05))
+    bf16_loss = float(with_compute_dtype(
+        lambda p, b: hybrid_loss_fn(p, cfg, b, sigma=0.05), "bfloat16"
+    )(params, batch))
+    assert abs(bf16_loss - f32_loss) < 0.05 * max(1.0, abs(f32_loss))
+
+    mesh, state, step, place = make_sharded_trainer(
+        cfg, params, make_mesh(2), loss="hybrid", sigma=0.05,
+        compute_dtype="bfloat16", schedule="cosine", warmup_steps=2,
+        decay_steps=10, learning_rate=3e-3,
+    )
+    # master params stay f32 even though the model computes in bf16
+    assert all(
+        v.dtype == np.float32
+        for v in state.params.values()
+        if np.issubdtype(v.dtype, np.floating)
+    )
+    pb = place(synthetic_batch(cfg, batch=2, mel_frames=64, max_labels=6))
+    with mesh:
+        p, o, l1 = step(state.params, state.opt_state, pb)
+        for _ in range(4):
+            p, o, l2 = step(p, o, pb)
+    assert np.isfinite(float(l1)) and float(l2) < float(l1)
