@@ -214,6 +214,7 @@ class TrainDataLoader(_BucketedLoader):
         drop_last: bool = True,
         prefetch: int = 2,
         target_sample_rate: int = 16000,
+        spec_augment=None,
     ):
         if not tokenizer.loaded:
             raise ValueError("tokenizer must be loaded before building batches")
@@ -226,6 +227,14 @@ class TrainDataLoader(_BucketedLoader):
         self.frame_multiple = int(frame_multiple)
         self.label_multiple = int(label_multiple)
         self.target_sample_rate = int(target_sample_rate)
+        # SpecAugmentConfig (or True for defaults) → masks applied in the
+        # prefetch thread; None/False = off (evaluation / default)
+        if spec_augment is True:
+            from parakeet_tpu.augment import SpecAugmentConfig
+
+            spec_augment = SpecAugmentConfig()
+        self.spec_augment = spec_augment or None
+        self._augment_rng = np.random.RandomState(seed + 0x5A)
 
     def _build_batch(self, indices: list[int]) -> dict:
         cfg = self.audio_config
@@ -249,6 +258,13 @@ class TrainDataLoader(_BucketedLoader):
         for r, ids in enumerate(token_ids):
             labels[r, : len(ids)] = ids
             label_lengths[r] = len(ids)
+
+        if self.spec_augment is not None:
+            from parakeet_tpu.augment import spec_augment
+
+            feats = spec_augment(
+                self._augment_rng, feats, np.asarray(n_frames), self.spec_augment
+            )
 
         return {
             "features": feats,

@@ -503,6 +503,7 @@ def make_sharded_trainer(
     schedule: str = "constant",
     warmup_steps: int = 0,
     decay_steps: int | None = None,
+    clip_norm: float | None = None,
 ):
     """Set up a mesh-sharded trainer: params placed per TP rules, batches
     sharded over 'data'. loss ∈ {'ctc', 'rnnt', 'tdt', 'hybrid',
@@ -517,6 +518,7 @@ def make_sharded_trainer(
     at MXU rate while Adam keeps f32 master params (with_compute_dtype).
     schedule/warmup_steps/decay_steps: learning-rate schedule
     (make_lr_schedule) — resume-correct via the optimizer step count.
+    clip_norm: global-norm gradient clipping before adamw.
     Returns (mesh, state, step_fn, place_batch)."""
     if mesh is None:
         mesh = make_mesh(model_parallel=model_parallel, seq_parallel=seq_parallel)
@@ -526,6 +528,11 @@ def make_sharded_trainer(
         decay_steps=decay_steps,
     )
     optimizer = optax.adamw(lr)
+    if clip_norm is not None:
+        # NOTE: chaining changes the opt-state treedef, so checkpoints are
+        # only resumable with the same clip setting (checkpoint.py's
+        # treedef guard reports the mismatch)
+        optimizer = optax.chain(optax.clip_by_global_norm(clip_norm), optimizer)
     mem = dict(remat=remat, accum_steps=accum_steps, compute_dtype=compute_dtype)
     if loss == "sortformer" and act_sharding is not None:
         raise ValueError("sequence parallelism is not supported for the sortformer objective")

@@ -46,6 +46,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="learning-rate schedule (cosine decays over --steps; "
                          "noam = Transformer inverse-sqrt)")
     ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--clip-norm", type=float, default=None,
+                    help="global-norm gradient clipping (default: off)")
     ap.add_argument("--bf16", action="store_true",
                     help="run the model in bfloat16 (MXU rate); Adam keeps "
                          "f32 master params")
@@ -76,6 +78,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--frame-multiple", type=int, default=160,
                     help="pad mel frames per batch up to this multiple (bounds recompiles)")
     ap.add_argument("--label-multiple", type=int, default=16)
+    ap.add_argument("--spec-augment", action="store_true",
+                    help="SpecAugment on training batches (NeMo recipe: "
+                         "2 freq masks <=27 bins, 10 time masks <=5%%)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=100)
     ap.add_argument("--resume", action="store_true",
@@ -170,7 +175,7 @@ def main(argv=None) -> int:
         dataset, tokenizer, batch_size=args.batch_size,
         audio_config=AudioConfig(n_mels=cfg.encoder.mel_bins),
         frame_multiple=args.frame_multiple, label_multiple=args.label_multiple,
-        seed=args.seed,
+        seed=args.seed, spec_augment=args.spec_augment,
     )
     print(f"# {len(dataset)} clips, {len(loader)} batches/epoch, loss={loss}",
           file=sys.stderr)
@@ -228,7 +233,7 @@ def main(argv=None) -> int:
             remat=args.remat, accum_steps=args.accum_steps,
             compute_dtype="bfloat16" if args.bf16 else "float32",
             schedule=args.schedule, warmup_steps=args.warmup_steps,
-            decay_steps=args.steps,
+            decay_steps=args.steps, clip_norm=args.clip_norm,
         )
         as_schema_params = from_schema_params = lambda p: p  # noqa: E731
     if args.resume:

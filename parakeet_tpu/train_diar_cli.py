@@ -38,6 +38,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--schedule", default="constant",
                     choices=["constant", "cosine", "noam"])
     ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--clip-norm", type=float, default=None,
+                    help="global-norm gradient clipping (default: off)")
     ap.add_argument("--bf16", action="store_true",
                     help="run the model in bfloat16; Adam keeps f32 masters")
     ap.add_argument("--sort-weight", type=float, default=0.5,
@@ -135,6 +137,7 @@ def main(argv=None) -> int:
         sort_weight=args.sort_weight, remat=args.remat, accum_steps=args.accum_steps,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         schedule=args.schedule, warmup_steps=args.warmup_steps, decay_steps=args.steps,
+        clip_norm=args.clip_norm,
     )
 
     if args.resume:

@@ -151,3 +151,72 @@ def test_train_step_consumes_loader_batches(tmp_path):
         assert np.isfinite(float(loss))
         n += 1
     assert n == 2
+
+
+def test_spec_augment_masks_inside_valid_frames():
+    from parakeet_tpu.augment import SpecAugmentConfig, spec_augment
+
+    rng = np.random.RandomState(0)
+    feats = np.ones((2, 50, 16), np.float32)
+    lens = np.array([30, 50], np.int32)
+    out = spec_augment(rng, feats, lens,
+                       SpecAugmentConfig(freq_masks=2, freq_width=4,
+                                         time_masks=4, time_width=0.2))
+    assert out.shape == feats.shape
+    # input untouched (copy semantics)
+    assert feats.min() == 1.0
+    # something was masked, and only zeros appear
+    assert (out == 0.0).any()
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    # clip 0's padding region (frames >= 30) is untouched
+    assert (out[0, 30:] == 1.0).all()
+
+
+def test_spec_augment_deterministic_and_bounded():
+    from parakeet_tpu.augment import SpecAugmentConfig, spec_augment
+
+    cfg = SpecAugmentConfig(freq_masks=2, freq_width=5, time_masks=3, time_width=0.1)
+    feats = np.ones((1, 100, 20), np.float32)
+    lens = np.array([100], np.int32)
+    a = spec_augment(np.random.RandomState(7), feats, lens, cfg)
+    b = spec_augment(np.random.RandomState(7), feats, lens, cfg)
+    np.testing.assert_array_equal(a, b)
+    # bounds: at most freq_masks*freq_width bins fully zeroed across freq,
+    # at most time_masks*ceil(0.1*100) frames fully zeroed across time
+    zero_bins = int((a[0] == 0).all(axis=0).sum())
+    zero_frames = int((a[0] == 0).all(axis=1).sum())
+    assert zero_bins <= 2 * 5
+    assert zero_frames <= 3 * 10
+
+
+def test_loader_spec_augment_wiring(tmp_path):
+    """spec_augment=True zeroes some cells; default leaves features alone."""
+    import json
+
+    from parakeet_tpu.audio.io import write_wav
+    from parakeet_tpu.config import AudioConfig
+    from parakeet_tpu.data import ManifestDataset, TrainDataLoader
+    from parakeet_tpu.text.tokenizer import Tokenizer
+
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(2):
+        p = tmp_path / f"c{i}.wav"
+        write_wav(p, 0.1 * rng.randn(16000).astype(np.float32))
+        lines.append(json.dumps({"audio_filepath": p.name, "text": "a"}))
+    m = tmp_path / "m.jsonl"
+    m.write_text("\n".join(lines) + "\n")
+    v = tmp_path / "v.txt"
+    v.write_text("\n".join(["<unk>", "▁a", "a"]) + "\n")
+
+    def batch_with(**kw):
+        loader = TrainDataLoader(
+            ManifestDataset(m), Tokenizer(v), batch_size=2,
+            audio_config=AudioConfig(), frame_multiple=32, label_multiple=8,
+            shuffle=False, **kw,
+        )
+        return next(iter(loader))
+
+    plain = batch_with()
+    aug = batch_with(spec_augment=True)
+    assert (aug["features"] == 0.0).sum() > (plain["features"] == 0.0).sum()

@@ -358,3 +358,33 @@ def test_bf16_training_step():
         for _ in range(4):
             p, o, l2 = step(p, o, pb)
     assert np.isfinite(float(l1)) and float(l2) < float(l1)
+
+
+def test_clip_norm_trainer():
+    """clip_norm bounds the update magnitude and the step still runs."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=13)
+    batch = synthetic_batch(cfg, batch=2, mel_frames=64, max_labels=6)
+
+    mesh, state, step, place = make_sharded_trainer(
+        cfg, params, make_mesh(2), loss="ctc", learning_rate=1e-3, clip_norm=1e-6
+    )
+    with mesh:
+        p1, _, l1 = step(state.params, state.opt_state, place(batch))
+    assert np.isfinite(float(l1))
+    # with a near-zero clip the global update norm is ~lr·clip-scaled tiny;
+    # params barely move compared to the unclipped step
+    moved = max(
+        float(np.abs(np.asarray(p1[k]) - np.asarray(params[k])).max()) for k in params
+    )
+    mesh2, state2, step2, place2 = make_sharded_trainer(
+        cfg, params, make_mesh(2), loss="ctc", learning_rate=1e-3
+    )
+    with mesh2:
+        p2, _, _ = step2(state2.params, state2.opt_state, place2(batch))
+    moved_unclipped = max(
+        float(np.abs(np.asarray(p2[k]) - np.asarray(params[k])).max()) for k in params
+    )
+    assert moved < moved_unclipped
