@@ -88,7 +88,10 @@ def _round_up(n: int, multiple: int) -> int:
 class _BucketedLoader:
     """Shared machinery of the training loaders: duration-sorted contiguous
     bucketing, per-epoch bucket shuffling, and the background-prefetch
-    iterator. Subclasses implement `_build_batch(indices) -> dict`."""
+    iterator. Subclasses implement `_build_batch(indices, rng) -> dict`;
+    `rng` is a fresh per-epoch RandomState owned by that epoch's producer
+    thread (an abandoned mid-epoch producer can outlive its iterator, so
+    nothing random may be shared across epochs)."""
 
     def __init__(
         self,
@@ -127,7 +130,7 @@ class _BucketedLoader:
     def __len__(self) -> int:
         return len(self._buckets)
 
-    def _build_batch(self, indices: list[int]) -> dict:
+    def _build_batch(self, indices: list[int], rng: np.random.RandomState) -> dict:
         raise NotImplementedError
 
     def _epoch_bucket_order(self, epoch: int) -> list[list[int]]:
@@ -139,8 +142,12 @@ class _BucketedLoader:
 
     def __iter__(self):
         """One epoch of batches, produced by a background prefetch thread."""
-        buckets = self._epoch_bucket_order(self._epoch)
+        epoch = self._epoch
+        buckets = self._epoch_bucket_order(epoch)
         self._epoch += 1
+        # per-epoch, producer-thread-owned RNG (augmentation etc.) — never
+        # shared with a previous epoch's possibly-still-running producer
+        batch_rng = np.random.RandomState((self.seed + 0x5A + 0x9E37 * epoch) & 0x7FFFFFFF)
         q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         _END, _ERR = object(), object()
         stop = threading.Event()
@@ -160,7 +167,7 @@ class _BucketedLoader:
         def produce():
             try:
                 for idx in buckets:
-                    if not _put(self._build_batch(idx)):
+                    if not _put(self._build_batch(idx, batch_rng)):
                         return
                 _put(_END)
             except BaseException as exc:  # surface in the consumer
@@ -234,9 +241,8 @@ class TrainDataLoader(_BucketedLoader):
 
             spec_augment = SpecAugmentConfig()
         self.spec_augment = spec_augment or None
-        self._augment_rng = np.random.RandomState(seed + 0x5A)
 
-    def _build_batch(self, indices: list[int]) -> dict:
+    def _build_batch(self, indices: list[int], rng: np.random.RandomState) -> dict:
         cfg = self.audio_config
         waves, token_ids = [], []
         for i in indices:
@@ -263,7 +269,7 @@ class TrainDataLoader(_BucketedLoader):
             from parakeet_tpu.augment import spec_augment
 
             feats = spec_augment(
-                self._augment_rng, feats, np.asarray(n_frames), self.spec_augment
+                rng, feats, np.asarray(n_frames), self.spec_augment
             )
 
         return {
@@ -377,7 +383,7 @@ class DiarizationDataLoader(_BucketedLoader):
         self.frame_multiple = int(frame_multiple)
         self.target_sample_rate = int(target_sample_rate)
 
-    def _build_batch(self, indices: list[int]) -> dict:
+    def _build_batch(self, indices: list[int], rng: np.random.RandomState) -> dict:
         from parakeet_tpu.models.encoder import subsample_length
 
         cfg = self.audio_config

@@ -321,17 +321,17 @@ def conv_module(
     # depthwise conv over time, feature-minor: rhs (k, 1, d) "HIO"
     wd = jnp.transpose(p["depthwise_conv_.weight"], (2, 1, 0))
     pad = (kernel_size - 1) // 2
-    from parakeet_tpu.ops.layers import _conv_pref
+    from parakeet_tpu.ops.layers import conv_pref
 
     y = jax.lax.conv_general_dilated(
         h, wd, window_strides=(1,), padding=[(pad, pad)],
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=d,
-        preferred_element_type=_conv_pref(h), precision=matmul_precision(h.dtype),
+        preferred_element_type=conv_pref(h), precision=matmul_precision(h.dtype),
     )
     bd = p.get("depthwise_conv_.bias")
     if bd is not None:
         y = y + bd.astype(y.dtype)
-    h = y  # (B, T, d) f32
+    h = y  # (B, T, d); f32 at inference, bf16 when conv accumulation is off
     bn = p.sub("batch_norm_")
     mean = bn["running_mean"].astype(_F32)
     var = bn["running_var"].astype(_F32)

@@ -12,6 +12,8 @@ accumulate in f32 on the MXU. Normalization layers compute in f32.
 
 from __future__ import annotations
 
+import contextvars
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -108,20 +110,30 @@ def batch_norm_1d(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 # jax version's conv TRANSPOSE rule can't mix a f32 cotangent with bf16
 # operands ("requires arguments to have the same dtypes"), and rounding
 # conv outputs to bf16 is standard bf16-training behavior anyway.
-_CONV_ACCUM_F32 = True
+# Context-local (not process-global): a trainer toggling it mid-trace must
+# never leak into a concurrent thread's trace (e.g. an eval thread running
+# bf16 inference while a new bucket shape retraces the train step).
+_CONV_ACCUM_F32: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "parakeet_conv_accum_f32", default=True
+)
 
 
 def set_conv_accum_f32(enabled: bool) -> None:
-    global _CONV_ACCUM_F32
-    _CONV_ACCUM_F32 = bool(enabled)
+    _CONV_ACCUM_F32.set(bool(enabled))
 
 
 def get_conv_accum_f32() -> bool:
-    return _CONV_ACCUM_F32
+    return _CONV_ACCUM_F32.get()
 
 
-def _conv_pref(x) -> jnp.dtype | None:
-    return _F32 if (_CONV_ACCUM_F32 or x.dtype == _F32) else None
+def conv_pref(x) -> jnp.dtype | None:
+    """preferred_element_type for a conv over `x` under the current
+    accumulation mode (see set_conv_accum_f32). Public: encoder.py's
+    feature-minor depthwise conv uses it too."""
+    return _F32 if (_CONV_ACCUM_F32.get() or x.dtype == _F32) else None
+
+
+_conv_pref = conv_pref  # internal alias used by conv1d/conv2d below
 
 
 def conv1d(
@@ -193,4 +205,4 @@ def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return a * jax.nn.sigmoid(b)
 
 
-__all__ = ["matmul_precision", "set_bf16_precision", "set_conv_accum_f32", "get_conv_accum_f32", "linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]
+__all__ = ["matmul_precision", "set_bf16_precision", "set_conv_accum_f32", "get_conv_accum_f32", "conv_pref", "linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]

@@ -201,6 +201,7 @@ def make_pp_trainer(
     schedule: str = "constant",
     warmup_steps: int = 0,
     decay_steps: int | None = None,
+    clip_norm: float | None = None,
 ):
     """Pipeline-parallel trainer over a ('data', 'pipe') mesh.
 
@@ -238,6 +239,10 @@ def make_pp_trainer(
         learning_rate, schedule=schedule, warmup_steps=warmup_steps,
         decay_steps=decay_steps,
     ))
+    if clip_norm is not None:
+        # mirrors make_sharded_trainer: clip changes the opt-state treedef,
+        # so a run is only resumable with the same clip setting
+        optimizer = optax.chain(optax.clip_by_global_norm(clip_norm), optimizer)
     with mesh:
         opt_state = jax.jit(optimizer.init)(train_params)
 

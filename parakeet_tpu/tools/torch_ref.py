@@ -279,6 +279,64 @@ def torch_transducer_greedy_decode(
     return tokens, ts
 
 
+def torch_sortformer_tail(params, cfg, enc):
+    """Sortformer tail (projection → post-norm transformer → speaker head)
+    rebuilt on torch.nn.TransformerEncoderLayer — torch's OWN post-norm
+    block implementation (self-attn → add → norm1 → ReLU-FFN → add →
+    norm2), not a port of models/transformer.py, so a shared mistake is
+    unlikely. Reference: sortformer.cpp:50-68 (forward chain),
+    transformer.cpp:9-88 (post-norm blocks).
+
+    enc: (B, T, encoder_hidden) NEST-encoder output → (B, T, max_speakers)
+    sigmoid speaker probabilities.
+    """
+    torch = _torch()
+    import torch.nn.functional as TF
+
+    tc = cfg.transformer
+    if tc.pre_ln:
+        raise ValueError("oracle maps the post-norm (Sortformer) variant only")
+    d = tc.hidden_size
+    with torch.no_grad():
+        x = torch.as_tensor(np.asarray(enc, np.float32))
+        x = TF.linear(x, t(params, "projection_.weight"), t(params, "projection_.bias"))
+        for i in range(tc.num_layers):
+            a = f"transformer_.layers_.{i}"
+            lay = torch.nn.TransformerEncoderLayer(
+                d, tc.num_heads, dim_feedforward=tc.ffn_intermediate,
+                dropout=0.0, activation="relu", batch_first=True,
+                norm_first=False, layer_norm_eps=tc.layer_norm_eps,
+            )
+            lay.self_attn.in_proj_weight.copy_(torch.cat(
+                [t(params, f"{a}.mha_.{p}.weight") for p in ("q_proj", "k_proj", "v_proj")]
+            ))
+            lay.self_attn.in_proj_bias.copy_(torch.cat(
+                [t(params, f"{a}.mha_.{p}.bias") for p in ("q_proj", "k_proj", "v_proj")]
+            ))
+            lay.self_attn.out_proj.weight.copy_(t(params, f"{a}.mha_.out_proj.weight"))
+            lay.self_attn.out_proj.bias.copy_(t(params, f"{a}.mha_.out_proj.bias"))
+            lay.linear1.weight.copy_(t(params, f"{a}.fc1_.weight"))
+            lay.linear1.bias.copy_(t(params, f"{a}.fc1_.bias"))
+            lay.linear2.weight.copy_(t(params, f"{a}.fc2_.weight"))
+            lay.linear2.bias.copy_(t(params, f"{a}.fc2_.bias"))
+            lay.norm1.weight.copy_(t(params, f"{a}.norm1_.weight"))
+            lay.norm1.bias.copy_(t(params, f"{a}.norm1_.bias"))
+            lay.norm2.weight.copy_(t(params, f"{a}.norm2_.weight"))
+            lay.norm2.bias.copy_(t(params, f"{a}.norm2_.bias"))
+            lay.eval()
+            x = lay(x)
+        if tc.has_final_norm:
+            x = TF.layer_norm(
+                x, (d,), t(params, "transformer_.final_norm_.weight"),
+                t(params, "transformer_.final_norm_.bias"), tc.layer_norm_eps,
+            )
+        h = TF.relu(x)
+        h = TF.linear(h, t(params, "first_hidden_.weight"), t(params, "first_hidden_.bias"))
+        h = TF.relu(h)
+        h = TF.linear(h, t(params, "output_proj_.weight"), t(params, "output_proj_.bias"))
+        return torch.sigmoid(h)
+
+
 __all__ = [
     "t",
     "to_torch_params",
@@ -291,4 +349,5 @@ __all__ = [
     "torch_prediction_lstm",
     "torch_joint",
     "torch_transducer_greedy_decode",
+    "torch_sortformer_tail",
 ]

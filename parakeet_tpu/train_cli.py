@@ -215,7 +215,7 @@ def main(argv=None) -> int:
             cfg, params, mesh, n_micro=args.micro_batches,
             learning_rate=args.lr, loss=loss, sigma=args.sigma,
             schedule=args.schedule, warmup_steps=args.warmup_steps,
-            decay_steps=args.steps,
+            decay_steps=args.steps, clip_norm=args.clip_norm,
         )
         as_schema_params = lambda p: merge_layer_params(p["layers"], p["rest"])  # noqa: E731
 

@@ -82,14 +82,16 @@ def main():
         loss = float(loss)
         best = min(best, time.perf_counter() - t0)
     audio_s = args.batch * args.seconds
+    n_dev = len(jax.devices())  # global batch shards data-parallel over the mesh
     mode = ("bf16" if args.bf16 else "f32") + ("+remat" if args.remat else "")
     if args.accum_steps > 1:
         mode += f"+accum{args.accum_steps}"
     print(
         f"{args.model} {args.loss} train step ({mode}, B={args.batch}, "
         f"{args.seconds:.0f}s clips): {best * 1e3:.1f} ms/step = "
-        f"{audio_s / best:.0f}x realtime training throughput/chip "
-        f"({1.0 / best:.2f} steps/s)"
+        f"{audio_s / best:.0f}x realtime aggregate "
+        f"({audio_s / best / n_dev:.0f}x/chip over {n_dev} devices, "
+        f"{1.0 / best:.2f} steps/s)"
     )
 
 

@@ -266,3 +266,32 @@ def test_parallel_package_does_not_eagerly_import_optax():
         "parakeet_tpu.parallel.make_pp_trainer"  # lazy attr resolves
     )
     subprocess.run([sys.executable, "-c", code], check=True, timeout=240)
+
+
+def test_pp_trainer_clip_norm(setup):
+    """clip_norm reaches the GPipe optimizer (was silently dropped once):
+    a near-zero clip moves params strictly less than the unclipped step."""
+    cfg, params, batch = setup
+    mesh = make_mesh(8, pipeline_parallel=2)
+    state, step, place_batch, export = make_pp_trainer(
+        cfg, params, mesh, n_micro=2, loss="ctc", learning_rate=1e-3,
+        clip_norm=1e-6,
+    )
+    with mesh:
+        tp, _, l1 = step(state.params, state.opt_state, place_batch(batch))
+    assert np.isfinite(float(l1))
+    moved = max(
+        float(np.abs(np.asarray(v) - np.asarray(params[k])).max())
+        for k, v in export(tp).items()
+    )
+    mesh2 = make_mesh(8, pipeline_parallel=2)
+    state2, step2, place2, export2 = make_pp_trainer(
+        cfg, params, mesh2, n_micro=2, loss="ctc", learning_rate=1e-3
+    )
+    with mesh2:
+        tp2, _, _ = step2(state2.params, state2.opt_state, place2(batch))
+    moved_unclipped = max(
+        float(np.abs(np.asarray(v) - np.asarray(params[k])).max())
+        for k, v in export2(tp2).items()
+    )
+    assert moved < moved_unclipped

@@ -162,3 +162,35 @@ def test_full_chain_to_tokens_matches_torch(setup):
             params, enc_t[i], durations=(0, 1, 2, 3, 4), blank_id=vocab - 1,
         )
         assert res.tokens[i] == toks, f"item {i}: {res.tokens[i]} vs {toks}"
+
+
+def test_sortformer_tail_matches_torch():
+    """Diarization head parity against torch's OWN post-norm transformer
+    (torch.nn.TransformerEncoderLayer) — closes the independent-
+    implementation gap on the Sortformer path (sortformer.cpp:50-68)."""
+    import jax.numpy as jnp
+
+    from parakeet_tpu.models.sortformer import _sortformer_tail_states
+    from parakeet_tpu.tools.torch_ref import torch_sortformer_tail
+
+    cfg = C.SortformerConfig(
+        nest_encoder=C.StreamingEncoderConfig(
+            mel_bins=8, subsampling_channels=4, hidden_size=16, num_layers=1,
+            num_heads=2, ffn_intermediate=24, conv_kernel_size=9,
+        ),
+        encoder_hidden=16,
+        transformer_hidden=12,
+        transformer=C.TransformerConfig(
+            hidden_size=12, num_layers=3, num_heads=2, ffn_intermediate=24,
+            pre_ln=False, has_final_norm=False,
+        ),
+        max_speakers=4,
+    )
+    params = P.init_params(P.sortformer_spec(cfg), seed=11)
+    rng = np.random.RandomState(5)
+    enc = rng.randn(2, 9, cfg.encoder_hidden).astype(np.float32) * 0.7
+
+    probs = np.asarray(_sortformer_tail_states(params, jnp.asarray(enc), cfg=cfg)[1])
+    want = torch_sortformer_tail(params, cfg, enc).numpy()
+    assert probs.shape == (2, 9, 4) == want.shape
+    np.testing.assert_allclose(probs, want, rtol=1e-5, atol=2e-5)

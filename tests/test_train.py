@@ -388,3 +388,34 @@ def test_clip_norm_trainer():
         float(np.abs(np.asarray(p2[k]) - np.asarray(params[k])).max()) for k in params
     )
     assert moved < moved_unclipped
+
+
+def test_conv_accum_flag_is_context_local():
+    """set_conv_accum_f32 must not leak across threads: a trainer toggling
+    it mid-trace (train.with_compute_dtype) runs concurrently with inference
+    traces on other threads (e.g. periodic eval)."""
+    import threading
+
+    from parakeet_tpu.ops import layers
+
+    assert layers.get_conv_accum_f32() is True
+    seen = {}
+
+    def worker():
+        # fresh thread starts from the ContextVar default, regardless of
+        # what the main thread sets
+        seen["initial"] = layers.get_conv_accum_f32()
+        layers.set_conv_accum_f32(False)
+        seen["after_set"] = layers.get_conv_accum_f32()
+
+    layers.set_conv_accum_f32(False)
+    try:
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join(timeout=30)
+        assert seen == {"initial": True, "after_set": False}
+        # and the worker's set didn't clobber this thread either way
+        assert layers.get_conv_accum_f32() is False
+    finally:
+        layers.set_conv_accum_f32(True)
+    assert layers.get_conv_accum_f32() is True
