@@ -41,24 +41,26 @@ def to_torch_params(params):
     return {k: torch.from_numpy(np.array(v, np.float32)) for k, v in params.items()}
 
 
-def torch_subsampling(params, x, prefix="encoder_.subsampling_"):
+def torch_subsampling(params, x, prefix="encoder_.subsampling_", activation="relu"):
     """x: (B, T, mel) → (B, T/8, d). NCHW torch convs, channel-major flatten
     (reference encoder.cpp:208-241; ReLU per the code, not the header
-    comment)."""
+    comment). activation: "relu"|"silu" — the streaming/NEST variant's
+    selectable activation (streaming_encoder.cpp:325-346)."""
     import torch.nn.functional as TF
 
+    act = TF.relu if activation == "relu" else TF.silu
     h = x.unsqueeze(1)  # (B, 1, T, mel)
     c = t(params, f"{prefix}.conv1_.weight").shape[0]
-    h = TF.relu(TF.conv2d(h, t(params, f"{prefix}.conv1_.weight"),
-                          t(params, f"{prefix}.conv1_.bias"), stride=2, padding=1))
+    h = act(TF.conv2d(h, t(params, f"{prefix}.conv1_.weight"),
+                      t(params, f"{prefix}.conv1_.bias"), stride=2, padding=1))
     h = TF.conv2d(h, t(params, f"{prefix}.dw1_.weight"),
                   t(params, f"{prefix}.dw1_.bias"), stride=2, padding=1, groups=c)
-    h = TF.relu(TF.conv2d(h, t(params, f"{prefix}.conv2_.weight"),
-                          t(params, f"{prefix}.conv2_.bias")))
+    h = act(TF.conv2d(h, t(params, f"{prefix}.conv2_.weight"),
+                      t(params, f"{prefix}.conv2_.bias")))
     h = TF.conv2d(h, t(params, f"{prefix}.dw2_.weight"),
                   t(params, f"{prefix}.dw2_.bias"), stride=2, padding=1, groups=c)
-    h = TF.relu(TF.conv2d(h, t(params, f"{prefix}.conv3_.weight"),
-                          t(params, f"{prefix}.conv3_.bias")))
+    h = act(TF.conv2d(h, t(params, f"{prefix}.conv3_.weight"),
+                      t(params, f"{prefix}.conv3_.bias")))
     b, ch, tt, f = h.shape
     h = h.permute(0, 2, 1, 3).reshape(b, tt, ch * f)  # channel-major
     return TF.linear(h, t(params, f"{prefix}.proj_.weight"), t(params, f"{prefix}.proj_.bias"))
@@ -131,13 +133,24 @@ def torch_conv_module(params, x, kernel, a):
 
 
 def torch_encoder(params, cfg, x, prefix="encoder_"):
-    """Full FastConformer forward (encoder.cpp:245-271) on torch tensors."""
+    """Full FastConformer forward (encoder.cpp:245-271) on torch tensors.
+    A StreamingEncoderConfig engages the full-seq streaming-encoder path
+    (streaming_encoder.cpp:389-427): selectable subsampling activation and
+    the optional ·sqrt(d_model) xscaling — i.e. this also oracles the
+    Sortformer NEST encoder."""
     torch = _torch()
+    import math
+
     import torch.nn.functional as TF
 
     from parakeet_tpu.models import encoder as E
 
-    h = torch_subsampling(params, x, prefix=f"{prefix}.subsampling_")
+    h = torch_subsampling(
+        params, x, prefix=f"{prefix}.subsampling_",
+        activation=getattr(cfg, "subsampling_activation", "relu"),
+    )
+    if getattr(cfg, "xscaling", False):
+        h = h * math.sqrt(cfg.hidden_size)
     pos = torch.from_numpy(np.asarray(E.sinusoidal_position_embedding(h.shape[1], cfg.hidden_size)))
     for i in range(cfg.num_layers):
         a = f"{prefix}.layers_.{i}"

@@ -194,3 +194,38 @@ def test_sortformer_tail_matches_torch():
     want = torch_sortformer_tail(params, cfg, enc).numpy()
     assert probs.shape == (2, 9, 4) == want.shape
     np.testing.assert_allclose(probs, want, rtol=1e-5, atol=2e-5)
+
+
+def test_sortformer_full_chain_matches_torch():
+    """features → NEST encoder (full-seq streaming path: silu subsampling +
+    xscaling) → transformer tail → speaker probs, entirely rebuilt in torch
+    (torch_encoder + torch_sortformer_tail) vs sortformer_forward."""
+    from parakeet_tpu.models.sortformer import sortformer_forward
+    from parakeet_tpu.tools.torch_ref import torch_sortformer_tail
+
+    cfg = C.SortformerConfig(
+        nest_encoder=C.StreamingEncoderConfig(
+            mel_bins=16, subsampling_channels=8, hidden_size=32, num_layers=2,
+            num_heads=4, ffn_intermediate=48, conv_kernel_size=9,
+            subsampling_activation=C.SubsamplingActivation.SILU,
+            xscaling=True,
+        ),
+        encoder_hidden=32,
+        transformer_hidden=16,
+        transformer=C.TransformerConfig(
+            hidden_size=16, num_layers=2, num_heads=4, ffn_intermediate=32,
+            pre_ln=False, has_final_norm=False,
+        ),
+        max_speakers=4,
+    )
+    params = P.init_params(P.sortformer_spec(cfg), seed=7)
+    rng = np.random.RandomState(3)
+    feats = rng.randn(2, 64, 16).astype(np.float32) * 0.5
+
+    ours = np.asarray(sortformer_forward(params, jnp.asarray(feats), cfg=cfg))
+    with torch.no_grad():
+        enc = torch_encoder(params, cfg.nest_encoder, torch.from_numpy(feats),
+                            prefix="nest_encoder_")
+        want = torch_sortformer_tail(params, cfg, enc).numpy()
+    assert ours.shape == want.shape == (2, 8, 4)
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-4)
