@@ -80,19 +80,23 @@ def main(argv=None) -> int:
     #    manifest loading, bucketing, the sharded train loop, and export.
     from parakeet_tpu.train_cli import main as train_main
 
+    # data-parallel ways must divide the batch: largest divisor <= devices
+    ndev = len(jax.devices())
+    dp = max(d for d in range(1, min(args.batch_size, ndev) + 1)
+             if args.batch_size % d == 0)
+
     export = Path(tmp.name if tmp else ".") / "tuned.safetensors"
     cli = [
         "--manifest", str(args.manifest), "--vocab", str(args.vocab),
         "--model", args.model, "--batch-size", str(args.batch_size),
-        "--steps", str(args.steps), "--loss", "hybrid",
+        "--steps", str(args.steps),
         "--schedule", "cosine", "--warmup-steps", "2", "--clip-norm", "1.0",
         "--spec-augment", "--log-every", "1", "--export", str(export),
         "--frame-multiple", "32", "--label-multiple", "8",
-        # shard over min(batch, devices) data-parallel ways
-        "--data-parallel", str(min(args.batch_size, len(jax.devices()))),
+        "--data-parallel", str(dp),
     ]
     if args.weights:
-        cli += ["--weights", args.weights]
+        cli += ["--init-weights", args.weights]
     if args.bf16:
         cli += ["--bf16"]
     if args.device == "cpu":
