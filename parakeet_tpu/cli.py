@@ -103,6 +103,9 @@ def main(argv=None) -> int:
                     help="bypass audio loading: decode precomputed mel features "
                          "from a .npy file (reference --features flag)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--quantize", default=None, choices=["int8", "int4"],
+                    help="weight-only quantized inference (offline models): "
+                         "int8 = per-channel scales, int4 = packed group-wise")
     ap.add_argument("--progress", action="store_true",
                     help="print pipeline-stage progress to stderr "
                          "(load/preprocess/decode; offline models only)")
@@ -174,6 +177,7 @@ def main(argv=None) -> int:
                 ("--progress", args.progress),
                 ("--srt", bool(args.srt)),
                 ("--vtt", bool(args.vtt)),
+                ("--quantize", bool(args.quantize)),
             ) if on
         ]
         if unsupported:
@@ -184,6 +188,11 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+
+    if args.quantize:
+        # guard above rejects --quantize for non-offline models, so kw is
+        # only ever consumed by the offline facades here
+        kw["quantize"] = args.quantize
 
     try:
         t0 = time.perf_counter()

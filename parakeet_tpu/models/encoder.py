@@ -202,9 +202,11 @@ def _ffn_fusable(p: Params, x: jnp.ndarray) -> bool:
         return False
     w1 = p["fc1_.weight"]
     # the kernel consumes BOTH weight matrices — partial quantization
-    # (quantize_params include=/exclude=) can int8 either one independently
-    if w1.dtype == jnp.int8 or p["fc2_.weight"].dtype == jnp.int8:
-        return False  # int8 weights decode via the XLA linear path
+    # (quantize_params include=/exclude=) can quantize either independently
+    if jnp.issubdtype(w1.dtype, jnp.integer) or jnp.issubdtype(
+        p["fc2_.weight"].dtype, jnp.integer
+    ):
+        return False  # int8/int4 weights decode via the XLA linear path
     return 2 * w1.size * w1.dtype.itemsize <= 8 * 1024 * 1024
 
 
@@ -369,11 +371,11 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray, nb: int | None = None) -> boo
     # the kernel consumes all five projection matrices — guard each, since
     # partial quantization can int8 any subset independently
     if any(
-        p[k].dtype == jnp.int8
+        jnp.issubdtype(p[k].dtype, jnp.integer)
         for k in ("mha_.q_proj.weight", "mha_.k_proj.weight", "mha_.v_proj.weight",
                   "mha_.out_proj.weight", "pos_proj_.weight")
     ):
-        return False  # int8 weights decode via the XLA linear path
+        return False  # int8/int4 weights decode via the XLA linear path
     t = x.shape[1]
     tp = -(-t // 128) * 128
     d = x.shape[-1]

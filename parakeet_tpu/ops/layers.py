@@ -54,9 +54,17 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     int8 W (quantize.quantize_params): the per-out-channel scale commutes
     with the contraction, so dequant happens on the (..., out) RESULT —
     W streams from HBM as int8 and is upcast on the fly, never
-    materialized dequantized."""
+    materialized dequantized.
+
+    Packed int4 W (uint8 + ##scale4 group scales): in-dim group scales
+    don't commute, so the nibble unpack + scale run right before the
+    matmul — XLA fuses them into the weight read (4-bit HBM stream)."""
     w = p["weight"]
-    if w.dtype == jnp.int8:
+    if w.dtype == jnp.uint8:
+        from parakeet_tpu.quantize import SCALE4_SUFFIX, dequantize_int4_jnp
+
+        w = dequantize_int4_jnp(w, p["weight" + SCALE4_SUFFIX], x.dtype)
+    elif w.dtype == jnp.int8:
         from parakeet_tpu.quantize import SCALE_SUFFIX
 
         scale = p["weight" + SCALE_SUFFIX]

@@ -302,9 +302,6 @@ def load_params(
         if w is None:
             missing.append(key)
             continue
-        expect = spec[key][0]
-        if tuple(w.shape) != tuple(expect):
-            raise ValueError(f"shape mismatch for {key}: file {tuple(w.shape)} vs spec {expect}")
         w = np.asarray(w)
         if w.dtype == np.int8:
             # int8-quantized checkpoint (quantize.py): dequantize on load;
@@ -315,6 +312,17 @@ def load_params(
             if scale is None:
                 raise ValueError(f"int8 tensor {key} has no '{key}{SCALE_SUFFIX}' sidecar")
             w = w.astype(np.float32) * np.asarray(scale, np.float32)[:, None]
+        elif w.dtype == np.uint8:
+            # packed-int4 checkpoint: (out, in/2) uint8 + group scales
+            from parakeet_tpu.quantize import SCALE4_SUFFIX, dequantize_tensor_int4
+
+            scale = weights.get(key + SCALE4_SUFFIX)
+            if scale is None:
+                raise ValueError(f"int4 tensor {key} has no '{key}{SCALE4_SUFFIX}' sidecar")
+            w = dequantize_tensor_int4(w, scale)
+        expect = spec[key][0]
+        if tuple(w.shape) != tuple(expect):
+            raise ValueError(f"shape mismatch for {key}: file {tuple(w.shape)} vs spec {expect}")
         params[key] = jnp.asarray(w, dtype=dtype)
     if missing:
         msg = f"{len(missing)} parameters missing from checkpoint (kept random init): {missing[:4]}..."

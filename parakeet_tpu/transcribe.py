@@ -133,10 +133,12 @@ class _TranscriberBase:
         long clips, XLA inserting the halo/gather collectives. Requires
         the XLA attention path (kernels=None/False).
 
-        quantize: "int8" for weight-only int8 inference (per-out-channel
-        scales, dequant folded into the linear results — quantize.py;
-        reference roadmap Tier-3 item). Activations stay compute_dtype;
-        Pallas kernels auto-fall back to the XLA path for int8 weights.
+        quantize: "int8" (per-out-channel scales, dequant folded into the
+        linear results) or "int4" (packed nibbles + group-wise scales,
+        dequant fused into the weight read) for weight-only quantized
+        inference — quantize.py; reference roadmap Tier-3 item.
+        Activations stay compute_dtype; Pallas kernels auto-fall back to
+        the XLA path for quantized weights.
 
         kernels: opt into the fused Pallas encoder kernels (True = "block4",
         the measured-best TPU config, +30% encoder throughput; see TUNING.md).
@@ -178,11 +180,9 @@ class _TranscriberBase:
         if compute_dtype != "float32":
             self.params = P.cast_params(self.params, _dtype_of(compute_dtype))
         if quantize:
-            if quantize != "int8":
-                raise ValueError(f"unsupported quantize mode {quantize!r} (want 'int8')")
             from parakeet_tpu.quantize import quantize_params
 
-            self.params = quantize_params(self.params)
+            self.params = quantize_params(self.params, mode=quantize)
         self._act_sharding = None
         if mesh is not None:
             from parakeet_tpu.parallel.mesh import activation_sharding, shard_params

@@ -23,3 +23,18 @@ def test_timestamp_mode_implies_timestamps():
 def test_bad_timestamp_mode_rejected():
     with pytest.raises(SystemExit):
         main(["--timestamp-mode", "bogus", "clip.wav"])
+
+
+def test_quantize_choices():
+    with pytest.raises(SystemExit):
+        main(["--quantize", "int2", "clip.wav"])
+    # valid mode parses through to the audio-vs-features error (exit 1)
+    rc = main(["--quantize", "int4", "clip.wav", "--features", "f.npy"])
+    assert rc == 1
+
+
+def test_quantize_rejected_for_streaming_models(capsys):
+    rc = main(["--model", "eou-120m", "--quantize", "int4", "--random-weights",
+               "clip.wav"])
+    assert rc == 1
+    assert "--quantize" in capsys.readouterr().err

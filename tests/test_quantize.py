@@ -1,4 +1,4 @@
-"""Weight-only INT8 quantization tests (reference Tier-3 roadmap item:
+"""Weight-only INT8/INT4 quantization tests (reference Tier-3 roadmap item:
 "Model quantization — INT8/INT4 weight quantization")."""
 
 import numpy as np
@@ -10,11 +10,16 @@ from parakeet_tpu import params as P
 from parakeet_tpu.ops.layers import linear
 from parakeet_tpu.params import Params
 from parakeet_tpu.quantize import (
+    SCALE4_SUFFIX,
     SCALE_SUFFIX,
+    dequantize_int4_jnp,
     dequantize_tensor,
+    dequantize_tensor_int4,
     quantize_params,
     quantize_tensor,
+    quantize_tensor_int4,
     quantized_fraction,
+    unpack_int4,
 )
 
 
@@ -105,8 +110,15 @@ def test_facade_quantized_transcribe():
     res_t = tr_q.transcribe(audio, Decoder.TDT)
     assert isinstance(res_t.token_ids, list)
 
+    tr_q4 = Transcriber(None, None, cfg, seed=42, quantize="int4")
+    assert quantized_fraction(tr_q4.params) > 0.1
+    res4 = tr_q4.transcribe(audio, Decoder.CTC)
+    assert isinstance(res4.token_ids, list)
+    res4_t = tr_q4.transcribe(audio, Decoder.TDT)
+    assert isinstance(res4_t.token_ids, list)
+
     with pytest.raises(ValueError, match="int8"):
-        Transcriber(None, None, cfg, seed=42, quantize="int4")
+        Transcriber(None, None, cfg, seed=42, quantize="int2")
 
 
 def test_quantized_safetensors_roundtrip(tmp_path):
@@ -173,6 +185,146 @@ def test_partially_quantized_fusable_guards():
         qp = quantize_params(params, min_elems=256, include=pattern)
         q = Params(qp).sub("encoder_").sub("layers_").sub("0").sub(sub)
         assert not guard(q, x), f"guard must reject int8 {pattern}"
+
+
+# ---------------------------------------------------------------- int4
+
+
+def test_int4_pack_unpack_exact():
+    rng = np.random.RandomState(2)
+    codes = rng.randint(-7, 8, size=(16, 96)).astype(np.int8)
+    nib = (codes & 0xF).astype(np.uint8)
+    packed = nib[:, 0::2] | (nib[:, 1::2] << 4)
+    np.testing.assert_array_equal(unpack_int4(packed), codes)
+
+
+def test_int4_roundtrip_error_bound():
+    rng = np.random.RandomState(3)
+    w = rng.randn(48, 128).astype(np.float32) * 0.1
+    q, s = quantize_tensor_int4(w, group_size=64)
+    assert q.dtype == np.uint8 and q.shape == (48, 64)
+    assert s.shape == (48, 2)  # 128 inputs / group 64
+    deq = dequantize_tensor_int4(q, s)
+    # per-element error ≤ half a quant step of its (row, group)
+    step = np.repeat(s, 64, axis=1)
+    assert np.all(np.abs(deq - w) <= step * 0.5 + 1e-7)
+    # the max-magnitude element of each group is exactly representable
+    grouped = w.reshape(48, 2, 64)
+    idx = np.argmax(np.abs(grouped), axis=2)
+    rows = np.arange(48)[:, None]
+    cols = np.arange(2)[None, :]
+    np.testing.assert_allclose(
+        deq.reshape(48, 2, 64)[rows, cols, idx], grouped[rows, cols, idx], rtol=1e-2
+    )
+
+
+def test_int4_group_size_clamps_to_divisor():
+    rng = np.random.RandomState(4)
+    w = rng.randn(8, 96).astype(np.float32)  # 96 % 64 != 0 → group 48
+    q, s = quantize_tensor_int4(w, group_size=64)
+    assert s.shape == (8, 2)
+    np.testing.assert_allclose(
+        dequantize_tensor_int4(q, s), w, atol=np.abs(w).max() / 7 + 1e-6
+    )
+    with pytest.raises(ValueError, match="even"):
+        quantize_tensor_int4(rng.randn(4, 7).astype(np.float32))
+
+
+def test_int4_jnp_dequant_matches_numpy():
+    rng = np.random.RandomState(5)
+    w = rng.randn(32, 64).astype(np.float32) * 0.3
+    q, s = quantize_tensor_int4(w, group_size=16)
+    want = dequantize_tensor_int4(q, s)
+    got = np.asarray(dequantize_int4_jnp(jnp.asarray(q), jnp.asarray(s), jnp.float32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_linear_int4_equals_manual_dequant():
+    rng = np.random.RandomState(6)
+    w = rng.randn(32, 48).astype(np.float32) * 0.2
+    b = rng.randn(32).astype(np.float32)
+    x = rng.randn(5, 48).astype(np.float32)
+    q, s = quantize_tensor_int4(w, group_size=16)
+
+    params = {"m.weight": jnp.asarray(q), "m.weight" + SCALE4_SUFFIX: jnp.asarray(s),
+              "m.bias": jnp.asarray(b)}
+    got = np.asarray(linear(Params(params).sub("m"), jnp.asarray(x)))
+    want = x @ dequantize_tensor_int4(q, s).T + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_params_int4_selection_and_fraction():
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=3)
+    qp = quantize_params(params, mode="int4", min_elems=256)
+    key = "encoder_.layers_.0.ffn1_.fc1_.weight"
+    assert qp[key].dtype == jnp.uint8
+    assert qp[key].shape[1] * 2 == params[key].shape[1]
+    assert (key + SCALE4_SUFFIX) in qp
+    assert qp["prediction_.embed_.weight"].dtype not in (jnp.int8, jnp.uint8)
+    assert 0.1 < quantized_fraction(qp) <= 1.0
+    # idempotent: re-quantizing (either mode) leaves packed tensors alone
+    for mode in ("int4", "int8"):
+        q2 = quantize_params(qp, mode=mode, min_elems=256)
+        np.testing.assert_array_equal(np.asarray(q2[key]), np.asarray(qp[key]))
+        np.testing.assert_array_equal(
+            np.asarray(q2[key + SCALE4_SUFFIX]), np.asarray(qp[key + SCALE4_SUFFIX])
+        )
+
+
+def test_int4_encoder_close_to_f32():
+    from parakeet_tpu.models.encoder import fastconformer_encode
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=5)
+    # tiny random-weight config is the worst case for 4-bit (no outlier
+    # structure, errors compound over layers) — use fine groups here;
+    # real checkpoints tolerate the default 64
+    qp = quantize_params(params, mode="int4", min_elems=256, group_size=8)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32))
+    ref = np.asarray(fastconformer_encode(Params(params).sub("encoder_"), cfg.encoder, feats))
+    got = np.asarray(fastconformer_encode(Params(qp).sub("encoder_"), cfg.encoder, feats))
+    # 4-bit group quant: looser than int8 but still strongly correlated
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.25, rel
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_int4_fusable_guards_reject():
+    from parakeet_tpu.models.encoder import _attn_block_fusable, _ffn_fusable
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=5)
+    x = jnp.zeros((2, 64, cfg.encoder.hidden_size))
+    qp = quantize_params(params, mode="int4", min_elems=256)
+    ffn = Params(qp).sub("encoder_").sub("layers_").sub("0").sub("ffn1_")
+    attn = Params(qp).sub("encoder_").sub("layers_").sub("0").sub("attn_")
+    assert not _ffn_fusable(ffn, x)
+    assert not _attn_block_fusable(attn, x)
+
+
+def test_int4_safetensors_roundtrip_and_load(tmp_path):
+    """Quarter-size checkpoints: save packed, load_params dequantizes."""
+    from parakeet_tpu.io.safetensors import load_safetensors, save_safetensors
+
+    cfg = _tiny_cfg()
+    spec = P.tdt_ctc_spec(cfg)
+    params = P.init_params(spec, seed=9)
+    qp = quantize_params(params, mode="int4", min_elems=256)
+    path = tmp_path / "q4.safetensors"
+    save_safetensors({k: np.asarray(v) for k, v in qp.items()}, path)
+    back = load_safetensors(path)
+    key = "encoder_.layers_.0.ffn1_.fc1_.weight"
+    assert back[key].dtype == np.uint8
+    np.testing.assert_array_equal(back[key], np.asarray(qp[key]))
+
+    loaded = P.load_params(spec, str(path))
+    assert loaded[key].dtype == jnp.float32
+    assert loaded[key].shape == params[key].shape
+    want = dequantize_tensor_int4(np.asarray(qp[key]), np.asarray(qp[key + SCALE4_SUFFIX]))
+    np.testing.assert_allclose(np.asarray(loaded[key]), want, rtol=1e-6)
 
 
 def test_quantize_params_idempotent_on_int8():
