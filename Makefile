@@ -1,6 +1,6 @@
 # Convenience targets (reference has an equivalent Makefile wrapper).
 
-.PHONY: install test bench native clean format format-check
+.PHONY: install test bench native capi clean format format-check
 
 # Format gate (reference CI enforces clang-format; Makefile:48-52 there).
 format:
@@ -20,6 +20,11 @@ bench:
 
 native:
 	mkdir -p build && cd build && cmake ../csrc -G Ninja && ninja
+
+# Flat C API shared library for FFI hosts (header: csrc/parakeet.h)
+capi:
+	python -c "from parakeet_tpu.native import build_capi; p = build_capi(); \
+	print(p or exit('capi build failed'))"
 
 clean:
 	rm -rf build parakeet_tpu/_native .pytest_cache

@@ -1,0 +1,170 @@
+"""Python side of the flat C API (csrc/parakeet_capi.cpp).
+
+Reference Tier-3 roadmap item: "C API — Flat C interface
+(`parakeet_transcribe(...)`) for FFI from Python, Swift, Go, Rust"
+(/root/reference/README.md). The C shared library (`libparakeet_c.so`)
+embeds — or attaches to — CPython and funnels every call through this
+module, so the C side stays a dumb string pipe: integer handles in, JSON
+out. The ABI never changes when options grow; new knobs ride the
+`options_json` argument.
+
+Handle lifecycle: `create` builds a facade and returns a positive int64
+handle; `transcribe`/`transcribe_pcm` run inference; `destroy` drops the
+facade. All errors raise — the C wrapper formats the exception into
+`parakeet_last_error()`.
+
+Options (JSON object, all optional):
+    device          "cpu" | "tpu"   force the JAX platform (must be set
+                                    before the first backend use;
+                                    "cpu" also gets virtual devices via
+                                    cpu_devices, default 1)
+    cpu_devices     int             virtual CPU device count
+    decoder         "tdt" | "ctc"   decode head (tdt-ctc models)
+    timestamps      bool            include word timestamps in results
+    timestamp_mode  "words" | "sentences" | "segments"
+    beam_size       int             0 = greedy
+    compute_dtype   "float32" | "bfloat16"
+    quantize        "int8" | "int4" weight-only quantized inference
+    kernels         bool | str      fused Pallas encoder kernels
+    seed            int             random-init seed when weights_path
+                                    is NULL (pipeline smoke tests)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+_handles: dict[int, tuple] = {}
+_lock = threading.Lock()
+_next_handle = 1
+
+#: models the C API can instantiate; "test-tiny" is a random-weight
+#: smoke-test config (compiles in seconds, used by the C API tests)
+MODELS = ("tdt-ctc-110m", "tdt-600m", "rnnt-600m", "test-tiny")
+
+
+def _tiny_config():
+    from parakeet_tpu import config as C
+
+    return C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=16,
+                                hidden_size=32, num_layers=2, num_heads=4,
+                                ffn_intermediate=64),
+        prediction=C.PredictionConfig(vocab_size=21, pred_hidden=16,
+                                      num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=32, pred_hidden=16,
+                            joint_hidden=16, vocab_size=21),
+        ctc_vocab_size=21,
+    )
+
+
+def create(model: str, weights_path: str | None, vocab_path: str | None,
+           options_json: str | None) -> int:
+    """Build a transcriber facade; returns a positive handle."""
+    opts = json.loads(options_json) if options_json else {}
+    if not isinstance(opts, dict):
+        raise ValueError("options_json must be a JSON object")
+
+    device = opts.get("device")
+    if device:
+        import jax
+
+        jax.config.update("jax_platforms", device)
+        if device == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(opts.get("cpu_devices", 1)))
+
+    kw = {}
+    for k in ("compute_dtype", "quantize", "seed", "kernels"):
+        if k in opts:
+            kw[k] = opts[k]
+
+    from parakeet_tpu.transcribe import RNNTTranscriber, TDTTranscriber, Transcriber
+
+    if model == "tdt-ctc-110m":
+        tr = Transcriber(weights_path, vocab_path, **kw)
+    elif model == "tdt-600m":
+        tr = TDTTranscriber(weights_path, vocab_path, **kw)
+    elif model == "rnnt-600m":
+        tr = RNNTTranscriber(weights_path, vocab_path, **kw)
+    elif model == "test-tiny":
+        tr = Transcriber(weights_path, vocab_path, _tiny_config(), **kw)
+    else:
+        raise ValueError(f"unknown model {model!r} (want one of {', '.join(MODELS)})")
+
+    global _next_handle
+    with _lock:
+        h = _next_handle
+        _next_handle += 1
+        _handles[h] = (tr, opts)
+    return h
+
+
+def _get(h: int):
+    with _lock:
+        entry = _handles.get(h)
+    if entry is None:
+        raise KeyError(f"invalid parakeet handle {h}")
+    return entry
+
+
+def _decode_opts(opts: dict):
+    from parakeet_tpu.decode.timestamp import TimestampMode
+    from parakeet_tpu.transcribe import Decoder
+
+    return dict(
+        decoder=Decoder.CTC if opts.get("decoder") == "ctc" else Decoder.TDT,
+        timestamps=bool(opts.get("timestamps", False)),
+        timestamp_mode=TimestampMode(opts.get("timestamp_mode", "words")),
+        beam_size=int(opts.get("beam_size", 0)),
+    )
+
+
+def _result_json(res) -> str:
+    return json.dumps({
+        "text": res.text,
+        "token_ids": list(res.token_ids),
+        "words": [
+            {"word": w.word, "start": w.start, "end": w.end,
+             "confidence": w.confidence}
+            for w in res.word_timestamps
+        ],
+    })
+
+
+def transcribe(h: int, audio_path: str) -> str:
+    """Transcribe an audio file (wav/flac/mp3/ogg); returns result JSON."""
+    tr, opts = _get(h)
+    return _result_json(tr.transcribe(audio_path, **_decode_opts(opts)))
+
+
+def transcribe_pcm(h: int, data, sample_rate: int, fmt: str) -> str:
+    """Transcribe a raw PCM buffer (C pointer marshaled as a memoryview).
+
+    fmt: "f32" (native-endian float32) or "s16" (int16, scaled 1/32768 —
+    the reference's int16 overload)."""
+    import numpy as np
+
+    tr, opts = _get(h)
+    if fmt == "f32":
+        pcm = np.frombuffer(data, dtype=np.float32)
+    elif fmt == "s16":
+        pcm = np.frombuffer(data, dtype=np.int16)
+    else:
+        raise ValueError(f"unknown PCM format {fmt!r} (want 'f32' or 's16')")
+
+    from parakeet_tpu.audio.io import read_audio
+
+    audio = read_audio(pcm, sample_rate=int(sample_rate))
+    return _result_json(tr.transcribe(audio.samples, **_decode_opts(opts)))
+
+
+def destroy(h: int) -> None:
+    with _lock:
+        _handles.pop(h, None)
+
+
+def version() -> str:
+    import parakeet_tpu
+
+    return getattr(parakeet_tpu, "__version__", "0.0.0")

@@ -88,6 +88,37 @@ def available() -> bool:
     return _load() is not None
 
 
+def build_capi() -> Path | None:
+    """Self-build the flat C API library (csrc/parakeet_capi.cpp →
+    _native/libparakeet_c.so), mirroring the audio runtime's g++-on-first-
+    use pattern (cmake builds it too: csrc/CMakeLists.txt parakeet_c).
+    Returns the library path, or None when the toolchain or the Python
+    embed config is missing."""
+    import sys
+    import sysconfig
+
+    src = _CSRC / "parakeet_capi.cpp"
+    hdr = _CSRC / "parakeet.h"
+    if not src.is_file() or sysconfig.get_config_var("Py_ENABLE_SHARED") != 1:
+        return None
+    _CACHE.mkdir(exist_ok=True)
+    out = _CACHE / "libparakeet_c.so"
+    deps = [src] + ([hdr] if hdr.is_file() else [])
+    if out.is_file() and all(out.stat().st_mtime >= s.stat().st_mtime for s in deps):
+        return out
+    libdir = sysconfig.get_config_var("LIBDIR")
+    pylib = f"python{sysconfig.get_config_var('VERSION')}{sys.abiflags}"
+    cmd = ["g++", "-O2", "-std=c++20", "-shared", "-fPIC", str(src),
+           f"-I{sysconfig.get_paths()['include']}", f"-I{_CSRC}",
+           f"-L{libdir}", f"-l{pylib}", f"-Wl,-rpath,{libdir}",
+           "-o", str(out)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return out
+
+
 def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 

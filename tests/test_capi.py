@@ -1,0 +1,190 @@
+"""Flat C API tests (reference Tier-3 roadmap item: "C API — Flat C
+interface for FFI from Python, Swift, Go, Rust").
+
+Two integration levels:
+  * ctypes loads libparakeet_c.so INTO this Python process — exercises the
+    attach-to-existing-interpreter path (Py_IsInitialized true);
+  * a compiled C program links the library and runs as a subprocess —
+    exercises the standalone-embed path (the library boots CPython itself),
+    i.e. the actual Swift/Go/Rust FFI scenario.
+"""
+
+import ctypes
+import json
+import subprocess
+import sys
+import sysconfig
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from parakeet_tpu.native import build_capi
+
+pytestmark = pytest.mark.skipif(
+    sysconfig.get_config_var("Py_ENABLE_SHARED") != 1,
+    reason="no shared libpython (embed config unavailable)",
+)
+
+
+@pytest.fixture(scope="module")
+def capi():
+    path = build_capi()
+    if path is None:
+        pytest.skip("C API build failed (no toolchain)")
+    lib = ctypes.CDLL(str(path))
+    lib.parakeet_create.restype = ctypes.c_int64
+    lib.parakeet_create.argtypes = [ctypes.c_char_p] * 4
+    lib.parakeet_transcribe.restype = ctypes.c_void_p  # manual free
+    lib.parakeet_transcribe.argtypes = [ctypes.c_int64, ctypes.c_char_p]
+    lib.parakeet_transcribe_pcm.restype = ctypes.c_void_p
+    lib.parakeet_transcribe_pcm.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.parakeet_transcribe_pcm_s16.restype = ctypes.c_void_p
+    lib.parakeet_transcribe_pcm_s16.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.parakeet_destroy.argtypes = [ctypes.c_int64]
+    lib.parakeet_last_error.restype = ctypes.c_char_p
+    lib.parakeet_version.restype = ctypes.c_void_p
+    lib.parakeet_free_string.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _take_string(lib, ptr) -> str:
+    assert ptr, f"C API error: {lib.parakeet_last_error().decode()}"
+    try:
+        return ctypes.string_at(ptr).decode()
+    finally:
+        lib.parakeet_free_string(ptr)
+
+
+@pytest.fixture(scope="module")
+def handle(capi):
+    # no "device" option: this process's JAX is already CPU-forced by
+    # conftest; create must attach, not reconfigure
+    h = capi.parakeet_create(b"test-tiny", None, None,
+                             b'{"decoder": "ctc", "timestamps": true}')
+    assert h > 0, capi.parakeet_last_error().decode()
+    yield h
+    capi.parakeet_destroy(h)
+
+
+def _sine(n=12000, hz=440.0):
+    t = np.arange(n) / 16000.0
+    return (0.4 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def test_create_rejects_unknown_model(capi):
+    assert capi.parakeet_create(b"no-such-model", None, None, None) == 0
+    assert b"no-such-model" in capi.parakeet_last_error()
+
+
+def test_create_rejects_bad_options_json(capi):
+    assert capi.parakeet_create(b"test-tiny", None, None, b"[1,2]") == 0
+    assert b"JSON object" in capi.parakeet_last_error()
+
+
+def test_transcribe_pcm_roundtrip(capi, handle):
+    pcm = _sine()
+    res = json.loads(_take_string(capi, capi.parakeet_transcribe_pcm(
+        handle, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm), 16000)))
+    assert set(res) == {"text", "token_ids", "words"}
+    assert isinstance(res["token_ids"], list)
+    for w in res["words"]:
+        assert set(w) == {"word", "start", "end", "confidence"}
+        assert 0.0 <= w["confidence"] <= 1.0
+
+
+def test_transcribe_pcm_s16_matches_f32(capi, handle):
+    pcm = _sine()
+    s16 = (pcm * 32768.0).clip(-32768, 32767).astype(np.int16)
+    # feed the float values the s16 wire actually carries so both paths
+    # see bit-identical samples
+    f32_wire = s16.astype(np.float32) / 32768.0
+    r_f = json.loads(_take_string(capi, capi.parakeet_transcribe_pcm(
+        handle, f32_wire.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm), 16000)))
+    r_s = json.loads(_take_string(capi, capi.parakeet_transcribe_pcm_s16(
+        handle, s16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(s16), 16000)))
+    assert r_f["token_ids"] == r_s["token_ids"]
+
+
+def test_transcribe_pcm_resamples(capi, handle):
+    # 8 kHz input must be accepted (resampled to the model rate)
+    t = np.arange(6000) / 8000.0
+    pcm = (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    res = json.loads(_take_string(capi, capi.parakeet_transcribe_pcm(
+        handle, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm), 8000)))
+    assert isinstance(res["token_ids"], list)
+
+
+def test_transcribe_file(capi, handle, tmp_path):
+    import wave
+
+    pcm = _sine()
+    path = tmp_path / "clip.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((pcm * 32767).astype("<i2").tobytes())
+    res = json.loads(_take_string(capi, capi.parakeet_transcribe(
+        handle, str(path).encode())))
+    assert isinstance(res["token_ids"], list)
+
+
+def test_transcribe_file_missing_errors(capi, handle):
+    assert capi.parakeet_transcribe(handle, b"/nope/missing.wav") is None
+    assert b"missing.wav" in capi.parakeet_last_error()
+
+
+def test_invalid_handle_errors(capi):
+    pcm = _sine(1600)
+    ptr = pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    assert capi.parakeet_transcribe_pcm(999999, ptr, len(pcm), 16000) is None
+    assert b"999999" in capi.parakeet_last_error()
+
+
+def test_version(capi):
+    v = _take_string(capi, capi.parakeet_version())
+    assert v and v[0].isdigit()
+
+
+def test_standalone_c_host(tmp_path):
+    """Compile tests/helpers/capi_host.c against libparakeet_c.so and run
+    it as its own process: the library must boot CPython itself (the
+    Swift/Go/Rust embed scenario) and round-trip PCM → JSON."""
+    lib = build_capi()
+    if lib is None:
+        pytest.skip("C API build failed (no toolchain)")
+    src = Path(__file__).parent / "helpers" / "capi_host.c"
+    csrc = Path(__file__).resolve().parent.parent / "csrc"
+    exe = tmp_path / "capi_host"
+    libdir = sysconfig.get_config_var("LIBDIR")
+    pylib = f"python{sysconfig.get_config_var('VERSION')}{sys.abiflags}"
+    try:
+        subprocess.run(
+            ["gcc", "-O1", str(src), f"-I{csrc}", str(lib),
+             f"-L{libdir}", f"-l{pylib}",
+             f"-Wl,-rpath,{lib.parent}", f"-Wl,-rpath,{libdir}",
+             "-lm", "-o", str(exe)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pytest.skip("no C toolchain for the standalone host")
+    proc = subprocess.run([str(exe)], capture_output=True, text=True,
+                          timeout=600)
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    lines = proc.stdout.splitlines()
+    assert lines[-1] == "OK"
+    payloads = [l for l in lines if l.startswith("RESULT ")]
+    assert payloads, proc.stdout
+    res = json.loads(payloads[0].removeprefix("RESULT "))
+    assert set(res) == {"text", "token_ids", "words"}
