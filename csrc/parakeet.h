@@ -58,7 +58,33 @@ char *parakeet_transcribe_pcm(int64_t handle, const float *pcm,
 char *parakeet_transcribe_pcm_s16(int64_t handle, const int16_t *pcm,
                                   int64_t num_samples, int32_t sample_rate);
 
-/* Destroy a handle (idempotent; invalid handles are ignored). */
+/* ---- streaming (mic-buffer FFI) ------------------------------------
+ * Feed raw PCM chunks at the MODEL rate (16 kHz; the streaming path
+ * never resamples — reference StreamingTranscriber contract). */
+
+/* Create a streaming transcriber.
+ *   model: "eou-120m" | "nemotron-600m" | "test-tiny-stream"
+ *   options_json extras: {"latency": 0|1|6|13} (nemotron right context)
+ * Returns a positive handle, or 0 on error. */
+int64_t parakeet_stream_create(const char *model, const char *weights_path,
+                               const char *vocab_path,
+                               const char *options_json);
+
+/* Feed one chunk; returns {"delta": "<new text>", "text": "<so far>"}
+ * or NULL on error. Free with parakeet_free_string(). */
+char *parakeet_stream_feed(int64_t handle, const float *pcm,
+                           int64_t num_samples);
+char *parakeet_stream_feed_s16(int64_t handle, const int16_t *pcm,
+                               int64_t num_samples);
+
+/* Accumulated result so far: {"text", "token_ids"} (or NULL on error). */
+char *parakeet_stream_text(int64_t handle);
+
+/* Reset stream state for a new utterance (caches, tokens, offsets). */
+void parakeet_stream_reset(int64_t handle);
+
+/* Destroy a handle — offline or streaming (idempotent; invalid handles
+ * are ignored). */
 void parakeet_destroy(int64_t handle);
 
 /* Last error message for the CALLING THREAD ("" if none). Owned by the

@@ -141,6 +141,31 @@ char *transcribe_pcm_impl(int64_t handle, const void *pcm, int64_t n,
   return to_c_string(res);
 }
 
+char *stream_feed_impl(int64_t handle, const void *pcm, int64_t n,
+                       int64_t itemsize, const char *fmt) {
+  if (pcm == nullptr || n <= 0) {
+    set_error("pcm buffer is null or empty");
+    return nullptr;
+  }
+  EnsureGil gil;
+  PyObject *mod = bridge();
+  if (mod == nullptr) {
+    return nullptr;
+  }
+  PyObject *view = PyMemoryView_FromMemory(
+      reinterpret_cast<char *>(const_cast<void *>(pcm)),
+      static_cast<Py_ssize_t>(n * itemsize), PyBUF_READ);
+  if (view == nullptr) {
+    set_error_from_python();
+    return nullptr;
+  }
+  PyObject *res = PyObject_CallMethod(mod, "stream_feed", "LOs",
+                                      static_cast<long long>(handle), view,
+                                      fmt);
+  Py_DECREF(view);
+  return to_c_string(res);
+}
+
 }  // namespace
 
 extern "C" {
@@ -200,6 +225,71 @@ char *parakeet_transcribe_pcm_s16(int64_t handle, const int16_t *pcm,
   return transcribe_pcm_impl(handle, pcm, num_samples,
                              static_cast<int64_t>(sizeof(int16_t)),
                              sample_rate, "s16");
+}
+
+int64_t parakeet_stream_create(const char *model, const char *weights_path,
+                               const char *vocab_path,
+                               const char *options_json) {
+  if (model == nullptr) {
+    set_error("model is required");
+    return 0;
+  }
+  EnsureGil gil;
+  PyObject *mod = bridge();
+  if (mod == nullptr) {
+    return 0;
+  }
+  PyObject *res = PyObject_CallMethod(mod, "stream_create", "szzz", model,
+                                      weights_path, vocab_path, options_json);
+  if (res == nullptr) {
+    set_error_from_python();
+    return 0;
+  }
+  long long h = PyLong_AsLongLong(res);
+  Py_DECREF(res);
+  if (h <= 0 && PyErr_Occurred()) {
+    set_error_from_python();
+    return 0;
+  }
+  return static_cast<int64_t>(h);
+}
+
+char *parakeet_stream_feed(int64_t handle, const float *pcm,
+                           int64_t num_samples) {
+  return stream_feed_impl(handle, pcm, num_samples,
+                          static_cast<int64_t>(sizeof(float)), "f32");
+}
+
+char *parakeet_stream_feed_s16(int64_t handle, const int16_t *pcm,
+                               int64_t num_samples) {
+  return stream_feed_impl(handle, pcm, num_samples,
+                          static_cast<int64_t>(sizeof(int16_t)), "s16");
+}
+
+char *parakeet_stream_text(int64_t handle) {
+  EnsureGil gil;
+  PyObject *mod = bridge();
+  if (mod == nullptr) {
+    return nullptr;
+  }
+  PyObject *res = PyObject_CallMethod(mod, "stream_text", "L",
+                                      static_cast<long long>(handle));
+  return to_c_string(res);
+}
+
+void parakeet_stream_reset(int64_t handle) {
+  EnsureGil gil;
+  PyObject *mod = bridge();
+  if (mod == nullptr) {
+    return;
+  }
+  PyObject *res = PyObject_CallMethod(mod, "stream_reset", "L",
+                                      static_cast<long long>(handle));
+  if (res == nullptr) {
+    set_error_from_python();
+    return;
+  }
+  Py_DECREF(res);
 }
 
 void parakeet_destroy(int64_t handle) {

@@ -92,20 +92,27 @@ def create(model: str, weights_path: str | None, vocab_path: str | None,
     else:
         raise ValueError(f"unknown model {model!r} (want one of {', '.join(MODELS)})")
 
+    return _register(tr, opts, "offline")
+
+
+def _register(obj, opts: dict, kind: str) -> int:
     global _next_handle
     with _lock:
         h = _next_handle
         _next_handle += 1
-        _handles[h] = (tr, opts)
+        _handles[h] = (obj, opts, kind)
     return h
 
 
-def _get(h: int):
+def _get(h: int, kind: str):
     with _lock:
         entry = _handles.get(h)
     if entry is None:
         raise KeyError(f"invalid parakeet handle {h}")
-    return entry
+    if entry[2] != kind:
+        raise TypeError(
+            f"handle {h} is a {entry[2]} transcriber; this call needs {kind}")
+    return entry[0], entry[1]
 
 
 def _decode_opts(opts: dict):
@@ -134,7 +141,7 @@ def _result_json(res) -> str:
 
 def transcribe(h: int, audio_path: str) -> str:
     """Transcribe an audio file (wav/flac/mp3/ogg); returns result JSON."""
-    tr, opts = _get(h)
+    tr, opts = _get(h, "offline")
     return _result_json(tr.transcribe(audio_path, **_decode_opts(opts)))
 
 
@@ -145,7 +152,7 @@ def transcribe_pcm(h: int, data, sample_rate: int, fmt: str) -> str:
     the reference's int16 overload)."""
     import numpy as np
 
-    tr, opts = _get(h)
+    tr, opts = _get(h, "offline")
     if fmt == "f32":
         pcm = np.frombuffer(data, dtype=np.float32)
     elif fmt == "s16":
@@ -157,6 +164,97 @@ def transcribe_pcm(h: int, data, sample_rate: int, fmt: str) -> str:
 
     audio = read_audio(pcm, sample_rate=int(sample_rate))
     return _result_json(tr.transcribe(audio.samples, **_decode_opts(opts)))
+
+
+#: streaming models the C API can instantiate; "test-tiny-stream" is the
+#: random-weight smoke config used by the C API tests
+STREAM_MODELS = ("eou-120m", "nemotron-600m", "test-tiny-stream")
+
+
+def _tiny_stream_config():
+    from parakeet_tpu import config as C
+
+    return C.EOUConfig(
+        encoder=C.StreamingEncoderConfig(
+            mel_bins=80, subsampling_channels=8, hidden_size=16, num_layers=1,
+            num_heads=2, ffn_intermediate=32, conv_kernel_size=9,
+            att_context_left=4, att_context_right=0, chunk_size=2,
+        ),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8,
+                                      num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8,
+                            vocab_size=13),
+        ctc_vocab_size=13,
+    )
+
+
+def stream_create(model: str, weights_path: str | None,
+                  vocab_path: str | None, options_json: str | None) -> int:
+    """Build a streaming transcriber (mic-buffer FFI: feed raw PCM chunks
+    at the model rate, 16 kHz — the streaming path never resamples, same
+    contract as the reference's StreamingTranscriber). Extra option:
+    `latency` (nemotron right-context frames: 0|1|6|13)."""
+    opts = json.loads(options_json) if options_json else {}
+    if not isinstance(opts, dict):
+        raise ValueError("options_json must be a JSON object")
+
+    device = opts.get("device")
+    if device:
+        import jax
+
+        jax.config.update("jax_platforms", device)
+        if device == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(opts.get("cpu_devices", 1)))
+
+    kw = {}
+    for k in ("compute_dtype", "seed"):
+        if k in opts:
+            kw[k] = opts[k]
+
+    from parakeet_tpu.streaming import NemotronTranscriber, StreamingTranscriber
+
+    if model == "eou-120m":
+        st = StreamingTranscriber(weights_path, vocab_path, **kw)
+    elif model == "nemotron-600m":
+        from parakeet_tpu.config import make_nemotron_600m_config
+
+        cfg = make_nemotron_600m_config(latency_frames=int(opts.get("latency", 0)))
+        st = NemotronTranscriber(weights_path, vocab_path, cfg, **kw)
+    elif model == "test-tiny-stream":
+        st = StreamingTranscriber(weights_path, vocab_path,
+                                  _tiny_stream_config(), **kw)
+    else:
+        raise ValueError(
+            f"unknown streaming model {model!r} (want one of {', '.join(STREAM_MODELS)})")
+
+    return _register(st, opts, "stream")
+
+
+def stream_feed(h: int, data, fmt: str) -> str:
+    """Feed one raw PCM chunk; returns {"delta": new text this chunk,
+    "text": full transcript so far}."""
+    import numpy as np
+
+    st, _ = _get(h, "stream")
+    if fmt == "f32":
+        pcm = np.frombuffer(data, dtype=np.float32)
+    elif fmt == "s16":
+        pcm = np.frombuffer(data, dtype=np.int16)
+    else:
+        raise ValueError(f"unknown PCM format {fmt!r} (want 'f32' or 's16')")
+    delta = st.transcribe_chunk(pcm)
+    return json.dumps({"delta": delta, "text": st.get_text()})
+
+
+def stream_text(h: int) -> str:
+    """Current accumulated result: {"text", "token_ids"}."""
+    st, _ = _get(h, "stream")
+    return json.dumps({"text": st.get_text(), "token_ids": list(st.get_tokens())})
+
+
+def stream_reset(h: int) -> None:
+    st, _ = _get(h, "stream")
+    st.reset()
 
 
 def destroy(h: int) -> None:

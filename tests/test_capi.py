@@ -157,6 +157,79 @@ def test_version(capi):
     assert v and v[0].isdigit()
 
 
+def _stream_proto(capi):
+    capi.parakeet_stream_create.restype = ctypes.c_int64
+    capi.parakeet_stream_create.argtypes = [ctypes.c_char_p] * 4
+    capi.parakeet_stream_feed.restype = ctypes.c_void_p
+    capi.parakeet_stream_feed.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    capi.parakeet_stream_text.restype = ctypes.c_void_p
+    capi.parakeet_stream_text.argtypes = [ctypes.c_int64]
+    capi.parakeet_stream_reset.argtypes = [ctypes.c_int64]
+
+
+def test_streaming_matches_python_facade(capi):
+    """C-API streaming must be token-identical to the Python facade fed
+    the same chunks with the same seed."""
+    _stream_proto(capi)
+    h = capi.parakeet_stream_create(b"test-tiny-stream", None, None,
+                                    b'{"seed": 31}')
+    assert h > 0, capi.parakeet_last_error().decode()
+
+    from parakeet_tpu.capi import _tiny_stream_config
+    from parakeet_tpu.streaming import StreamingTranscriber
+
+    ref = StreamingTranscriber(None, None, _tiny_stream_config(), seed=31)
+    rng = np.random.RandomState(7)
+    audio = (0.3 * rng.randn(16000)).astype(np.float32)
+    deltas = []
+    for off in range(0, len(audio), 3200):
+        chunk = audio[off:off + 3200]
+        ref.transcribe_chunk(chunk)
+        out = json.loads(_take_string(capi, capi.parakeet_stream_feed(
+            h, chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(chunk))))
+        deltas.append(out["delta"])
+    got = json.loads(_take_string(capi, capi.parakeet_stream_text(h)))
+    assert got["token_ids"] == list(ref.get_tokens())
+
+    # reset + refeed is deterministic
+    capi.parakeet_stream_reset(h)
+    for off in range(0, len(audio), 3200):
+        chunk = audio[off:off + 3200]
+        _take_string(capi, capi.parakeet_stream_feed(
+            h, chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(chunk)))
+    again = json.loads(_take_string(capi, capi.parakeet_stream_text(h)))
+    assert again["token_ids"] == got["token_ids"]
+    capi.parakeet_destroy(h)
+
+
+def test_stream_handle_kind_mismatch(capi, handle):
+    """Offline calls on a stream handle (and vice versa) must error, not
+    misbehave."""
+    _stream_proto(capi)
+    pcm = _sine(3200)
+    assert capi.parakeet_stream_feed(
+        handle, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm)) is None
+    assert b"offline" in capi.parakeet_last_error()
+
+    h = capi.parakeet_stream_create(b"test-tiny-stream", None, None, None)
+    assert h > 0
+    assert capi.parakeet_transcribe_pcm(
+        h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm), 16000) is None
+    assert b"stream" in capi.parakeet_last_error()
+    capi.parakeet_destroy(h)
+
+
+def test_stream_create_rejects_unknown_model(capi):
+    _stream_proto(capi)
+    assert capi.parakeet_stream_create(b"bogus-stream", None, None, None) == 0
+    assert b"bogus-stream" in capi.parakeet_last_error()
+
+
 def test_standalone_c_host(tmp_path):
     """Compile tests/helpers/capi_host.c against libparakeet_c.so and run
     it as its own process: the library must boot CPython itself (the
