@@ -106,6 +106,10 @@ def main(argv=None) -> int:
     ap.add_argument("--quantize", default=None, choices=["int8", "int4"],
                     help="weight-only quantized inference (offline models): "
                          "int8 = per-channel scales, int4 = packed group-wise")
+    ap.add_argument("--align", default=None, metavar="TEXT",
+                    help="forced alignment: print word timings for this "
+                         "known transcript instead of decoding (tdt-ctc "
+                         "models; composes with --srt/--vtt)")
     ap.add_argument("--progress", action="store_true",
                     help="print pipeline-stage progress to stderr "
                          "(load/preprocess/decode; offline models only)")
@@ -120,6 +124,9 @@ def main(argv=None) -> int:
 
     if args.features and args.audio:
         print("Error: pass either audio files or --features, not both", file=sys.stderr)
+        return 1
+    if args.align is not None and args.features:
+        print("Error: --align aligns audio files, not --features", file=sys.stderr)
         return 1
     if not args.features and not args.audio:
         ap.error("audio file(s) required (or --features)")
@@ -178,6 +185,7 @@ def main(argv=None) -> int:
                 ("--srt", bool(args.srt)),
                 ("--vtt", bool(args.vtt)),
                 ("--quantize", bool(args.quantize)),
+                ("--align", args.align is not None),
             ) if on
         ]
         if unsupported:
@@ -237,7 +245,13 @@ def main(argv=None) -> int:
                 lm_weight=args.lm_weight,
                 on_progress=on_progress,
             )
-            if args.features:
+            if args.align is not None:
+                # forced alignment: word timings for a KNOWN transcript
+                results = [tr.align(a, args.align,
+                                    timestamp_mode=TimestampMode(args.timestamp_mode))
+                           for a in args.audio]
+                args.timestamps = True  # spans are the whole point
+            elif args.features:
                 import numpy as _np
 
                 out = tr.transcribe_features(_np.load(args.features), opts)

@@ -692,6 +692,42 @@ class _TranscriberBase:
 
     # ── Result assembly ──────────────────────────────────────────────────
 
+    def align(
+        self,
+        source,
+        text: str,
+        *,
+        timestamp_mode: TimestampMode = TimestampMode.WORDS,
+    ) -> TranscribeResult:
+        """Forced alignment: word/token timings for a KNOWN transcript.
+
+        Runs the frontend + encoder + CTC head, then Viterbi-aligns the
+        tokenized `text` to the log-probs (decode/align.ctc_forced_align)
+        — the max-probability CTC path constrained to emit exactly that
+        transcript. Needs the CTC head (tdt-ctc models) and a loaded
+        vocab. Raises ValueError when the clip is too short to emit the
+        transcript. Beyond-reference capability (the reference only
+        timestamps its own greedy decode, ctc.cpp:79-127)."""
+        if not self.has_ctc:
+            raise ValueError("forced alignment needs the CTC head (tdt-ctc models)")
+        if not self.tokenizer.loaded:
+            raise ValueError("forced alignment needs a vocab (tokenizer not loaded)")
+        tokens = self.tokenizer.encode(text)
+        if not tokens:
+            raise ValueError("text tokenized to zero tokens")
+
+        from parakeet_tpu.decode.align import ctc_forced_align
+
+        feats = np.asarray(preprocess_audio(self._to_samples(source), self._audio_cfg))[0]
+        lengths = jnp.asarray([feats.shape[0]], jnp.int32)
+        _, log_probs = self._encode_ctc(self.params, jnp.asarray(feats)[None], lengths)
+        enc_len = int(np.asarray(encoded_lengths(np.asarray([feats.shape[0]])))[0])
+        ts = ctc_forced_align(
+            np.asarray(log_probs, np.float32)[0], tokens, self._ctc_blank(),
+            length=enc_len,
+        )
+        return self._result_from_ts(ts, timestamp_mode)
+
     def _ctc_blank(self) -> int:
         return self._blank_id
 

@@ -1,0 +1,172 @@
+"""CTC forced-alignment tests (decode/align.py + Transcriber.align).
+
+Oracle strategy mirrors the repo's decoder tests: exhaustive
+path-enumeration ground truth on tiny shapes, planted-alignment
+exactness, property checks on random log-probs, and a facade e2e.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from parakeet_tpu.decode.align import ctc_forced_align
+
+
+def _softmax_log(rng, t, v):
+    x = rng.randn(t, v).astype(np.float32)
+    x = x - np.log(np.sum(np.exp(x), axis=1, keepdims=True))
+    return x
+
+
+def _collapse(path, blank):
+    out = []
+    prev = -1
+    for p in path:
+        if p != blank and p != prev:
+            out.append(p)
+        prev = p
+    return out
+
+
+def _brute_force(lp, tokens, blank):
+    """Max-probability frame path collapsing to `tokens`, by enumeration."""
+    t, v = lp.shape
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(v), repeat=t):
+        if _collapse(path, blank) != list(tokens):
+            continue
+        score = sum(lp[i, p] for i, p in enumerate(path))
+        if score > best_score:
+            best, best_score = path, score
+    assert best is not None
+    # token spans: runs of each emitted (non-blank, non-repeat) label
+    spans = []
+    i = 0
+    prev = -1
+    while i < t:
+        if best[i] != blank and best[i] != prev:
+            j = i
+            while j + 1 < t and best[j + 1] == best[i]:
+                j += 1
+            spans.append((best[i], i, j))
+            i = j + 1
+            prev = best[j]
+        else:
+            prev = best[i]
+            i += 1
+    return spans, best_score
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_matches_brute_force(seed):
+    rng = np.random.RandomState(seed)
+    t, v, blank = 6, 3, 2
+    lp = _softmax_log(rng, t, v)
+    # both distinct and repeated-label transcripts
+    for tokens in ([0], [1, 0], [0, 0], [1, 1], [0, 1, 0]):
+        spans, score = _brute_force(lp, tokens, blank)
+        got = ctc_forced_align(lp, tokens, blank)
+        assert [(g.token_id, g.start_frame, g.end_frame) for g in got] == spans, tokens
+        got_score = sum(
+            lp[f, g.token_id] for g in got
+            for f in range(g.start_frame, g.end_frame + 1)
+        )
+        # add the blank frames the viterbi path spent
+        label_frames = {f for g in got for f in range(g.start_frame, g.end_frame + 1)}
+        got_score += sum(lp[f, blank] for f in range(t) if f not in label_frames)
+        np.testing.assert_allclose(got_score, score, rtol=1e-5)
+
+
+def test_planted_alignment_recovered():
+    """Near-one-hot log-probs along a chosen path → exact recovery."""
+    t, v, blank = 12, 5, 4
+    plan = [blank, 1, 1, blank, 2, 2, 2, blank, blank, 3, blank, blank]
+    lp = np.full((t, v), -20.0, np.float32)
+    for i, lab in enumerate(plan):
+        lp[i, lab] = -0.01
+    got = ctc_forced_align(lp, [1, 2, 3], blank)
+    assert [(g.token_id, g.start_frame, g.end_frame) for g in got] == [
+        (1, 1, 2), (2, 4, 6), (3, 9, 9)]
+    for g in got:
+        assert 0.9 < g.confidence <= 1.0
+
+
+def test_properties_random():
+    rng = np.random.RandomState(11)
+    lp = _softmax_log(rng, 50, 8)
+    tokens = [3, 5, 5, 1, 3]
+    got = ctc_forced_align(lp, tokens, 7)
+    assert [g.token_id for g in got] == tokens
+    # ordered, non-overlapping spans inside [0, T)
+    last_end = -1
+    for g in got:
+        assert 0 <= g.start_frame <= g.end_frame < 50
+        assert g.start_frame > last_end
+        last_end = g.end_frame
+        assert 0.0 < g.confidence <= 1.0
+    # repeated labels (5, 5) must be separated by at least one frame
+    assert got[2].start_frame > got[1].end_frame + 1
+
+
+def test_length_clips_padded_frames():
+    rng = np.random.RandomState(3)
+    lp = _softmax_log(rng, 30, 6)
+    ref = ctc_forced_align(lp[:20], [1, 2], 5)
+    got = ctc_forced_align(lp, [1, 2], 5, length=20)
+    assert [(g.start_frame, g.end_frame) for g in got] == \
+        [(g.start_frame, g.end_frame) for g in ref]
+    assert all(g.end_frame < 20 for g in got)
+
+
+def test_infeasible_raises():
+    rng = np.random.RandomState(0)
+    lp = _softmax_log(rng, 3, 4)
+    # a repeat needs 3 frames minimum: exactly 3 aligns, 2 raises
+    assert len(ctc_forced_align(lp, [1, 1], 3)) == 2
+    with pytest.raises(ValueError, match="frames"):
+        ctc_forced_align(lp[:2], [1, 1], 3)
+    with pytest.raises(ValueError, match="non-empty"):
+        ctc_forced_align(lp, [], 3)
+    with pytest.raises(ValueError, match="blank"):
+        ctc_forced_align(lp, [3], 3)
+    with pytest.raises(ValueError, match="range"):
+        ctc_forced_align(lp, [9], 3)
+
+
+def test_facade_align(tmp_path):
+    from parakeet_tpu import config as C
+    from parakeet_tpu.transcribe import Transcriber
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(["<unk>", "▁a", "▁b", "a", "b"]) + "\n")
+    cfg = C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=16,
+                                hidden_size=32, num_layers=2, num_heads=4,
+                                ffn_intermediate=64),
+        prediction=C.PredictionConfig(vocab_size=6, pred_hidden=16,
+                                      num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=32, pred_hidden=16, joint_hidden=16,
+                            vocab_size=6),
+        ctc_vocab_size=6,
+    )
+    tr = Transcriber(None, str(vocab), cfg, seed=7)
+    t = np.arange(24000) / 16000.0
+    audio = (0.4 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+
+    res = tr.align(audio, "a b ab")
+    assert res.token_ids == tr.tokenizer.encode("a b ab")
+    assert res.text  # decoded back through the vocab
+    assert len(res.timestamped_tokens) == len(res.token_ids)
+    last_end = -1
+    for g in res.timestamped_tokens:
+        assert g.start_frame > last_end
+        last_end = g.end_frame
+    assert res.word_timestamps and res.word_timestamps[0].start >= 0.0
+
+    with pytest.raises(ValueError, match="too short|cannot emit|frames"):
+        tr.align(audio[:2000], "a b ab a b ab a b ab")
+
+    with pytest.raises(ValueError, match="CTC|vocab"):
+        # no vocab → tokenizer not loaded
+        Transcriber(None, None, cfg, seed=7).align(audio, "a b")

@@ -33,6 +33,19 @@ def test_quantize_choices():
     assert rc == 1
 
 
+def test_align_rejected_with_features(capsys):
+    rc = main(["--align", "hello world", "--features", "f.npy"])
+    assert rc == 1
+    assert "--align" in capsys.readouterr().err
+
+
+def test_align_rejected_for_streaming_models(capsys):
+    rc = main(["--model", "eou-120m", "--align", "hi", "--random-weights",
+               "clip.wav"])
+    assert rc == 1
+    assert "--align" in capsys.readouterr().err
+
+
 def test_quantize_rejected_for_streaming_models(capsys):
     rc = main(["--model", "eou-120m", "--quantize", "int4", "--random-weights",
                "clip.wav"])
