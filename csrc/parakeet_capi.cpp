@@ -18,6 +18,7 @@
 
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <string>
 
 namespace {
@@ -77,12 +78,18 @@ PyObject *bridge() {
 class EnsureGil {
  public:
   EnsureGil() {
-    if (!Py_IsInitialized()) {
-      // Standalone (non-Python) host: bring up an interpreter once and
-      // detach from it so PyGILState_Ensure works from any thread.
-      Py_InitializeEx(0);
-      PyEval_SaveThread();
-    }
+    // Standalone (non-Python) host: bring up an interpreter once and
+    // detach from it so PyGILState_Ensure works from any thread. The
+    // once_flag serializes first calls racing from multiple host threads
+    // (concurrent Py_InitializeEx is undefined behavior — no GIL exists
+    // yet to order them).
+    static std::once_flag init_once;
+    std::call_once(init_once, [] {
+      if (!Py_IsInitialized()) {
+        Py_InitializeEx(0);
+        PyEval_SaveThread();
+      }
+    });
     state_ = PyGILState_Ensure();
   }
   ~EnsureGil() { PyGILState_Release(state_); }

@@ -21,7 +21,7 @@ Options (JSON object, all optional):
     cpu_devices     int             virtual CPU device count
     decoder         "tdt" | "ctc"   decode head (tdt-ctc models)
     timestamps      bool            include word timestamps in results
-    timestamp_mode  "words" | "sentences" | "segments"
+    timestamp_mode  "words" | "sentences"
     beam_size       int             0 = greedy
     compute_dtype   "float32" | "bfloat16"
     quantize        "int8" | "int4" weight-only quantized inference
@@ -59,13 +59,12 @@ def _tiny_config():
     )
 
 
-def create(model: str, weights_path: str | None, vocab_path: str | None,
-           options_json: str | None) -> int:
-    """Build a transcriber facade; returns a positive handle."""
+def _parse_options(options_json: str | None, facade_keys: tuple[str, ...]):
+    """Shared option handling for both create paths: JSON validation, the
+    device/platform config, and the facade-constructor kwarg subset."""
     opts = json.loads(options_json) if options_json else {}
     if not isinstance(opts, dict):
         raise ValueError("options_json must be a JSON object")
-
     device = opts.get("device")
     if device:
         import jax
@@ -73,11 +72,26 @@ def create(model: str, weights_path: str | None, vocab_path: str | None,
         jax.config.update("jax_platforms", device)
         if device == "cpu":
             jax.config.update("jax_num_cpu_devices", int(opts.get("cpu_devices", 1)))
+    return opts, {k: opts[k] for k in facade_keys if k in opts}
 
-    kw = {}
-    for k in ("compute_dtype", "quantize", "seed", "kernels"):
-        if k in opts:
-            kw[k] = opts[k]
+
+def _pcm_from(data, fmt: str):
+    """C buffer (memoryview) → numpy PCM; fmt 'f32' or 's16' (int16 is
+    scaled inside read_audio/transcribe_chunk, the reference's overload)."""
+    import numpy as np
+
+    if fmt == "f32":
+        return np.frombuffer(data, dtype=np.float32)
+    if fmt == "s16":
+        return np.frombuffer(data, dtype=np.int16)
+    raise ValueError(f"unknown PCM format {fmt!r} (want 'f32' or 's16')")
+
+
+def create(model: str, weights_path: str | None, vocab_path: str | None,
+           options_json: str | None) -> int:
+    """Build a transcriber facade; returns a positive handle."""
+    opts, kw = _parse_options(
+        options_json, ("compute_dtype", "quantize", "seed", "kernels"))
 
     from parakeet_tpu.transcribe import RNNTTranscriber, TDTTranscriber, Transcriber
 
@@ -150,19 +164,14 @@ def transcribe_pcm(h: int, data, sample_rate: int, fmt: str) -> str:
 
     fmt: "f32" (native-endian float32) or "s16" (int16, scaled 1/32768 —
     the reference's int16 overload)."""
-    import numpy as np
-
     tr, opts = _get(h, "offline")
-    if fmt == "f32":
-        pcm = np.frombuffer(data, dtype=np.float32)
-    elif fmt == "s16":
-        pcm = np.frombuffer(data, dtype=np.int16)
-    else:
-        raise ValueError(f"unknown PCM format {fmt!r} (want 'f32' or 's16')")
+    pcm = _pcm_from(data, fmt)
 
     from parakeet_tpu.audio.io import read_audio
 
-    audio = read_audio(pcm, sample_rate=int(sample_rate))
+    # resample to the HANDLE's model rate (16 kHz for all shipped configs,
+    # but custom AudioConfigs must not get silently resampled to 16 kHz)
+    audio = read_audio(pcm, tr._audio_cfg.sample_rate, sample_rate=int(sample_rate))
     return _result_json(tr.transcribe(audio.samples, **_decode_opts(opts)))
 
 
@@ -194,22 +203,7 @@ def stream_create(model: str, weights_path: str | None,
     at the model rate, 16 kHz — the streaming path never resamples, same
     contract as the reference's StreamingTranscriber). Extra option:
     `latency` (nemotron right-context frames: 0|1|6|13)."""
-    opts = json.loads(options_json) if options_json else {}
-    if not isinstance(opts, dict):
-        raise ValueError("options_json must be a JSON object")
-
-    device = opts.get("device")
-    if device:
-        import jax
-
-        jax.config.update("jax_platforms", device)
-        if device == "cpu":
-            jax.config.update("jax_num_cpu_devices", int(opts.get("cpu_devices", 1)))
-
-    kw = {}
-    for k in ("compute_dtype", "seed"):
-        if k in opts:
-            kw[k] = opts[k]
+    opts, kw = _parse_options(options_json, ("compute_dtype", "seed"))
 
     from parakeet_tpu.streaming import NemotronTranscriber, StreamingTranscriber
 
@@ -233,16 +227,8 @@ def stream_create(model: str, weights_path: str | None,
 def stream_feed(h: int, data, fmt: str) -> str:
     """Feed one raw PCM chunk; returns {"delta": new text this chunk,
     "text": full transcript so far}."""
-    import numpy as np
-
     st, _ = _get(h, "stream")
-    if fmt == "f32":
-        pcm = np.frombuffer(data, dtype=np.float32)
-    elif fmt == "s16":
-        pcm = np.frombuffer(data, dtype=np.int16)
-    else:
-        raise ValueError(f"unknown PCM format {fmt!r} (want 'f32' or 's16')")
-    delta = st.transcribe_chunk(pcm)
+    delta = st.transcribe_chunk(_pcm_from(data, fmt))
     return json.dumps({"delta": delta, "text": st.get_text()})
 
 

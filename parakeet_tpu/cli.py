@@ -128,6 +128,19 @@ def main(argv=None) -> int:
     if args.align is not None and args.features:
         print("Error: --align aligns audio files, not --features", file=sys.stderr)
         return 1
+    if args.align is not None:
+        # decode-path flags don't apply to forced alignment — fail loudly
+        # rather than let the user believe they took effect
+        ignored = [name for name, on in (
+            ("--vad", args.vad),
+            ("--beam-size", args.beam_size > 0),
+            ("--lm", bool(args.lm)),
+            ("--boost", bool(args.boost.strip())),
+        ) if on]
+        if ignored:
+            print(f"Error: {', '.join(ignored)} do not apply to --align "
+                  "(forced alignment decodes nothing)", file=sys.stderr)
+            return 1
     if not args.features and not args.audio:
         ap.error("audio file(s) required (or --features)")
 
@@ -247,9 +260,10 @@ def main(argv=None) -> int:
             )
             if args.align is not None:
                 # forced alignment: word timings for a KNOWN transcript
-                results = [tr.align(a, args.align,
-                                    timestamp_mode=TimestampMode(args.timestamp_mode))
-                           for a in args.audio]
+                # (one padded batch = one compile, like transcribe_batch)
+                results = tr.align_batch(
+                    args.audio, [args.align] * len(args.audio),
+                    timestamp_mode=TimestampMode(args.timestamp_mode))
                 args.timestamps = True  # spans are the whole point
             elif args.features:
                 import numpy as _np

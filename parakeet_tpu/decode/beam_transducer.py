@@ -89,7 +89,10 @@ def _beam_loop(
     batch_ix = jnp.arange(b)[:, None]  # (B, 1)
 
     enc_pre = joint_encoder_projection(joint_p, enc)  # (B, T, J)
-    pred_hidden = params["prediction_.lstm_.cells_.0.hidden_proj_.weight"].shape[1]
+    # hidden_proj weight is (4H, H); derive H from the OUT dim — the in-dim
+    # is halved for int4-packed (uint8) weights (quantize.py), so shape[1]
+    # would build a wrong-sized LSTM state under quantize="int4"
+    pred_hidden = params["prediction_.lstm_.cells_.0.hidden_proj_.weight"].shape[0] // 4
 
     lstm0 = prediction_zero_state(num_lstm_layers, b * k, pred_hidden)
     lhs = lstm0.shape  # (L, 2, B*K, H)

@@ -708,25 +708,55 @@ class _TranscriberBase:
         vocab. Raises ValueError when the clip is too short to emit the
         transcript. Beyond-reference capability (the reference only
         timestamps its own greedy decode, ctc.cpp:79-127)."""
+        return self.align_batch([source], [text], timestamp_mode=timestamp_mode)[0]
+
+    def align_batch(
+        self,
+        sources: list,
+        texts: list[str],
+        *,
+        timestamp_mode: TimestampMode = TimestampMode.WORDS,
+        pad_to_multiple: int | None = None,
+    ) -> list[TranscribeResult]:
+        """Forced-align several clips in ONE padded device call (same
+        compile-reuse discipline as transcribe_batch; a per-clip loop
+        would pay one 30-120 s remote TPU compile per distinct length)."""
         if not self.has_ctc:
             raise ValueError("forced alignment needs the CTC head (tdt-ctc models)")
         if not self.tokenizer.loaded:
             raise ValueError("forced alignment needs a vocab (tokenizer not loaded)")
-        tokens = self.tokenizer.encode(text)
-        if not tokens:
-            raise ValueError("text tokenized to zero tokens")
+        if len(sources) != len(texts):
+            raise ValueError(f"{len(sources)} sources vs {len(texts)} texts")
+        token_lists = [self.tokenizer.encode(t) for t in texts]
+        for text, toks in zip(texts, token_lists):
+            if not toks:
+                raise ValueError(f"text tokenized to zero tokens: {text!r}")
 
         from parakeet_tpu.decode.align import ctc_forced_align
 
-        feats = np.asarray(preprocess_audio(self._to_samples(source), self._audio_cfg))[0]
-        lengths = jnp.asarray([feats.shape[0]], jnp.int32)
-        _, log_probs = self._encode_ctc(self.params, jnp.asarray(feats)[None], lengths)
-        enc_len = int(np.asarray(encoded_lengths(np.asarray([feats.shape[0]])))[0])
-        ts = ctc_forced_align(
-            np.asarray(log_probs, np.float32)[0], tokens, self._ctc_blank(),
-            length=enc_len,
-        )
-        return self._result_from_ts(ts, timestamp_mode)
+        feats = [
+            np.asarray(preprocess_audio(self._to_samples(s), self._audio_cfg))[0]
+            for s in sources
+        ]
+        mel_lens = [f.shape[0] for f in feats]
+        t_max = max(mel_lens)
+        if pad_to_multiple:
+            t_max = -(-t_max // pad_to_multiple) * pad_to_multiple
+        batch = np.zeros((len(feats), t_max, self._audio_cfg.n_mels), np.float32)
+        for i, f in enumerate(feats):
+            batch[i, : f.shape[0]] = f
+        lengths = jnp.asarray(mel_lens, jnp.int32)
+        _, log_probs = self._encode_ctc(self.params, jnp.asarray(batch), lengths)
+        lp_np = np.asarray(log_probs, np.float32)
+        enc_lens = np.asarray(encoded_lengths(np.asarray(mel_lens)))
+        return [
+            self._result_from_ts(
+                ctc_forced_align(lp_np[i], token_lists[i], self._ctc_blank(),
+                                 length=int(enc_lens[i])),
+                timestamp_mode,
+            )
+            for i in range(len(sources))
+        ]
 
     def _ctc_blank(self) -> int:
         return self._blank_id

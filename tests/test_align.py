@@ -170,3 +170,16 @@ def test_facade_align(tmp_path):
     with pytest.raises(ValueError, match="CTC|vocab"):
         # no vocab → tokenizer not loaded
         Transcriber(None, None, cfg, seed=7).align(audio, "a b")
+
+    # align_batch pads to one device call; per-clip results must equal the
+    # single-clip path (padded frames are masked by lengths)
+    audio2 = audio[:19200]
+    batched = tr.align_batch([audio, audio2], ["a b ab", "b a"])
+    singles = [tr.align(audio, "a b ab"), tr.align(audio2, "b a")]
+    for got, want in zip(batched, singles):
+        assert got.token_ids == want.token_ids
+        assert [(g.start_frame, g.end_frame) for g in got.timestamped_tokens] == \
+            [(g.start_frame, g.end_frame) for g in want.timestamped_tokens]
+
+    with pytest.raises(ValueError, match="sources vs"):
+        tr.align_batch([audio], ["a", "b"])

@@ -39,6 +39,13 @@ def test_align_rejected_with_features(capsys):
     assert "--align" in capsys.readouterr().err
 
 
+def test_align_rejects_decode_flags(capsys):
+    rc = main(["--align", "hi", "--beam-size", "4", "clip.wav"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "--beam-size" in err and "--align" in err
+
+
 def test_align_rejected_for_streaming_models(capsys):
     rc = main(["--model", "eou-120m", "--align", "hi", "--random-weights",
                "clip.wav"])

@@ -305,6 +305,33 @@ def test_int4_fusable_guards_reject():
     assert not _attn_block_fusable(attn, x)
 
 
+def test_int4_beam_decode_matches_dequantized():
+    """Beam search must work with int4-PACKED lstm/joint weights (review
+    finding: pred_hidden was derived from the packed in-dim, building a
+    half-sized LSTM state) and match the manually-dequantized params
+    bit-for-bit."""
+    from parakeet_tpu.decode.beam_transducer import transducer_beam_decode
+    from parakeet_tpu.quantize import SCALE4_SUFFIX, dequantize_tensor_int4
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=13)
+    qp = quantize_params(params, mode="int4", min_elems=64, group_size=8)
+    assert qp["prediction_.lstm_.cells_.0.hidden_proj_.weight"].dtype == jnp.uint8
+    deq = {
+        k: (jnp.asarray(dequantize_tensor_int4(
+                np.asarray(v), np.asarray(qp[k + SCALE4_SUFFIX])))
+            if v.dtype == jnp.uint8 else v)
+        for k, v in qp.items() if not k.endswith(SCALE4_SUFFIX)
+    }
+    rng = np.random.RandomState(3)
+    enc = jnp.asarray(rng.randn(2, 6, cfg.encoder.hidden_size).astype(np.float32))
+    kw = dict(num_lstm_layers=1, durations=(0, 1, 2, 3, 4), blank_id=20,
+              is_tdt=True, joint_prefix="tdt_joint_", beam_size=2, n_best=1)
+    got = transducer_beam_decode(qp, enc, **kw)
+    want = transducer_beam_decode(deq, enc, **kw)
+    assert [h[0].tokens for h in got] == [h[0].tokens for h in want]
+
+
 def test_int4_safetensors_roundtrip_and_load(tmp_path):
     """Quarter-size checkpoints: save packed, load_params dequantizes."""
     from parakeet_tpu.io.safetensors import load_safetensors, save_safetensors
