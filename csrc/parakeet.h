@@ -58,6 +58,12 @@ char *parakeet_transcribe_pcm(int64_t handle, const float *pcm,
 char *parakeet_transcribe_pcm_s16(int64_t handle, const int16_t *pcm,
                                   int64_t num_samples, int32_t sample_rate);
 
+/* Forced alignment: word timings for a KNOWN transcript (CTC-head
+ * models created with a vocab). Same result JSON as parakeet_transcribe
+ * (the "words" array is the point); NULL on error. */
+char *parakeet_align(int64_t handle, const char *audio_path,
+                     const char *text);
+
 /* ---- streaming (mic-buffer FFI) ------------------------------------
  * Feed raw PCM chunks at the MODEL rate (16 kHz; the streaming path
  * never resamples — reference StreamingTranscriber contract). */

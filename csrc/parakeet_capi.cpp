@@ -234,6 +234,23 @@ char *parakeet_transcribe_pcm_s16(int64_t handle, const int16_t *pcm,
                              sample_rate, "s16");
 }
 
+char *parakeet_align(int64_t handle, const char *audio_path,
+                     const char *text) {
+  if (audio_path == nullptr || text == nullptr) {
+    set_error("audio_path and text are required");
+    return nullptr;
+  }
+  EnsureGil gil;
+  PyObject *mod = bridge();
+  if (mod == nullptr) {
+    return nullptr;
+  }
+  PyObject *res = PyObject_CallMethod(mod, "align", "Lss",
+                                      static_cast<long long>(handle),
+                                      audio_path, text);
+  return to_c_string(res);
+}
+
 int64_t parakeet_stream_create(const char *model, const char *weights_path,
                                const char *vocab_path,
                                const char *options_json) {

@@ -175,6 +175,17 @@ def transcribe_pcm(h: int, data, sample_rate: int, fmt: str) -> str:
     return _result_json(tr.transcribe(audio.samples, **_decode_opts(opts)))
 
 
+def align(h: int, audio_path: str, text: str) -> str:
+    """Forced alignment (Transcriber.align): word timings for a KNOWN
+    transcript; same result JSON as transcribe. Needs a CTC-head model
+    created with a vocab."""
+    from parakeet_tpu.decode.timestamp import TimestampMode
+
+    tr, opts = _get(h, "offline")
+    mode = TimestampMode(opts.get("timestamp_mode", "words"))
+    return _result_json(tr.align(audio_path, text, timestamp_mode=mode))
+
+
 #: streaming models the C API can instantiate; "test-tiny-stream" is the
 #: random-weight smoke config used by the C API tests
 STREAM_MODELS = ("eou-120m", "nemotron-600m", "test-tiny-stream")

@@ -157,6 +157,38 @@ def test_version(capi):
     assert v and v[0].isdigit()
 
 
+def test_align_over_c_api(capi, tmp_path):
+    import wave
+
+    capi.parakeet_align.restype = ctypes.c_void_p
+    capi.parakeet_align.argtypes = [ctypes.c_int64, ctypes.c_char_p,
+                                    ctypes.c_char_p]
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(["<unk>", "▁a", "▁b", "a", "b"]) + "\n")
+    h = capi.parakeet_create(b"test-tiny", None, str(vocab).encode(), None)
+    assert h > 0, capi.parakeet_last_error().decode()
+
+    pcm = _sine(24000)
+    path = tmp_path / "clip.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((pcm * 32767).astype("<i2").tobytes())
+
+    res = json.loads(_take_string(capi, capi.parakeet_align(
+        h, str(path).encode(), "a b ab".encode())))
+    assert len(res["words"]) == 3
+    starts = [w["start"] for w in res["words"]]
+    assert starts == sorted(starts)
+
+    # too-short clip for the transcript → error, not crash
+    assert capi.parakeet_align(h, str(path).encode(),
+                               ("a b " * 200).encode()) is None
+    assert b"frames" in capi.parakeet_last_error()
+    capi.parakeet_destroy(h)
+
+
 def _stream_proto(capi):
     capi.parakeet_stream_create.restype = ctypes.c_int64
     capi.parakeet_stream_create.argtypes = [ctypes.c_char_p] * 4
