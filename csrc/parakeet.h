@@ -64,6 +64,22 @@ char *parakeet_transcribe_pcm_s16(int64_t handle, const int16_t *pcm,
 char *parakeet_align(int64_t handle, const char *audio_path,
                      const char *text);
 
+/* ---- diarization ---------------------------------------------------- */
+
+/* Create a speaker-attributed transcriber (ASR + Sortformer fusion).
+ *   model: "diarized" (110m ASR + sortformer-117m) | "test-tiny-diarized"
+ * Returns a positive handle, or 0 on error. */
+int64_t parakeet_diarize_create(const char *model, const char *asr_weights,
+                                const char *sortformer_weights,
+                                const char *vocab_path,
+                                const char *options_json);
+
+/* Speaker-attributed transcription:
+ *   {"text", "words": [{"word","start","end","confidence","speaker"}],
+ *    "segments": [{"speaker","start","end"}]}
+ * NULL on error; free with parakeet_free_string(). */
+char *parakeet_diarize(int64_t handle, const char *audio_path);
+
 /* ---- streaming (mic-buffer FFI) ------------------------------------
  * Feed raw PCM chunks at the MODEL rate (16 kHz; the streaming path
  * never resamples — reference StreamingTranscriber contract). */

@@ -251,6 +251,51 @@ char *parakeet_align(int64_t handle, const char *audio_path,
   return to_c_string(res);
 }
 
+int64_t parakeet_diarize_create(const char *model, const char *asr_weights,
+                                const char *sortformer_weights,
+                                const char *vocab_path,
+                                const char *options_json) {
+  if (model == nullptr) {
+    set_error("model is required");
+    return 0;
+  }
+  EnsureGil gil;
+  PyObject *mod = bridge();
+  if (mod == nullptr) {
+    return 0;
+  }
+  PyObject *res =
+      PyObject_CallMethod(mod, "diarize_create", "szzzz", model, asr_weights,
+                          sortformer_weights, vocab_path, options_json);
+  if (res == nullptr) {
+    set_error_from_python();
+    return 0;
+  }
+  long long h = PyLong_AsLongLong(res);
+  Py_DECREF(res);
+  if (h <= 0 && PyErr_Occurred()) {
+    set_error_from_python();
+    return 0;
+  }
+  return static_cast<int64_t>(h);
+}
+
+char *parakeet_diarize(int64_t handle, const char *audio_path) {
+  if (audio_path == nullptr) {
+    set_error("audio_path is required");
+    return nullptr;
+  }
+  EnsureGil gil;
+  PyObject *mod = bridge();
+  if (mod == nullptr) {
+    return nullptr;
+  }
+  PyObject *res = PyObject_CallMethod(mod, "diarize", "Ls",
+                                      static_cast<long long>(handle),
+                                      audio_path);
+  return to_c_string(res);
+}
+
 int64_t parakeet_stream_create(const char *model, const char *weights_path,
                                const char *vocab_path,
                                const char *options_json) {

@@ -254,6 +254,76 @@ def stream_reset(h: int) -> None:
     st.reset()
 
 
+#: diarized models the C API can instantiate; "test-tiny-diarized" is the
+#: random-weight smoke pair used by the C API tests
+DIARIZE_MODELS = ("diarized", "test-tiny-diarized")
+
+
+def _tiny_diarized_configs():
+    from parakeet_tpu import config as C
+
+    sf = C.SortformerConfig(
+        nest_encoder=C.StreamingEncoderConfig(
+            mel_bins=128, subsampling_channels=8, hidden_size=24, num_layers=2,
+            num_heads=2, ffn_intermediate=32, conv_kernel_size=5,
+            att_context_left=6, att_context_right=0,
+            subsampling_activation="relu", xscaling=True,
+        ),
+        encoder_hidden=24,
+        transformer_hidden=12,
+        transformer=C.TransformerConfig(
+            hidden_size=12, num_layers=2, num_heads=2, ffn_intermediate=24,
+            pre_ln=False, has_final_norm=False,
+        ),
+        max_speakers=4,
+    )
+    return _tiny_config(), sf
+
+
+def diarize_create(model: str, asr_weights: str | None,
+                   sortformer_weights: str | None, vocab_path: str | None,
+                   options_json: str | None) -> int:
+    """Build a speaker-attributed transcriber (DiarizedTranscriber: ASR +
+    Sortformer fusion). "diarized" = 110m ASR + sortformer-117m presets."""
+    opts, kw = _parse_options(options_json, ("compute_dtype",))
+    if model == "diarized":
+        dt_cfg = sf_cfg = None
+    elif model == "test-tiny-diarized":
+        dt_cfg, sf_cfg = _tiny_diarized_configs()
+    else:
+        raise ValueError(
+            f"unknown diarized model {model!r} (want one of {', '.join(DIARIZE_MODELS)})")
+
+    from parakeet_tpu.diarize import DiarizedTranscriber
+
+    dt = DiarizedTranscriber(asr_weights, sortformer_weights, vocab_path,
+                             dt_cfg, sf_cfg, **kw)
+    return _register(dt, opts, "diarized")
+
+
+def diarize(h: int, audio_path: str) -> str:
+    """Speaker-attributed transcription of an audio file; returns
+    {"text", "words": [{word,start,end,confidence,speaker}],
+     "segments": [{speaker,start,end}]}."""
+    from parakeet_tpu.transcribe import Decoder
+
+    dt, opts = _get(h, "diarized")
+    res = dt.transcribe(audio_path,
+                        Decoder.CTC if opts.get("decoder") == "ctc" else Decoder.TDT)
+    return json.dumps({
+        "text": res.text,
+        "words": [
+            {"word": w.word, "start": w.start, "end": w.end,
+             "confidence": w.confidence, "speaker": w.speaker_id}
+            for w in res.words
+        ],
+        "segments": [
+            {"speaker": s.speaker_id, "start": s.start, "end": s.end}
+            for s in res.segments
+        ],
+    })
+
+
 def destroy(h: int) -> None:
     with _lock:
         _handles.pop(h, None)

@@ -189,6 +189,46 @@ def test_align_over_c_api(capi, tmp_path):
     capi.parakeet_destroy(h)
 
 
+def test_diarize_over_c_api(capi, tmp_path):
+    import wave
+
+    capi.parakeet_diarize_create.restype = ctypes.c_int64
+    capi.parakeet_diarize_create.argtypes = [ctypes.c_char_p] * 5
+    capi.parakeet_diarize.restype = ctypes.c_void_p
+    capi.parakeet_diarize.argtypes = [ctypes.c_int64, ctypes.c_char_p]
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(["<unk>", "▁a", "▁b", "a", "b"]) + "\n")
+    h = capi.parakeet_diarize_create(b"test-tiny-diarized", None, None,
+                                     str(vocab).encode(), None)
+    assert h > 0, capi.parakeet_last_error().decode()
+
+    pcm = _sine(12000)
+    path = tmp_path / "clip.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((pcm * 32767).astype("<i2").tobytes())
+
+    res = json.loads(_take_string(capi, capi.parakeet_diarize(
+        h, str(path).encode())))
+    assert set(res) == {"text", "words", "segments"}
+    for w in res["words"]:
+        assert set(w) == {"word", "start", "end", "confidence", "speaker"}
+        assert w["speaker"] >= -1
+    for s in res["segments"]:
+        assert set(s) == {"speaker", "start", "end"}
+
+    # kind mismatch: offline transcribe on a diarized handle must error
+    assert capi.parakeet_transcribe(h, str(path).encode()) is None
+    assert b"diarized" in capi.parakeet_last_error()
+    capi.parakeet_destroy(h)
+
+    assert capi.parakeet_diarize_create(b"bogus", None, None, None, None) == 0
+    assert b"bogus" in capi.parakeet_last_error()
+
+
 def _stream_proto(capi):
     capi.parakeet_stream_create.restype = ctypes.c_int64
     capi.parakeet_stream_create.argtypes = [ctypes.c_char_p] * 4
