@@ -139,6 +139,7 @@ def quantize_params(
     min_elems: int = 4096,
     include: str | None = None,
     group_size: int = 64,
+    as_numpy: bool = False,
 ) -> dict:
     """Quantize eligible 2-D `.weight` tensors of a flat param dict to int8
     (+ `##scale` sidecars) or packed int4 (+ `##scale4`); everything else
@@ -149,6 +150,8 @@ def quantize_params(
     min_elems: skip tiny matrices (quant overhead without bandwidth win).
     include: optional regex — only keys matching it are quantized.
     group_size: int4 inputs sharing one scale (clamped to a divisor).
+    as_numpy: keep outputs as numpy arrays (no device placement) — for
+    offline tools that must not initialize a backend (quantize_ckpt).
 
     Note: for tensor-parallel meshes, shard_params replicates the scale
     sidecars (they're tiny); quantized + TP over a quantized dim would
@@ -172,14 +175,15 @@ def quantize_params(
             and (mode == "int8" or arr.shape[1] % 2 == 0)
         )
         if eligible:
+            wrap = (lambda a: a) if as_numpy else jnp.asarray
             if mode == "int4":
                 q, s = quantize_tensor_int4(arr, group_size=group_size)
-                out[k] = jnp.asarray(q)
-                out[k + SCALE4_SUFFIX] = jnp.asarray(s)
+                out[k] = wrap(q)
+                out[k + SCALE4_SUFFIX] = wrap(s)
             else:
                 q, s = quantize_tensor(arr)
-                out[k] = jnp.asarray(q)
-                out[k + SCALE_SUFFIX] = jnp.asarray(s)
+                out[k] = wrap(q)
+                out[k + SCALE_SUFFIX] = wrap(s)
         else:
             out[k] = v
     return out

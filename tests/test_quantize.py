@@ -354,6 +354,31 @@ def test_int4_safetensors_roundtrip_and_load(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded[key]), want, rtol=1e-6)
 
 
+def test_quantize_ckpt_cli(tmp_path):
+    """parakeet-quantize: f32 checkpoint → int4 artifact that the facade
+    loads transparently; re-quantizing the output is rejected."""
+    from parakeet_tpu.io.safetensors import load_safetensors, save_safetensors
+    from parakeet_tpu.tools.quantize_ckpt import main as qmain
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=17)
+    src = tmp_path / "f32.safetensors"
+    dst = tmp_path / "q4.safetensors"
+    save_safetensors({k: np.asarray(v) for k, v in params.items()}, src)
+
+    assert qmain([str(src), str(dst), "--mode", "int4",
+                  "--min-elems", "256", "--group-size", "8"]) == 0
+    assert dst.stat().st_size < src.stat().st_size
+    back = load_safetensors(dst)
+    key = "encoder_.layers_.0.ffn1_.fc1_.weight"
+    assert back[key].dtype == np.uint8
+
+    loaded = P.load_params(P.tdt_ctc_spec(cfg), str(dst))
+    assert loaded[key].shape == params[key].shape
+
+    assert qmain([str(dst), str(tmp_path / "qq.safetensors")]) == 1
+
+
 def test_quantize_params_idempotent_on_int8():
     """Re-quantizing an already-quantized dict must be a no-op, not a
     silent corruption of the scales (review finding)."""
