@@ -65,10 +65,11 @@ def run_e2e(args) -> dict:
     params = P.init_params(P.tdt_ctc_spec(cfg), seed=0)
     if args.dtype != "float32":
         params = cast_params(params, dtype)
-    if args.e2e_int8_decoder:
+    if args.e2e_quantize_decoder:
         from parakeet_tpu.quantize import quantize_params
 
-        params = quantize_params(params, include=r"^(prediction_|tdt_joint_)")
+        params = quantize_params(params, mode=args.e2e_quantize_decoder,
+                                 include=r"^(prediction_|tdt_joint_)")
 
     b, n = args.batch, args.secs * 16000
     rng = np.random.RandomState(0)
@@ -200,11 +201,16 @@ def main() -> int:
                     help="decode while_loop steps per iteration in the e2e "
                          "pipeline (bit-identical; see _decode_loop)")
     ap.add_argument("--e2e-int8-decoder", action="store_true",
-                    help="int8-quantize the prediction/joint weights for the "
+                    help="alias for --e2e-quantize-decoder int8")
+    ap.add_argument("--e2e-quantize-decoder", default=None,
+                    choices=["int8", "int4"],
+                    help="quantize the prediction/joint weights for the "
                          "e2e pipeline (decode is weight-streaming-bound — "
                          "TUNING.md; NOT bit-identical, a distinct operating "
-                         "point)")
+                         "point; int4 quarters the decode weight traffic)")
     args = ap.parse_args()
+    if args.e2e_int8_decoder and args.e2e_quantize_decoder is None:
+        args.e2e_quantize_decoder = "int8"
 
     import numpy as np
     import jax
