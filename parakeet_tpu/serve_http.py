@@ -184,6 +184,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=25.0)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--quantize", default=None, choices=["int8", "int4"],
+                    help="weight-only quantization for both the offline and "
+                         "streaming transcribers (streaming decode is "
+                         "weight-streaming-bound — TUNING.md)")
     ap.add_argument("--device", default=None, choices=[None, "cpu"])
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--streaming", action="store_true",
@@ -213,7 +217,8 @@ def main(argv=None) -> int:
 
     weights = None if args.random_weights else args.weights
     vocab = None if args.random_weights else args.vocab
-    tr = Transcriber(weights, vocab, compute_dtype=args.dtype)
+    tr = Transcriber(weights, vocab, compute_dtype=args.dtype,
+                     quantize=args.quantize)
     service = TranscriptionService(
         tr, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
@@ -224,7 +229,8 @@ def main(argv=None) -> int:
         sweights = None if args.random_weights else args.streaming_weights
         bt = StreamingBatchTranscriber(args.stream_slots, sweights, vocab,
                                        model=args.streaming_model,
-                                       frontend="fused", wire_dtype="int16")
+                                       frontend="fused", wire_dtype="int16",
+                                       quantize=args.quantize)
         stream_service = StreamingService(bt, stall_timeout_s=args.stream_stall_s)
 
     httpd = make_server(service, stream_service, host=args.host, port=args.port,

@@ -53,7 +53,12 @@ class _StreamingBase:
         params: dict | None = None,
         compute_dtype: str = "float32",
         seed: int = 0,
+        quantize: str | None = None,
     ):
+        """quantize: "int8"/"int4" weight-only quantization (quantize.py).
+        Streaming decode re-reads the prediction/joint weights from HBM
+        every chunk — the one path where quantization buys throughput,
+        not just footprint (TUNING.md "decode is weight-streaming-bound")."""
         self.config = config
         if params is not None:
             self.params = dict(params)
@@ -64,6 +69,10 @@ class _StreamingBase:
             from parakeet_tpu.transcribe import _dtype_of
 
             self.params = cast_params(self.params, _dtype_of(compute_dtype))
+        if quantize:
+            from parakeet_tpu.quantize import quantize_params
+
+            self.params = quantize_params(self.params, mode=quantize)
         self.tokenizer = Tokenizer(vocab_path) if vocab_path else Tokenizer()
         self._blank_id = config.joint.vocab_size - 1
         self._audio_cfg = AudioConfig(n_mels=config.encoder.mel_bins)
@@ -209,6 +218,7 @@ class StreamingBatchTranscriber:
         params: dict | None = None,
         mel_frames_per_step: int = 16,  # multiple of 8 (subsampling stride)
         seed: int = 0,
+        quantize: str | None = None,  # "int8"/"int4" weight-only (see _StreamingBase)
     ):
         """frontend="per_push": each push() runs the slot's mel frontend
         (reference StreamingAudioPreprocessor semantics — the mel grid
@@ -259,7 +269,7 @@ class StreamingBatchTranscriber:
         self._joint_prefix = proto_cls.joint_prefix
 
         proto = proto_cls(weights_path, vocab_path, self.config,
-                          params=params, seed=seed)
+                          params=params, seed=seed, quantize=quantize)
         self.config = proto.config  # resolved preset when config was None
         self.params = proto.params
         self.tokenizer = proto.tokenizer

@@ -531,3 +531,51 @@ def test_streaming_batch_int16_wire():
 
     with pytest.raises(ValueError, match="requires frontend"):
         StreamingBatchTranscriber(1, None, None, cfg, wire_dtype="int16")
+
+
+def test_streaming_quantized_weights_match_dequantized():
+    """Streaming facades accept weight-only quantization (TUNING.md: the
+    decode loop is weight-streaming-bound, so int8/int4 buys throughput
+    there). int8 dequant inside linear() is exact w.r.t. manual dequant,
+    so tokens must be IDENTICAL to a transcriber built from manually
+    dequantized params."""
+    from parakeet_tpu.quantize import (
+        SCALE_SUFFIX,
+        dequantize_tensor,
+        quantize_params,
+    )
+    from parakeet_tpu.streaming import StreamingBatchTranscriber, StreamingTranscriber
+
+    cfg = C.EOUConfig(
+        encoder=tiny_streaming_cfg(),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=13),
+        ctc_vocab_size=13,
+    )
+    params = P.init_params(P.eou_spec(cfg), seed=3)
+    qp = quantize_params(params, min_elems=64)  # tiny weights: force eligibility
+    assert any(v.dtype == jnp.int8 for v in qp.values())
+    deq = {
+        k: (jnp.asarray(dequantize_tensor(np.asarray(v), np.asarray(qp[k + SCALE_SUFFIX])))
+            if v.dtype == jnp.int8 else v)
+        for k, v in qp.items() if not k.endswith(SCALE_SUFFIX)
+    }
+
+    rng = np.random.RandomState(4)
+    audio = (rng.randn(16000) * 0.1).astype(np.float32)
+
+    def run(p):
+        st = StreamingTranscriber(None, None, cfg, params=p)
+        for s in range(0, len(audio), 3200):
+            st.transcribe_chunk(audio[s : s + 3200])
+        return st.get_tokens()
+
+    assert run(qp) == run(deq)
+
+    # kwarg plumbing: quantize= reaches the weight dict on both facades
+    st_q = StreamingTranscriber(None, None, cfg, seed=3, quantize="int4")
+    assert st_q.transcribe_chunk(audio[:3200]) is not None
+    bt_q = StreamingBatchTranscriber(1, None, None, cfg, seed=3, quantize="int8")
+    bt_q.push(0, audio[:3200])
+    while bt_q.ready():
+        bt_q.step()
