@@ -214,7 +214,7 @@ def stream_create(model: str, weights_path: str | None,
     at the model rate, 16 kHz — the streaming path never resamples, same
     contract as the reference's StreamingTranscriber). Extra option:
     `latency` (nemotron right-context frames: 0|1|6|13)."""
-    opts, kw = _parse_options(options_json, ("compute_dtype", "seed"))
+    opts, kw = _parse_options(options_json, ("compute_dtype", "seed", "quantize"))
 
     from parakeet_tpu.streaming import NemotronTranscriber, StreamingTranscriber
 

@@ -66,6 +66,8 @@ def dequantize_tensor(q: np.ndarray, s: np.ndarray) -> np.ndarray:
 
 def _int4_group(in_dim: int, group_size: int) -> int:
     """Effective group size: the largest divisor of in_dim ≤ group_size."""
+    if group_size < 1:
+        raise ValueError(f"group_size must be >= 1, got {group_size}")
     return max(g for g in range(1, min(group_size, in_dim) + 1) if in_dim % g == 0)
 
 

@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     ap.add_argument("--include", default=None, metavar="REGEX",
                     help="only quantize keys matching this regex")
     args = ap.parse_args(argv)
+    if args.group_size < 1:
+        ap.error("--group-size must be >= 1")
+    if args.min_elems < 0:
+        ap.error("--min-elems must be >= 0")
 
     import numpy as np
 

@@ -572,10 +572,21 @@ def test_streaming_quantized_weights_match_dequantized():
 
     assert run(qp) == run(deq)
 
-    # kwarg plumbing: quantize= reaches the weight dict on both facades
-    st_q = StreamingTranscriber(None, None, cfg, seed=3, quantize="int4")
+    # kwarg plumbing: quantize= must actually quantize (hidden 64 → the
+    # (64, 64) ffn weights clear quantize_params' min_elems=4096; the tiny
+    # cfg above stays below it, which would make this assertion vacuous)
+    cfg_big = C.EOUConfig(
+        encoder=tiny_streaming_cfg(hidden_size=64, ffn_intermediate=64,
+                                   num_layers=1),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=64, pred_hidden=8, joint_hidden=8, vocab_size=13),
+        ctc_vocab_size=13,
+    )
+    st_q = StreamingTranscriber(None, None, cfg_big, seed=3, quantize="int4")
+    assert any(v.dtype == jnp.uint8 for v in st_q.params.values())
     assert st_q.transcribe_chunk(audio[:3200]) is not None
-    bt_q = StreamingBatchTranscriber(1, None, None, cfg, seed=3, quantize="int8")
+    bt_q = StreamingBatchTranscriber(1, None, None, cfg_big, seed=3, quantize="int8")
+    assert any(v.dtype == jnp.int8 for v in bt_q.params.values())
     bt_q.push(0, audio[:3200])
     while bt_q.ready():
         bt_q.step()
