@@ -208,6 +208,9 @@ def main() -> int:
                          "e2e pipeline (decode is weight-streaming-bound — "
                          "TUNING.md; NOT bit-identical, a distinct operating "
                          "point; int4 quarters the decode weight traffic)")
+    ap.add_argument("--device-timeout", type=float, default=900.0,
+                    help="seconds to wait for device enumeration before "
+                         "declaring the accelerator unreachable (exit 2)")
     args = ap.parse_args()
     if args.e2e_int8_decoder and args.e2e_quantize_decoder is None:
         args.e2e_quantize_decoder = "int8"
@@ -216,6 +219,27 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # Bounded device probe: during the 2026-08-18 axon relay outage,
+    # jax.devices() blocked indefinitely — a hung bench leaves the driver
+    # with no signal at all. Device enumeration normally takes seconds;
+    # if it hasn't returned in --device-timeout seconds, report and exit
+    # non-zero (daemon probe thread can't be cancelled, so _exit).
+    import os
+    import threading
+
+    probe_done = threading.Event()
+
+    def _probe():
+        jax.devices()
+        probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not probe_done.wait(args.device_timeout):
+        print(f"bench: device enumeration still hung after "
+              f"{args.device_timeout}s (accelerator/relay unreachable); "
+              f"no measurement possible", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
 
     from parakeet_tpu import config as C
     from parakeet_tpu import params as P
