@@ -28,12 +28,13 @@ import numpy as np  # noqa: E402
 
 
 def bench_one(model: str, batch: int, steps: int, mel_step: int = 16,
-              wire_dtype: str = "int16") -> dict:
+              wire_dtype: str = "int16", quantize: str | None = None) -> dict:
     from parakeet_tpu.streaming import StreamingBatchTranscriber
 
     bt = StreamingBatchTranscriber(batch, None, None, model=model,
                                    mel_frames_per_step=mel_step, seed=0,
-                                   frontend="fused", wire_dtype=wire_dtype)
+                                   frontend="fused", wire_dtype=wire_dtype,
+                                   quantize=quantize)
     hop = bt._audio_cfg.hop_length
     win = bt._audio_cfg.win_length
     # The streaming frontend's grid-restart-at-consumed semantics (inherited
@@ -74,6 +75,7 @@ def bench_one(model: str, batch: int, steps: int, mel_step: int = 16,
         "model": model, "batch": batch, "ms_per_step": round(dt * 1e3, 2),
         "audio_s_per_step": step_s,
         "realtime_streams_per_chip": round(streams, 1),
+        "quantize": quantize,
     }
 
 
@@ -84,10 +86,15 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--wire-dtype", default="int16", choices=["float32", "int16"],
                     help="raw-audio upload dtype (int16 = serving config, half the bytes)")
+    ap.add_argument("--quantize", default=None, choices=["int8", "int4"],
+                    help="weight-only quantized cohort (decode re-reads the "
+                         "prediction/joint weights every step — the "
+                         "weight-bound path; distinct operating point)")
     args = ap.parse_args()
 
     for b in args.batches:
-        rec = bench_one(args.model, b, args.steps, wire_dtype=args.wire_dtype)
+        rec = bench_one(args.model, b, args.steps, wire_dtype=args.wire_dtype,
+                        quantize=args.quantize)
         print(json.dumps(rec), flush=True)
     return 0
 
