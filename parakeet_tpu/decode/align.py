@@ -100,4 +100,34 @@ def ctc_forced_align(
     return out
 
 
-__all__ = ["ctc_forced_align"]
+def stitch_frame_ownership(
+    abs_start_frames: list[int], enc_lens: list[int], overlap_frames: int
+) -> list[tuple[int, int]]:
+    """Window→frame ownership for long-form alignment (align_long).
+
+    Windows i cover absolute encoder frames [A_i, A_i + enc_lens[i]); the
+    boundary between consecutive windows sits mid-overlap, so every
+    absolute frame is owned by exactly one window (same exclusive-half
+    rule as transcribe_long's word ownership, at frame granularity).
+    Returns per-window RELATIVE [lo, hi) ranges; concatenating
+    lp_i[lo_i:hi_i] yields one gapless, duplicate-free frame timeline.
+    """
+    n = len(abs_start_frames)
+    if n != len(enc_lens) or n == 0:
+        raise ValueError("need one start per window")
+    half = (overlap_frames + 1) // 2
+    bounds = [0]
+    for i in range(1, n):
+        bounds.append(abs_start_frames[i] + half)
+    bounds.append(abs_start_frames[-1] + enc_lens[-1])
+    out = []
+    for i in range(n):
+        lo = max(bounds[i] - abs_start_frames[i], 0)
+        hi = min(bounds[i + 1] - abs_start_frames[i], enc_lens[i])
+        if hi < lo:
+            hi = lo  # fully-shadowed sliver window owns nothing
+        out.append((lo, hi))
+    return out
+
+
+__all__ = ["ctc_forced_align", "stitch_frame_ownership"]

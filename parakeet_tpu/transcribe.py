@@ -758,6 +758,87 @@ class _TranscriberBase:
             for i in range(len(sources))
         ]
 
+    def align_long(
+        self,
+        source,
+        text: str,
+        *,
+        window_s: float = 60.0,
+        overlap_s: float = 10.0,
+        timestamp_mode: TimestampMode = TimestampMode.WORDS,
+    ) -> TranscribeResult:
+        """Forced alignment for audio past the dense-attention limit
+        (reference: ~4-5 min, README 'Offline models have ~4-5 minute
+        audio length limits'): overlapping windows (transcribe_long's
+        scheme) produce per-window CTC log-probs, each absolute frame is
+        owned by exactly one window (exclusive half-overlap,
+        decode/align.stitch_frame_ownership), and ONE Viterbi pass aligns
+        the whole transcript over the stitched timeline. Window-boundary
+        frames see less context than a (infeasible) full dense pass —
+        the same tradeoff transcribe_long makes.
+
+        The window hop is snapped to the encoder frame grid (0.08 s) so
+        stitched rows carry exact absolute frame indices."""
+        if not self.has_ctc:
+            raise ValueError("forced alignment needs the CTC head (tdt-ctc models)")
+        if not self.tokenizer.loaded:
+            raise ValueError("forced alignment needs a vocab (tokenizer not loaded)")
+        if overlap_s < 0 or overlap_s >= window_s:
+            raise ValueError(
+                f"overlap_s ({overlap_s}) must be >= 0 and < window_s ({window_s})")
+        samples = self._to_samples(source)
+        sr = self._audio_cfg.sample_rate
+        win = int(window_s * sr)
+        if len(samples) <= win:
+            return self.align(samples, text, timestamp_mode=timestamp_mode)
+        tokens = self.tokenizer.encode(text)
+        if not tokens:
+            raise ValueError("text tokenized to zero tokens")
+
+        from parakeet_tpu.decode.align import ctc_forced_align, stitch_frame_ownership
+
+        # snap the hop to the encoder frame grid so every window start is
+        # an exact absolute frame index
+        frame_samples = 8 * self._audio_cfg.hop_length
+        hop_frames = max(1, round((window_s - overlap_s) * sr / frame_samples))
+        hop = hop_frames * frame_samples
+        starts = list(range(0, max(len(samples) - win, 0) + hop, hop))
+
+        feats = [
+            np.asarray(preprocess_audio(samples[s0:s0 + win], self._audio_cfg))[0]
+            for s0 in starts
+        ]
+        mel_lens = [f.shape[0] for f in feats]
+        batch = np.zeros((len(feats), max(mel_lens), self._audio_cfg.n_mels), np.float32)
+        for i, f in enumerate(feats):
+            batch[i, : f.shape[0]] = f
+        _, log_probs = self._encode_ctc(
+            self.params, jnp.asarray(batch), jnp.asarray(mel_lens, jnp.int32))
+        lp_np = np.asarray(log_probs, np.float32)
+        enc_lens = [int(l) for l in np.asarray(encoded_lengths(np.asarray(mel_lens)))]
+
+        abs_starts = [s0 // frame_samples for s0 in starts]
+        win_frames = win // frame_samples
+        ranges = stitch_frame_ownership(abs_starts, enc_lens, win_frames - hop_frames)
+        stitched = np.concatenate(
+            [lp_np[i, lo:hi] for i, (lo, hi) in enumerate(ranges)], axis=0)
+        abs_frames = np.concatenate(
+            [np.arange(lo, hi) + abs_starts[i] for i, (lo, hi) in enumerate(ranges)])
+
+        # host DP footprint guard: the (T, S) backpointer table is the cost
+        n_states = 2 * len(tokens) + 1
+        if stitched.shape[0] * n_states > 1_500_000_000:
+            raise ValueError(
+                f"alignment lattice too large ({stitched.shape[0]} frames × "
+                f"{n_states} states); split the transcript and align sections")
+        ts = ctc_forced_align(stitched, tokens, self._ctc_blank())
+        remapped = [
+            TimestampedToken(t.token_id, int(abs_frames[t.start_frame]),
+                             int(abs_frames[t.end_frame]), t.confidence)
+            for t in ts
+        ]
+        return self._result_from_ts(remapped, timestamp_mode)
+
     def _ctc_blank(self) -> int:
         return self._blank_id
 

@@ -183,3 +183,67 @@ def test_facade_align(tmp_path):
 
     with pytest.raises(ValueError, match="sources vs"):
         tr.align_batch([audio], ["a", "b"])
+
+
+def test_stitch_frame_ownership_contiguous():
+    from parakeet_tpu.decode.align import stitch_frame_ownership
+
+    # 3 full windows: 75 frames each, hop 50 (overlap 25)
+    starts = [0, 50, 100]
+    lens = [75, 75, 60]  # last window clipped by audio end
+    ranges = stitch_frame_ownership(starts, lens, 25)
+    abs_cover = []
+    for a, (lo, hi) in zip(starts, ranges):
+        abs_cover.extend(range(a + lo, a + hi))
+    # gapless, duplicate-free, spans frame 0 .. last window end
+    assert abs_cover == list(range(0, 160))
+    # first window owns from 0; boundaries sit mid-overlap (50 + 13)
+    assert ranges[0] == (0, 63)
+
+    # sliver fully shadowed by the previous window owns nothing
+    ranges2 = stitch_frame_ownership([0, 50], [75, 5], 25)
+    assert ranges2[1][0] >= ranges2[1][1]
+
+    with pytest.raises(ValueError, match="one start"):
+        stitch_frame_ownership([0, 1], [5], 2)
+
+
+def test_align_long_facade(tmp_path):
+    from parakeet_tpu import config as C
+    from parakeet_tpu.transcribe import Transcriber
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(["<unk>", "▁a", "▁b", "a", "b"]) + "\n")
+    cfg = C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=16,
+                                hidden_size=32, num_layers=2, num_heads=4,
+                                ffn_intermediate=64),
+        prediction=C.PredictionConfig(vocab_size=6, pred_hidden=16,
+                                      num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=32, pred_hidden=16, joint_hidden=16,
+                            vocab_size=6),
+        ctc_vocab_size=6,
+    )
+    tr = Transcriber(None, str(vocab), cfg, seed=7)
+    t = np.arange(4 * 16000) / 16000.0
+    audio = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+
+    # short-circuit: audio shorter than the window == plain align
+    short = tr.align_long(audio[:16000], "a b", window_s=2.0, overlap_s=0.5)
+    plain = tr.align(audio[:16000], "a b")
+    assert [(g.start_frame, g.end_frame) for g in short.timestamped_tokens] == \
+        [(g.start_frame, g.end_frame) for g in plain.timestamped_tokens]
+
+    # long path: 4 s through 1 s windows with 0.32 s overlap
+    res = tr.align_long(audio, "a b ab a", window_s=1.0, overlap_s=0.32)
+    toks = tr.tokenizer.encode("a b ab a")
+    assert res.token_ids == toks
+    total_frames = (4 * 16000) // 1280 + 2
+    last_end = -1
+    for g in res.timestamped_tokens:
+        assert last_end < g.start_frame <= g.end_frame < total_frames
+        last_end = g.end_frame
+    # deterministic
+    res2 = tr.align_long(audio, "a b ab a", window_s=1.0, overlap_s=0.32)
+    assert [(g.start_frame, g.end_frame) for g in res2.timestamped_tokens] == \
+        [(g.start_frame, g.end_frame) for g in res.timestamped_tokens]
