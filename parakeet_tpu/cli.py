@@ -110,6 +110,10 @@ def main(argv=None) -> int:
                     help="forced alignment: print word timings for this "
                          "known transcript instead of decoding (tdt-ctc "
                          "models; composes with --srt/--vtt)")
+    ap.add_argument("--align-window", type=float, default=None, metavar="S",
+                    help="window seconds for long-form --align (audio past "
+                         "the ~4-5 min dense limit; overlap-stitched "
+                         "windows, one Viterbi pass)")
     ap.add_argument("--progress", action="store_true",
                     help="print pipeline-stage progress to stderr "
                          "(load/preprocess/decode; offline models only)")
@@ -261,9 +265,16 @@ def main(argv=None) -> int:
             if args.align is not None:
                 # forced alignment: word timings for a KNOWN transcript
                 # (one padded batch = one compile, like transcribe_batch)
-                results = tr.align_batch(
-                    args.audio, [args.align] * len(args.audio),
-                    timestamp_mode=TimestampMode(args.timestamp_mode))
+                mode = TimestampMode(args.timestamp_mode)
+                if args.align_window:
+                    results = [tr.align_long(a, args.align,
+                                             window_s=args.align_window,
+                                             timestamp_mode=mode)
+                               for a in args.audio]
+                else:
+                    results = tr.align_batch(
+                        args.audio, [args.align] * len(args.audio),
+                        timestamp_mode=mode)
                 args.timestamps = True  # spans are the whole point
             elif args.features:
                 import numpy as _np

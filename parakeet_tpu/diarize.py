@@ -85,18 +85,19 @@ class DiarizedTranscriber:
         """API-compatibility no-op (reference: move weights to Metal GPU).
         JAX places arrays on the default device (the TPU) automatically."""
 
-    def transcribe(self, source, decoder: Decoder = Decoder.TDT) -> DiarizedResult:
+    def _to_samples(self, source) -> np.ndarray:
         if isinstance(source, (str, bytes, bytearray)) or hasattr(source, "__fspath__"):
-            samples = read_audio(source, 16000).samples
-        else:
-            arr = np.asarray(source)
-            if arr.dtype == np.int16 or arr.ndim > 1:
-                # int16 scaling + channel downmix — same raw-PCM hygiene as
-                # transcribe.py's _to_samples (blind reshape would interleave
-                # stereo and keep int16 at +/-32768 scale)
-                samples = read_audio(arr, sample_rate=16000).samples
-            else:
-                samples = arr.astype(np.float32).reshape(-1)
+            return read_audio(source, 16000).samples
+        arr = np.asarray(source)
+        if arr.dtype == np.int16 or arr.ndim > 1:
+            # int16 scaling + channel downmix — same raw-PCM hygiene as
+            # transcribe.py's _to_samples (blind reshape would interleave
+            # stereo and keep int16 at +/-32768 scale)
+            return read_audio(arr, sample_rate=16000).samples
+        return arr.astype(np.float32).reshape(-1)
+
+    def transcribe(self, source, decoder: Decoder = Decoder.TDT) -> DiarizedResult:
+        samples = self._to_samples(source)
 
         # 1. ASR with word timestamps
         asr = self.transcriber.transcribe(samples, decoder, timestamps=True)
@@ -109,6 +110,34 @@ class DiarizedTranscriber:
         segments = self.sortformer.diarize(sf_features)
 
         # 3. Fuse
+        words = diarize_transcription(asr.word_timestamps, segments)
+        return DiarizedResult(
+            text=asr.text,
+            words=words,
+            segments=segments,
+            word_timestamps=asr.word_timestamps,
+        )
+
+    def align(self, source, text: str, *,
+              window_s: float | None = None,
+              overlap_s: float = 10.0) -> DiarizedResult:
+        """Speaker-attributed FORCED alignment: word timings for a KNOWN
+        transcript (Transcriber.align / align_long), fused with Sortformer
+        segments — diarized subtitles from a script, no decoding.
+
+        window_s: set to align past the ~4-5 min dense-attention limit
+        (align_long windowing); None = single dense pass."""
+        samples = self._to_samples(source)
+        if window_s is not None:
+            asr = self.transcriber.align_long(
+                samples, text, window_s=window_s, overlap_s=overlap_s)
+        else:
+            asr = self.transcriber.align(samples, text)
+
+        sf_audio_cfg = AudioConfig(
+            n_mels=self.sf_config.nest_encoder.mel_bins, normalize=False
+        )
+        segments = self.sortformer.diarize(preprocess_audio(samples, sf_audio_cfg))
         words = diarize_transcription(asr.word_timestamps, segments)
         return DiarizedResult(
             text=asr.text,

@@ -247,3 +247,28 @@ def test_align_long_facade(tmp_path):
     res2 = tr.align_long(audio, "a b ab a", window_s=1.0, overlap_s=0.32)
     assert [(g.start_frame, g.end_frame) for g in res2.timestamped_tokens] == \
         [(g.start_frame, g.end_frame) for g in res.timestamped_tokens]
+
+
+def test_diarized_align(tmp_path):
+    """Speaker-attributed forced alignment: known transcript + Sortformer
+    segments → DiarizedResult with per-word speakers, no decoding."""
+    from parakeet_tpu.capi import _tiny_diarized_configs
+    from parakeet_tpu.diarize import DiarizedTranscriber
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(["<unk>", "▁a", "▁b", "a", "b"]) + "\n")
+    asr_cfg, sf_cfg = _tiny_diarized_configs()
+    dt = DiarizedTranscriber(None, None, str(vocab), asr_cfg, sf_cfg)
+    t = np.arange(24000) / 16000.0
+    audio = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+
+    res = dt.align(audio, "a b ab")
+    assert res.text
+    assert len(res.words) == len(res.word_timestamps) == 3
+    for w in res.words:
+        assert w.speaker_id >= -1
+        assert w.end >= w.start
+
+    # long-form path delegates to align_long
+    res_l = dt.align(audio, "a b ab", window_s=1.0, overlap_s=0.3)
+    assert len(res_l.words) == 3
