@@ -5,6 +5,9 @@ Endpoints:
   POST /transcribe  whole-clip audio bytes (wav/flac/mp3/ogg); concurrent
                     requests are dynamically batched into single device
                     calls by serve.TranscriptionService
+  POST /align       forced alignment: audio bytes + `?text=` transcript
+                    (urlencoded) → word timings without decoding;
+                    `&window_s=` switches to long-form window stitching
   POST /stream      raw s16le 16 kHz mono PCM; the body is fed into a
                     serve.StreamingService session AS IT ARRIVES (chunked
                     transfer-encoding or plain reads), so the model runs
@@ -113,6 +116,41 @@ def make_server(service, stream_service=None, host="0.0.0.0", port=8077,
                     self._json(200, {
                         "text": res.text,
                         "token_ids": [int(t) for t in res.token_ids],
+                    })
+                except Exception as e:  # noqa: BLE001 — fan out as HTTP 400
+                    self.send_error(400, explain=str(e))
+            elif path.startswith("/align"):
+                # forced alignment: audio body + known transcript in the
+                # `text` query param → word timings (no decoding). Runs on
+                # the handler thread (rare path; JAX dispatch is
+                # thread-safe and merely contends with the batcher).
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                text = (q.get("text") or [""])[0]
+                if not text:
+                    self.send_error(400, explain="missing ?text= transcript")
+                    return
+                try:
+                    body = b"".join(_read_body_chunks(self, max_body_bytes))
+                except BodyTooLarge as e:
+                    self.send_error(413, explain=str(e))
+                    return
+                except (ConnectionError, ValueError, OSError) as e:
+                    self.send_error(400, explain=str(e))
+                    return
+                try:
+                    window = float((q.get("window_s") or [0])[0])
+                    res = (service.tr.align_long(bytes(body), text, window_s=window)
+                           if window else service.tr.align(bytes(body), text))
+                    self._json(200, {
+                        "text": res.text,
+                        "token_ids": [int(t) for t in res.token_ids],
+                        "words": [
+                            {"word": w.word, "start": w.start, "end": w.end,
+                             "confidence": w.confidence}
+                            for w in res.word_timestamps
+                        ],
                     })
                 except Exception as e:  # noqa: BLE001 — fan out as HTTP 400
                     self.send_error(400, explain=str(e))

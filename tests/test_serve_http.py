@@ -175,3 +175,59 @@ def test_transcribe_endpoint_chunked(server):
     resp = conn.getresponse()
     assert resp.status == 200
     assert isinstance(json.loads(resp.read())["token_ids"], list)
+
+
+@pytest.fixture(scope="module")
+def align_server(tmp_path_factory):
+    vocab = tmp_path_factory.mktemp("align") / "vocab.txt"
+    vocab.write_text("\n".join(["<unk>", "▁a", "▁b", "a", "b"]) + "\n")
+    cfg = tiny_offline_cfg()
+    cfg = C.TDTCTCConfig(
+        encoder=cfg.encoder,
+        prediction=C.PredictionConfig(vocab_size=6, pred_hidden=16, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=32, pred_hidden=16, joint_hidden=16,
+                            vocab_size=6),
+        ctc_vocab_size=6,
+    )
+    tr = Transcriber(None, str(vocab), cfg, seed=42)
+    service = TranscriptionService(tr, max_batch=4, max_wait_ms=10.0)
+    httpd = make_server(service, None, host="127.0.0.1", port=0, quiet=True)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address
+    httpd.shutdown()
+    service.close()
+
+
+def test_align_endpoint(align_server):
+    host, port = align_server
+    t = np.arange(24000) / 16000.0
+    wav = _wav_bytes(0.4 * np.sin(2 * np.pi * 330 * t).astype(np.float32))
+
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request("POST", "/align?text=a%20b%20ab", body=wav)
+    resp = conn.getresponse()
+    assert resp.status == 200
+    payload = json.loads(resp.read())
+    assert len(payload["words"]) == 3
+    starts = [w["start"] for w in payload["words"]]
+    assert starts == sorted(starts)
+
+    # missing transcript → 400
+    conn.request("POST", "/align", body=wav)
+    assert conn.getresponse().status == 400
+
+    # transcript the clip can't emit → 400, not a hang/crash
+    conn.request("POST", "/align?text=" + "a%20b%20" * 300, body=wav)
+    assert conn.getresponse().status == 400
+    conn.close()
+
+
+def test_align_endpoint_needs_vocab(server):
+    host, port = server
+    wav = _wav_bytes(np.zeros(8000, np.float32))
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request("POST", "/align?text=hello", body=wav)
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
