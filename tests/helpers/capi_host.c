@@ -58,6 +58,38 @@ int main(void) {
   printf("RESULT16 %s\n", res16);
   parakeet_free_string(res16);
 
+  /* streaming surface from the embedded host: feed two chunks, read the
+   * accumulated state, reset */
+  int64_t sh = parakeet_stream_create("test-tiny-stream", NULL, NULL,
+                                      "{\"seed\": 3}");
+  if (sh == 0) {
+    fprintf(stderr, "stream_create failed: %s\n", parakeet_last_error());
+    free(pcm);
+    free(pcm16);
+    return 1;
+  }
+  for (int c = 0; c < 2; c++) {
+    char *sres = parakeet_stream_feed(sh, pcm + c * 3200, 3200);
+    if (sres == NULL) {
+      fprintf(stderr, "stream_feed failed: %s\n", parakeet_last_error());
+      free(pcm);
+      free(pcm16);
+      return 1;
+    }
+    parakeet_free_string(sres);
+  }
+  char *stext = parakeet_stream_text(sh);
+  if (stext == NULL) {
+    fprintf(stderr, "stream_text failed: %s\n", parakeet_last_error());
+    free(pcm);
+    free(pcm16);
+    return 1;
+  }
+  printf("STREAM %s\n", stext);
+  parakeet_free_string(stext);
+  parakeet_stream_reset(sh);
+  parakeet_destroy(sh);
+
   char *ver = parakeet_version();
   if (ver == NULL) {
     fprintf(stderr, "version failed: %s\n", parakeet_last_error());

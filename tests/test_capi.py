@@ -333,3 +333,7 @@ def test_standalone_c_host(tmp_path):
     assert payloads, proc.stdout
     res = json.loads(payloads[0].removeprefix("RESULT "))
     assert set(res) == {"text", "token_ids", "words"}
+    stream = [l for l in lines if l.startswith("STREAM ")]
+    assert stream, proc.stdout
+    sres = json.loads(stream[0].removeprefix("STREAM "))
+    assert set(sres) == {"text", "token_ids"}
