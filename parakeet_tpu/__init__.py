@@ -72,6 +72,7 @@ from parakeet_tpu.text.ngram_lm import NgramLM, rescore_nbest
 from parakeet_tpu.text.neural_lm import NeuralLM, NeuralLMConfig, train_neural_lm
 from parakeet_tpu.audio.vad import VadConfig, vad_segments
 from parakeet_tpu.quantize import quantize_params, quantized_fraction
+from parakeet_tpu.decode.align import ctc_forced_align
 from parakeet_tpu.decode.keyword import HotwordDetector, keyword_log_odds
 from parakeet_tpu.serve import StreamingService, TranscriptionService
 from parakeet_tpu.models.encoder import (
@@ -103,6 +104,7 @@ __all__ = [
     "VadConfig",
     "quantize_params",
     "quantized_fraction",
+    "ctc_forced_align",
     "vad_segments",
     "rescore_nbest",
     "NeuralLM",
