@@ -29,12 +29,6 @@ double bessel_i0(double x) {
     return sum;
 }
 
-double kaiser_window(double n, double N, double beta) {
-    double arg = 2.0 * n / N - 1.0;
-    double val = std::max(1.0 - arg * arg, 0.0);
-    return bessel_i0(beta * std::sqrt(val)) / bessel_i0(beta);
-}
-
 constexpr int kHalfWidth = 16;
 constexpr double kBeta = 7.857;  // ~80 dB stopband
 
