@@ -11,6 +11,7 @@ Two integration levels:
 
 import ctypes
 import json
+import os
 import subprocess
 import sys
 import sysconfig
@@ -324,8 +325,14 @@ def test_standalone_c_host(tmp_path):
         )
     except (OSError, subprocess.SubprocessError):
         pytest.skip("no C toolchain for the standalone host")
+    # A real FFI host would have parakeet_tpu pip-installed; this checkout
+    # may not be, so point the embedded interpreter at the repo root the
+    # same way an uninstalled deployment would (PYTHONPATH).
+    env = dict(os.environ)
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run([str(exe)], capture_output=True, text=True,
-                          timeout=600)
+                          timeout=600, env=env)
     assert proc.returncode == 0, proc.stderr + proc.stdout
     lines = proc.stdout.splitlines()
     assert lines[-1] == "OK"
