@@ -168,10 +168,13 @@ def main() -> int:
                     help="disable the fused Pallas attention kernel")
     ap.add_argument("--fused-mode", default="block4",
                     choices=["v1", "block", "block2", "block4", "block8", "mega",
-                             "bd2", "bd4", "bd8"],
+                             "bd2", "bd4", "bd8",
+                             "blockhp", "block2hp", "block4hp", "block8hp"],
                     help="fused attention kernel variant (see encoder.set_fused_attention); "
                          "'block4' (QKV/out fused, roll-free rel_shift, 4 batch items per program) is the measured best; "
-                         "'bdN' merges per-item score/AV matmuls into block-diagonal ones")
+                         "'bdN' merges per-item score/AV matmuls into block-diagonal ones; "
+                         "the 'hp' suffix packs head pairs into the per-item "
+                         "content/AV matmuls (full 128-lane MXU tiles at hd=64)")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
     ap.add_argument("--fused-ffn", action="store_true",
                     help="fused Pallas macaron-FFN kernel (encoder.set_fused_ffn)")

@@ -56,12 +56,16 @@ def set_fused_attention(mode) -> None:
         _FUSED_ATTENTION = False
     elif mode in (True, "v1"):
         _FUSED_ATTENTION = "v1"
-    elif mode in ("block", "block2", "block4", "block8", "mega", "bd2", "bd4", "bd8"):
+    elif mode in ("block", "block2", "block4", "block8", "mega",
+                  "bd2", "bd4", "bd8",
+                  "blockhp", "block2hp", "block4hp", "block8hp"):
         # "blockN" = block kernel with N batch items per program (the
         # projection matmuls span N·TP rows — see fused_rel_attention_block
         # batch_block); "bdN" = blockN with the per-item content/AV matmuls
         # merged into single block-diagonal matmuls; "mega" = block kernel
-        # with the macaron ffn1 fused in
+        # with the macaron ffn1 fused in; the "hp" suffix packs head PAIRS
+        # into the per-item content/AV matmuls (fills the 128-wide MXU tile
+        # that hd=64 heads half-waste — see _attention_core headpair)
         _FUSED_ATTENTION = mode
     else:
         raise ValueError(f"unknown fused attention mode {mode!r}")
@@ -70,7 +74,10 @@ def set_fused_attention(mode) -> None:
 def _attn_batch_block() -> int:
     """NB for the blockN/bdN modes (1 for plain block/mega)."""
     if isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.startswith("block"):
-        return int(_FUSED_ATTENTION[5:] or 1)
+        n = _FUSED_ATTENTION[5:]
+        if n.endswith("hp"):
+            n = n[:-2]
+        return int(n or 1)
     if isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.startswith("bd"):
         return int(_FUSED_ATTENTION[2:])
     return 1
@@ -79,6 +86,11 @@ def _attn_batch_block() -> int:
 def _attn_blockdiag() -> bool:
     """True when the bdN (block-diagonal scores/AV) kernel variant is on."""
     return isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.startswith("bd")
+
+
+def _attn_headpair() -> bool:
+    """True when the hp (head-pair-packed scores/AV) kernel variant is on."""
+    return isinstance(_FUSED_ATTENTION, str) and _FUSED_ATTENTION.endswith("hp")
 
 
 def get_fused_attention() -> str | bool:
@@ -395,6 +407,15 @@ def _attn_block_fusable(p: Params, x: jnp.ndarray, nb: int | None = None) -> boo
             # (NB·TP, NB·TP) f32 score product + same-shape probs in
             # x.dtype + the cross-item iota/compare masks
             live += nb * nb * tp * tp * (8 + itemsize)
+    if _attn_headpair():
+        # hp extras: the pos weight pair blocks double to (H/2, 2hd, 2D)
+        # (+d·d), pos_pair is (2·NB·TP, TP) vs pos_all's (NB·TP, TP)
+        # (+nb·tp·tp f32), plus the per-(item,pair) kv/v packs and the
+        # (TP, 2TP) packed content scores
+        live += d * d * itemsize + nb * tp * tp * 4
+        # per-(item,pair) kv/v packs are (2TP, 2hd) with hd = d/heads
+        # (= d/8 on every preset) + the (TP, 2TP) f32 packed content scores
+        live += 2 * (2 * tp) * (2 * d // 8) * itemsize + tp * 2 * tp * 4
     # norm-fusion extras (conformer_block always requests pre-LN + residual
     # fusion when this guard passes): kernel_layer_norm's (NB·TP, D) f32
     # temporary plus the normed attn_in copy, while raw x stays alive for
@@ -439,7 +460,8 @@ def _block_attention_or_none(
     chain to the largest fitting batch block — still the block kernel,
     never v1."""
     if _FUSED_ATTENTION not in (
-        "block", "block2", "block4", "block8", "mega", "bd2", "bd4", "bd8"
+        "block", "block2", "block4", "block8", "mega", "bd2", "bd4", "bd8",
+        "blockhp", "block2hp", "block4hp", "block8hp",
     ):
         return None
     if not (mask is None or lengths is not None):  # mega degrades to block here
@@ -469,6 +491,7 @@ def _block_attention_or_none(
         lengths=lengths,
         batch_block=nb_fit,
         blockdiag=_attn_blockdiag(),
+        headpair=_attn_headpair(),
         **kw,
     )
 

@@ -154,6 +154,7 @@ def _attention_core(
     bqkv_ref,                # (1, 3D) stacked biases
     u_ref, v_ref,            # (1, D) rel-pos biases flattened head-major
     wpos_ref,                # (H, hd, D) pos-proj blocks, pe-components permuted sin|cos
+                             #   (headpair: (H/2, 2hd, 2D) block-diagonal pair blocks)
     sin_ref, cos_ref,        # (TP, D/2) sin(t·ω_k) / cos(t·ω_k) tables
     wo_ref,                  # (D, D) out-proj weight (torch layout)
     bo_ref,                  # (1, D)
@@ -163,6 +164,7 @@ def _attention_core(
     t_real: int,
     heads: int,
     blockdiag: bool = False,
+    headpair: bool = False,
 ):
     """Shared attention body for the fused kernels; returns (NB·TP, D) f32.
 
@@ -214,6 +216,76 @@ def _attention_core(
         colblk = jax.lax.broadcasted_iota(jnp.int32, (nbtp, nbtp), 1) // tp
         offdiag = rowblk != colblk
         kv_mask = jnp.concatenate([col >= kv_lens[i] for i in range(nb)], axis=0)
+
+    if headpair:
+        # Head-PAIR packing (the "hpN" modes). At hd=64 the per-(item, head)
+        # content matmul is K=64 deep and the AV matmul is N=64 wide — each
+        # occupies a full 128-lane MXU tile pass with half the lanes zero.
+        # Packing two heads block-diagonally fills the tile exactly:
+        #   content: [qu_h1|qu_h2](TP,2hd) · [[k_h1|0];[0|k_h2]](2TP,2hd)ᵀ
+        #            = [S_h1 | S_h2]  (TP, 2TP), K=2hd=128 — one full K tile
+        #   AV:      [attn_h1|attn_h2](TP,2TP) · [[v_h1|0];[0|v_h2]](2TP,2hd)
+        #            = [av_h1 | av_h2] (TP, 2hd=128) — one full N tile
+        # Same MXU result-tile count as the two singles, HALF the matmul
+        # instructions/pipeline fills. The zero blocks are exact (x+0 = x in
+        # f32), so this is bit-identical to the per-head path. The packed
+        # masks are two (TP, 2hd) VPU multiplies per (item, pair) — cheap.
+        # The rotation matmul packs the same way via a block-diagonal
+        # (2hd, 2D) weight pair built host-side (wpos_ref is (H/2, 2hd, 2D)),
+        # and the two heads' position matmuls share their RHS so they stack
+        # along M into one (2·NB·TP, D) @ (D, TP) product.
+        hd2 = 2 * hd
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, hd2), 1)
+        mask_lo = (lane < hd).astype(x.dtype)
+        mask_hi = (lane >= hd).astype(x.dtype)
+        for j in range(heads // 2):
+            psl = slice(j * hd2, (j + 1) * hd2)
+            vproj = jax.lax.dot_general(
+                qv_full[:, psl], wpos_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32, precision=hi,
+            )  # (NB·TP, 2D) = [va1|vb1 | va2|vb2]
+            tvs = []
+            for off in (0, d):
+                va = vproj[:, off : off + d2]
+                vb = vproj[:, off + d2 : off + 2 * d2]
+                tva = (va * sin_n + vb * cos_n).astype(x.dtype)
+                tvb = (vb * sin_n - va * cos_n).astype(x.dtype)
+                tvs.append(jnp.concatenate([tva, tvb], axis=1))
+            pos_pair = jax.lax.dot_general(
+                jnp.concatenate(tvs, axis=0), cossin_x, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32, precision=hi,
+            )  # (2·NB·TP, TP): head1 rows then head2 rows
+            for i in range(nb):
+                rows = slice(i * tp, (i + 1) * tp)
+                qu_p = qu_full[rows, psl]
+                k_p, v_p = k_full[rows, psl], v_full[rows, psl]
+                kv_pack = jnp.concatenate([k_p * mask_lo, k_p * mask_hi], axis=0)
+                cpair = jax.lax.dot_general(
+                    qu_p, kv_pack, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F32, precision=hi,
+                )  # (TP, 2TP) = [S_h1 | S_h2]
+                attns = []
+                for hh in range(2):
+                    sc = (
+                        pos_pair[hh * nbtp + i * tp : hh * nbtp + (i + 1) * tp]
+                        + cpair[:, hh * tp : (hh + 1) * tp]
+                    ) * scale
+                    sc = jnp.where(col >= kv_lens[i], _NEG_INF, sc)
+                    m = jnp.max(sc, axis=-1, keepdims=True)
+                    e = jnp.exp(sc - m)
+                    attns.append(
+                        (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+                    )
+                v_pack = jnp.concatenate([v_p * mask_lo, v_p * mask_hi], axis=0)
+                acc_ref[rows, psl] = jax.lax.dot_general(
+                    jnp.concatenate(attns, axis=1), v_pack, (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32, precision=hi,
+                )  # (TP, 2hd) = [av_h1 | av_h2]
+        out = jax.lax.dot_general(
+            acc_ref[...].astype(x.dtype), wo_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32, precision=hi,
+        )
+        return out + bo_ref[0].astype(_F32)
 
     for h in range(heads):  # static loop; all temporaries stay in VMEM/regs
         sl = slice(h * hd, (h + 1) * hd)
@@ -331,6 +403,7 @@ def _attn_block_kernel(
     nb: int,
     eps: float | None,       # not None → pre-LN + residual fused in-kernel
     blockdiag: bool = False,
+    headpair: bool = False,
 ):
     if eps is not None:
         nw_ref, nbias_ref, out_ref, acc_ref = rest
@@ -352,6 +425,7 @@ def _attn_block_kernel(
         attn_in, kv_lens, wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
         scale=scale, t_real=t_real, heads=heads, blockdiag=blockdiag,
+        headpair=headpair,
     )
     if eps is not None:
         att = x.astype(_F32) + att  # residual rides in-kernel
@@ -416,6 +490,7 @@ def fused_rel_attention_block(
     lengths: jnp.ndarray | None = None,
     batch_block: int = 1,
     blockdiag: bool = False,
+    headpair: bool = False,
     norm_w: jnp.ndarray | None = None,
     norm_b: jnp.ndarray | None = None,
     eps: float = 1e-5,
@@ -467,6 +542,18 @@ def fused_rel_attention_block(
     # two aligned lane halves instead of interleaved lanes
     perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
     wpos_b = pos_w[:, perm].reshape(heads, hd, d)  # (H, hd, D)
+    headpair = headpair and heads % 2 == 0 and not blockdiag
+    if headpair:
+        # block-diagonal pair blocks (H/2, 2hd, 2D) so the in-kernel
+        # rotation matmul packs two heads per pass (see _attention_core)
+        z = jnp.zeros_like(wpos_b[0::2])
+        wpos_b = jnp.concatenate(
+            [
+                jnp.concatenate([wpos_b[0::2], z], axis=2),
+                jnp.concatenate([z, wpos_b[1::2]], axis=2),
+            ],
+            axis=1,
+        )  # (H/2, 2hd, 2D)
 
     sin_np, cos_np = _trig_tables_np(tp, d)
     sin_t, cos_t = jnp.asarray(sin_np), jnp.asarray(cos_np)
@@ -475,6 +562,7 @@ def fused_rel_attention_block(
         _attn_block_kernel, scale=scale, t_real=t, heads=heads, nb=nb,
         eps=(eps if norm_w is not None else None),
         blockdiag=(blockdiag and nb > 1),
+        headpair=headpair,
     )
 
     u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)

@@ -41,11 +41,17 @@ def to_torch_params(params):
     return {k: torch.from_numpy(np.array(v, np.float32)) for k, v in params.items()}
 
 
-def torch_subsampling(params, x, prefix="encoder_.subsampling_", activation="relu"):
+def torch_subsampling(params, x, prefix="encoder_.subsampling_", activation="relu",
+                      return_stages=False):
     """x: (B, T, mel) → (B, T/8, d). NCHW torch convs, channel-major flatten
     (reference encoder.cpp:208-241; ReLU per the code, not the header
     comment). activation: "relu"|"silu" — the streaming/NEST variant's
-    selectable activation (streaming_encoder.cpp:325-346)."""
+    selectable activation (streaming_encoder.cpp:325-346).
+
+    return_stages: also return the named conv intermediates in the
+    reference's NCHW debug-dump layout (compare_encoder.py:110-113 stage
+    names) — consumed by scripts/acceptance.py to fabricate
+    reference-format dumps from an independent implementation."""
     import torch.nn.functional as TF
 
     act = TF.relu if activation == "relu" else TF.silu
@@ -53,17 +59,27 @@ def torch_subsampling(params, x, prefix="encoder_.subsampling_", activation="rel
     c = t(params, f"{prefix}.conv1_.weight").shape[0]
     h = act(TF.conv2d(h, t(params, f"{prefix}.conv1_.weight"),
                       t(params, f"{prefix}.conv1_.bias"), stride=2, padding=1))
+    after_conv1 = h
     h = TF.conv2d(h, t(params, f"{prefix}.dw1_.weight"),
                   t(params, f"{prefix}.dw1_.bias"), stride=2, padding=1, groups=c)
     h = act(TF.conv2d(h, t(params, f"{prefix}.conv2_.weight"),
                       t(params, f"{prefix}.conv2_.bias")))
+    after_block1 = h
     h = TF.conv2d(h, t(params, f"{prefix}.dw2_.weight"),
                   t(params, f"{prefix}.dw2_.bias"), stride=2, padding=1, groups=c)
     h = act(TF.conv2d(h, t(params, f"{prefix}.conv3_.weight"),
                       t(params, f"{prefix}.conv3_.bias")))
+    after_block2 = h
     b, ch, tt, f = h.shape
     h = h.permute(0, 2, 1, 3).reshape(b, tt, ch * f)  # channel-major
-    return TF.linear(h, t(params, f"{prefix}.proj_.weight"), t(params, f"{prefix}.proj_.bias"))
+    out = TF.linear(h, t(params, f"{prefix}.proj_.weight"), t(params, f"{prefix}.proj_.bias"))
+    if return_stages:
+        return out, {
+            "after_conv1": after_conv1,   # (B, C, T/2, F/2) NCHW — ref dump order
+            "after_block1": after_block1,
+            "after_block2": after_block2,
+        }
+    return out
 
 
 def torch_rel_shift(x):

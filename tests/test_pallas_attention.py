@@ -254,7 +254,7 @@ def test_transcriber_kernels_param(monkeypatch):
     assert got.token_ids == ref.token_ids
 
 
-@pytest.mark.parametrize("mode", ["block2", "bd2"])
+@pytest.mark.parametrize("mode", ["block2", "bd2", "block2hp"])
 def test_block_kernel_batch_blocked(monkeypatch, mode):
     """blockN batch-blocking (NB items per program, projections merged into
     (NB*TP, D) matmuls) == XLA path, including per-item length masking and a
@@ -282,6 +282,58 @@ def test_block_kernel_batch_blocked(monkeypatch, mode):
     for i, n in enumerate([64, 80, 48]):
         tv = E.subsample_length(n)
         np.testing.assert_allclose(fused[i, :tv], ref[i, :tv], rtol=1e-3, atol=1e-5)
+
+
+def test_headpair_multi_pair_and_nb1(monkeypatch):
+    """hp mode with 4 heads (two pairs) and nb=1 (blockhp): the packed
+    content/AV/rotation matmuls' zero blocks are exact, so results match
+    the XLA path to the same tolerance as the other kernel variants."""
+    _interp_block(monkeypatch)
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=32,
+                          num_layers=2, num_heads=4, ffn_intermediate=64)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=23)
+    root = Params(params).sub("encoder_")
+    mel = np.zeros((3, 80, 80), np.float32)
+    mel[0, :64] = np.random.RandomState(7).randn(64, 80)
+    mel[1, :80] = np.random.RandomState(8).randn(80, 80)
+    mel[2, :48] = np.random.RandomState(9).randn(48, 80)
+    lengths = jnp.asarray([64, 80, 48])
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    for mode in ("blockhp", "block4hp"):
+        E.set_fused_attention(mode)
+        try:
+            assert E._attn_headpair()
+            fused = np.asarray(
+                E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths)
+            )
+        finally:
+            E.set_fused_attention(False)
+        for i, n in enumerate([64, 80, 48]):
+            tv = E.subsample_length(n)
+            np.testing.assert_allclose(
+                fused[i, :tv], ref[i, :tv], rtol=1e-3, atol=1e-5,
+                err_msg=f"mode={mode} item={i}",
+            )
+
+
+def test_headpair_odd_heads_falls_back(monkeypatch):
+    """An odd head count silently disables the pair packing (the kernel
+    builder clears headpair) — results still match the XLA path."""
+    _interp_block(monkeypatch)
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=48,
+                          num_layers=1, num_heads=3, ffn_intermediate=64)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=29)
+    root = Params(params).sub("encoder_")
+    x = jnp.asarray(np.random.RandomState(11).randn(2, 64, 80).astype(np.float32))
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, x))
+    E.set_fused_attention("block2hp")
+    try:
+        fused = np.asarray(E.fastconformer_encode(root, cfg, x))
+    finally:
+        E.set_fused_attention(False)
+    np.testing.assert_allclose(fused, ref, rtol=1e-3, atol=1e-5)
 
 
 def test_block_nb_downgrade_on_vmem_guard():
