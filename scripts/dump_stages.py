@@ -189,7 +189,14 @@ def main() -> int:
         "--compare-ref", metavar="REF_DIR",
         help="directory holding the C++ reference's models/debug_*.bin dumps",
     )
+    ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"],
+                    help="cpu = hermetic run (scripts/acceptance.py); the "
+                         "axon plugin ignores JAX_PLATFORMS, so force via config")
     args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.compare:
         return compare(*args.compare)
     if not args.audio:

@@ -50,7 +50,14 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"],
+                    help="cpu = hermetic run (the axon plugin ignores "
+                         "JAX_PLATFORMS, so force via jax.config)")
     args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from parakeet_tpu.metrics import corpus_wer
     from parakeet_tpu.transcribe import (
