@@ -166,18 +166,22 @@ def main() -> int:
     ap.add_argument("--full", action="store_true", help="include CTC head")
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused Pallas attention kernel")
-    ap.add_argument("--fused-mode", default="block4",
+    ap.add_argument("--fused-mode", default="block4hp",
                     choices=["v1", "block", "block2", "block4", "block8", "mega",
                              "bd2", "bd4", "bd8",
                              "blockhp", "block2hp", "block4hp", "block8hp"],
                     help="fused attention kernel variant (see encoder.set_fused_attention); "
-                         "'block4' (QKV/out fused, roll-free rel_shift, 4 batch items per program) is the measured best; "
+                         "'block4hp' (QKV/out fused, roll-free rel_shift, 4 batch items "
+                         "per program, head-pair-packed content/AV) is the measured best; "
                          "'bdN' merges per-item score/AV matmuls into block-diagonal ones; "
                          "the 'hp' suffix packs head pairs into the per-item "
                          "content/AV matmuls (full 128-lane MXU tiles at hd=64)")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
     ap.add_argument("--fused-ffn", action="store_true",
                     help="fused Pallas macaron-FFN kernel (encoder.set_fused_ffn)")
+    ap.add_argument("--fused-subsample", action="store_true",
+                    help="fused conv1+dw1+conv2 subsampling kernel "
+                         "(encoder.set_fused_subsample)")
     ap.add_argument("--fused-block2", action="store_true",
                     help="fused conv+ffn2+final-norm kernel (encoder.set_fused_block2)")
     ap.add_argument("--no-e2e", action="store_true",
@@ -266,6 +270,10 @@ def main() -> int:
         from parakeet_tpu.models.encoder import set_fused_block2
 
         set_fused_block2(True)
+    if args.fused_subsample:
+        from parakeet_tpu.models.encoder import set_fused_subsample
+
+        set_fused_subsample(True)
 
     cfg = C.make_110m_config()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -92,7 +92,9 @@ def main(argv=None) -> int:
                     help="capture a jax.profiler trace of the bench into DIR")
     ap.add_argument("--weights", default=None,
                     help="bench with real weights (timing-identical to random init)")
-    ap.add_argument("--fused-attention", default=None, choices=["v1", "block", "block2", "block4", "block8", "mega"],
+    ap.add_argument("--fused-attention", default=None,
+                    choices=["v1", "block", "block2", "block4", "block8", "mega",
+                             "blockhp", "block2hp", "block4hp", "block8hp"],
                     help="fused Pallas attention kernel (TUNING.md)")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
     ap.add_argument("--fused-ffn", action="store_true")

@@ -542,7 +542,12 @@ def fused_rel_attention_block(
     # two aligned lane halves instead of interleaved lanes
     perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
     wpos_b = pos_w[:, perm].reshape(heads, hd, d)  # (H, hd, D)
-    headpair = headpair and heads % 2 == 0 and not blockdiag
+    # Pair-packing only pays while 2·hd fits one 128-lane MXU K/N tile: at
+    # hd=64 it reclaims the half-empty tile the single head wastes; at
+    # hd=128 (600m presets) the packed K=256 contraction would DOUBLE the
+    # effective MXU work instead. Silently degrade to the per-head path so
+    # "block4hp" is a safe universal default across model sizes.
+    headpair = headpair and heads % 2 == 0 and 2 * hd <= 128 and not blockdiag
     if headpair:
         # block-diagonal pair blocks (H/2, 2hd, 2D) so the in-kernel
         # rotation matmul packs two heads per pass (see _attention_core)

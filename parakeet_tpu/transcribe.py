@@ -140,8 +140,10 @@ class _TranscriberBase:
         Activations stay compute_dtype; Pallas kernels auto-fall back to
         the XLA path for quantized weights.
 
-        kernels: opt into the fused Pallas encoder kernels (True = "block4",
-        the measured-best TPU config, +30% encoder throughput; see TUNING.md).
+        kernels: opt into the fused Pallas encoder kernels (True =
+        "block4hp", the measured-best TPU config, +32% encoder throughput
+        over the XLA path; see TUNING.md — the hp head-pair packing
+        degrades to per-head automatically where it wouldn't pay).
         NOTE: sets process-global encoder state (models.encoder.
         set_fused_attention) — it affects every model in this process; pass
         kernels=False to restore the XLA path globally, or None (default)
@@ -171,7 +173,7 @@ class _TranscriberBase:
         if kernels is not None:
             from parakeet_tpu.models.encoder import set_fused_attention
 
-            set_fused_attention("block4" if kernels is True else kernels)
+            set_fused_attention("block4hp" if kernels is True else kernels)
         spec = self._spec()
         if params is not None:
             self.params = dict(params)

@@ -23,7 +23,7 @@ def main() -> int:
     ap.add_argument("--secs", type=float, default=10.0)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--device", default=None, choices=[None, "cpu"])
-    ap.add_argument("--kernels", default="block4")
+    ap.add_argument("--kernels", default="block4hp")
     args = ap.parse_args()
 
     if args.device == "cpu":
