@@ -44,7 +44,7 @@ from parakeet_tpu.models.rnnt import (
     rnnt_joint_precomputed,
     tdt_joint_precomputed,
 )
-from parakeet_tpu.ops.layers import linear
+from parakeet_tpu.ops.layers import anchor_quantized_weights, linear
 from parakeet_tpu.params import Params
 
 _F32 = jnp.float32
@@ -148,13 +148,20 @@ def _decode_loop(
         t_idx = jnp.clip(t, 0, t_max - 1)
         enc_pre_t = enc_pre[batch_ix, t_idx]  # (B, joint_h)
 
-        pred, new_lstm = prediction_step(pred_p, token, lstm, num_lstm_layers)
+        # int8/int4 decoder weights: anchor the dequantize to the loop state
+        # so LICM can't hoist it (anchor_quantized_weights docstring); no-op
+        # for float weights.
+        aroot = anchor_quantized_weights(root, t)
+        pred_pa = aroot.sub("prediction_")
+        joint_pa = aroot.sub(joint_prefix)
+
+        pred, new_lstm = prediction_step(pred_pa, token, lstm, num_lstm_layers)
         if is_tdt:
-            label_lp, dur_lp = tdt_joint_precomputed(joint_p, enc_pre_t, pred)
+            label_lp, dur_lp = tdt_joint_precomputed(joint_pa, enc_pre_t, pred)
             dur_idx = jnp.argmax(dur_lp, axis=-1).astype(jnp.int32)
             skip = dur_arr[jnp.clip(dur_idx, 0, len(durations) - 1)]
         else:
-            label_lp = rnnt_joint_precomputed(joint_p, enc_pre_t, pred)
+            label_lp = rnnt_joint_precomputed(joint_pa, enc_pre_t, pred)
             skip = jnp.zeros((b,), jnp.int32)
 
         if use_boost:
@@ -331,21 +338,27 @@ def _decode_loop_lookahead(
     def body(s):
         t, token, lstm, sym = s["t"], s["token"], s["lstm"], s["sym"]
 
+        # Anchor quantized decoder weights to the loop state (see
+        # anchor_quantized_weights); no-op for float weights.
+        aroot = anchor_quantized_weights(root, t)
+        pred_pa = aroot.sub("prediction_")
+        joint_pa = aroot.sub(joint_prefix)
+
         # One prediction step per iteration, committed only on emission
         # (blank steps restore state, tdt.cpp:70 — i.e. never commit).
-        pred, cand_lstm = prediction_step(pred_p, token, lstm, num_lstm_layers)
-        pred_pre = linear(joint_p.sub("pred_proj_"), pred)  # (B, joint_h)
+        pred, cand_lstm = prediction_step(pred_pa, token, lstm, num_lstm_layers)
+        pred_pre = linear(joint_pa.sub("pred_proj_"), pred)  # (B, joint_h)
 
         # Joint over the K-frame lookahead window at per-element offsets.
         win_ix = jnp.clip(t[:, None] + jnp.arange(k)[None, :], 0, t_max - 1)  # (B, K)
         enc_w = jnp.take_along_axis(enc_pre, win_ix[:, :, None], axis=1)  # (B, K, J)
         hidden = jax.nn.relu(enc_w + pred_pre[:, None, :])
         label_lp = jax.nn.log_softmax(
-            linear(joint_p.sub(label_head), hidden).astype(_F32), axis=-1
+            linear(joint_pa.sub(label_head), hidden).astype(_F32), axis=-1
         )  # (B, K, V)
         if is_tdt:
             dur_lp = jax.nn.log_softmax(
-                linear(joint_p.sub("duration_proj_"), hidden).astype(_F32), axis=-1
+                linear(joint_pa.sub("duration_proj_"), hidden).astype(_F32), axis=-1
             )
             dur_idx = jnp.argmax(dur_lp, axis=-1).astype(jnp.int32)
             skip_w = dur_arr[jnp.clip(dur_idx, 0, len(durations) - 1)]  # (B, K)

@@ -48,6 +48,41 @@ def matmul_precision(dtype) -> lax.Precision:
     return lax.Precision.HIGHEST if dtype == _F32 else _BF16_PRECISION
 
 
+def anchor_quantized_weights(params: Params, anchor: jnp.ndarray) -> Params:
+    """Tie int-quantized weight leaves to a loop-carried value.
+
+    Inside a `lax.while_loop` body the dequantize in `linear` (int8→bf16
+    convert / int4 nibble unpack) is loop-INVARIANT, and XLA's LICM hoists
+    it out of the loop — materializing a full-precision copy of every
+    quantized weight that then streams from HBM each iteration, erasing
+    the entire bandwidth win quantization was bought for (this is why the
+    r3 int8-decoder e2e measurement read "within noise"; TUNING.md).
+
+    Passing each integer leaf through an `optimization_barrier` together
+    with a loop-carried array makes the barrier non-hoistable, so the
+    dequantize stays in the body and fuses into the consuming dot's weight
+    read: the HBM stream is int8/int4 bytes. The barrier itself is an
+    aliasing no-op and the arithmetic is unchanged — results stay
+    bit-identical to the unanchored path.
+
+    Returns `params` unchanged when no integer leaves exist (the normal
+    f32/bf16 decode path pays nothing).
+    """
+    data = params.data
+    keys = [
+        k
+        for k, v in data.items()
+        if hasattr(v, "dtype") and v.dtype in (jnp.int8, jnp.uint8)
+    ]
+    if not keys:
+        return params
+    out = lax.optimization_barrier(tuple(data[k] for k in keys) + (anchor,))
+    new = dict(data)
+    for k, v in zip(keys, out[:-1]):
+        new[k] = v
+    return Params(new, params.prefix)
+
+
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W.T (+ b). W: (out, in); x: (..., in).
 

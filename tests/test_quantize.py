@@ -392,3 +392,42 @@ def test_quantize_params_idempotent_on_int8():
     np.testing.assert_array_equal(
         np.asarray(q1[key + SCALE_SUFFIX]), np.asarray(q2[key + SCALE_SUFFIX])
     )
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+@pytest.mark.parametrize("impl", ["step", "lookahead"])
+def test_greedy_decode_quantized_matches_dequantized(mode, impl):
+    """The jitted greedy decode with int-quantized decoder weights must match
+    the manually-dequantized params bit-for-bit. Exercises
+    ops.layers.anchor_quantized_weights (the loop-body optimization_barrier
+    is an aliasing no-op — same arithmetic, different HLO schedule)."""
+    from parakeet_tpu.decode.transducer import transducer_greedy_decode
+
+    cfg = _tiny_cfg()
+    params = P.init_params(P.tdt_ctc_spec(cfg), seed=7)
+    qp = quantize_params(params, mode=mode, min_elems=64, group_size=8,
+                         include=r"^(prediction_|tdt_joint_)")
+    assert quantized_fraction(qp) > 0
+    deq = {}
+    for k, v in qp.items():
+        if k.endswith(SCALE_SUFFIX) or k.endswith(SCALE4_SUFFIX):
+            continue
+        if v.dtype == jnp.uint8:
+            deq[k] = jnp.asarray(dequantize_tensor_int4(
+                np.asarray(v), np.asarray(qp[k + SCALE4_SUFFIX])))
+        elif v.dtype == jnp.int8:
+            deq[k] = jnp.asarray(dequantize_tensor(
+                np.asarray(v), np.asarray(qp[k + SCALE_SUFFIX])))
+        else:
+            deq[k] = v
+    rng = np.random.RandomState(11)
+    enc = jnp.asarray(rng.randn(3, 12, cfg.encoder.hidden_size).astype(np.float32))
+    kw = dict(pred_hidden=cfg.prediction.pred_hidden, num_lstm_layers=1,
+              durations=(0, 1, 2, 3, 4), blank_id=20, is_tdt=True,
+              joint_prefix="tdt_joint_", impl=impl, window=4)
+    got = transducer_greedy_decode(qp, enc, **kw)
+    want = transducer_greedy_decode(deq, enc, **kw)
+    assert got.tokens == want.tokens
+    for gseq, wseq in zip(got.timestamped, want.timestamped):
+        assert [(g.token_id, g.start_frame, g.end_frame) for g in gseq] == [
+            (w.token_id, w.start_frame, w.end_frame) for w in wseq]
