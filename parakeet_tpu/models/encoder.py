@@ -107,6 +107,7 @@ def fused_kernels_active() -> bool:
         bool(_FUSED_ATTENTION)
         or _FUSED_FFN
         or _FUSED_BLOCK2
+        or _FUSED_SUBSAMPLE
         or _CONV_LAYOUT == "pallas"
     )
 
@@ -173,13 +174,61 @@ def conv_subsampling_stages(
     }
 
 
+# Fused conv1→dw1→conv2 front kernel (ops/pallas_subsample.py) — kills the
+# ~1.3 GB conv1 HBM intermediate at bench batch (TUNING.md r3/r4).
+_FUSED_SUBSAMPLE = False
+
+
+def set_fused_subsample(enabled: bool) -> None:
+    global _FUSED_SUBSAMPLE
+    _FUSED_SUBSAMPLE = bool(enabled)
+
+
+_SUBSAMPLE_T4_TILE = 32
+
+
+def _subsample_fusable(p: Params, x: jnp.ndarray) -> bool:
+    """Offline-sized inputs only (streaming chunks fall back to XLA), float
+    weights (the quantize include= filter can in principle hit these),
+    even F2 (mel 80/128 presets)."""
+    stage2 = ((x.shape[1] - 1) // 2) // 2 + 1  # frames after conv1+dw1
+    if stage2 < _SUBSAMPLE_T4_TILE:
+        return False
+    f2 = (x.shape[2] - 1) // 2 + 1
+    if f2 % 2:
+        return False
+    return not any(
+        jnp.issubdtype(p[k].dtype, jnp.integer)
+        for k in ("conv1_.weight", "dw1_.weight", "conv2_.weight")
+    )
+
+
 def conv_subsampling(p: Params, x: jnp.ndarray, activation: str = "relu") -> jnp.ndarray:
     """(B, T, mel) → (B, T/8, d_model). Reference: encoder.cpp:208-241,
     streaming variant with selectable activation streaming_encoder.cpp:325-346.
 
     Runs in NHWC (TPU-preferred conv layout; 18% faster than NCHW here,
     identical numerics). Flatten stays channel-major (C*F), matching the
-    reference's (B, T/8, C·F/8) layout."""
+    reference's (B, T/8, C·F/8) layout. With set_fused_subsample(True) the
+    first three convs run as one Pallas kernel (VMEM-resident conv1
+    intermediate); dw2+conv3+proj stay XLA either way."""
+    if _FUSED_SUBSAMPLE and _subsample_fusable(p, x):
+        from parakeet_tpu.ops.pallas_subsample import fused_subsample_block1
+
+        h = fused_subsample_block1(
+            x,
+            p["conv1_.weight"], p["conv1_.bias"],
+            p["dw1_.weight"], p["dw1_.bias"],
+            p["conv2_.weight"], p["conv2_.bias"],
+            activation=activation, t4_tile=_SUBSAMPLE_T4_TILE,
+        )
+        act = jax.nn.relu if activation == "relu" else _silu
+        c = p["conv1_.weight"].shape[0]
+        h = conv2d_nhwc(p.sub("dw2_"), h, stride=(2, 2), padding=(1, 1), groups=c)
+        h = act(conv2d_nhwc(p.sub("conv3_"), h))
+        b, t, f, ch = h.shape
+        h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t, ch * f)
+        return linear(p.sub("proj_"), h)
     return conv_subsampling_stages(p, x, activation)["subsampling_out"]
 
 
@@ -762,6 +811,7 @@ __all__ = [
     "feed_forward",
     "conv_module",
     "set_conv_layout",
+    "set_fused_subsample",
     "rel_shift",
     "rel_position_attention",
     "conformer_block",
