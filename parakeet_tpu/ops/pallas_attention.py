@@ -197,10 +197,16 @@ def _attention_core(
             preferred_element_type=_F32, precision=hi,
         )
         + bqkv_ref[0].astype(_F32)
-    ).astype(x.dtype)  # (NB·TP, 3D); same per-element contraction as 3 matmuls
-    q_full, k_full, v_full = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
-    qu_full = q_full + u_ref[0].astype(x.dtype)
-    qv_full = q_full + v_ref[0].astype(x.dtype)
+    )  # (NB·TP, 3D) f32; same per-element contraction as 3 matmuls
+    # Fold the 1/sqrt(hd) score scale into q (and the u/v biases) HERE: one
+    # (NB·TP, D) multiply instead of a per-(item, head) multiply on every
+    # (TP, TP) score tile — the kernel is softmax/VPU-bound, not MXU-bound
+    # (TUNING.md r4), so score-tile VPU ops are the ones that cost.
+    q_full = (qkv[:, :d] * scale).astype(x.dtype)
+    k_full = qkv[:, d : 2 * d].astype(x.dtype)
+    v_full = qkv[:, 2 * d :].astype(x.dtype)
+    qu_full = q_full + (u_ref[0].astype(_F32) * scale).astype(x.dtype)
+    qv_full = q_full + (v_ref[0].astype(_F32) * scale).astype(x.dtype)
 
     # head-loop invariants, built once: the nb-tiled trig rows and the
     # [cos|sin] score RHS
@@ -264,23 +270,29 @@ def _attention_core(
                     qu_p, kv_pack, (((1,), (1,)), ((), ())),
                     preferred_element_type=_F32, precision=hi,
                 )  # (TP, 2TP) = [S_h1 | S_h2]
-                attns = []
+                attns, recips = [], []
                 for hh in range(2):
                     sc = (
                         pos_pair[hh * nbtp + i * tp : hh * nbtp + (i + 1) * tp]
                         + cpair[:, hh * tp : (hh + 1) * tp]
-                    ) * scale
+                    )  # scale pre-folded into q/u (see qkv split)
                     sc = jnp.where(col >= kv_lens[i], _NEG_INF, sc)
                     m = jnp.max(sc, axis=-1, keepdims=True)
                     e = jnp.exp(sc - m)
-                    attns.append(
-                        (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+                    # normalize AFTER the AV matmul: a (TP, hd) multiply by
+                    # the reciprocal row-sum instead of a (TP, TP) divide —
+                    # softmax VPU work is the kernel's bound (TUNING.md r4)
+                    recips.append(
+                        jnp.broadcast_to(
+                            1.0 / jnp.sum(e, axis=-1, keepdims=True), (tp, hd)
+                        )
                     )
+                    attns.append(e.astype(x.dtype))
                 v_pack = jnp.concatenate([v_p * mask_lo, v_p * mask_hi], axis=0)
                 acc_ref[rows, psl] = jax.lax.dot_general(
                     jnp.concatenate(attns, axis=1), v_pack, (((1,), (0,)), ((), ())),
                     preferred_element_type=_F32, precision=hi,
-                )  # (TP, 2hd) = [av_h1 | av_h2]
+                ) * jnp.concatenate(recips, axis=1)  # (TP, 2hd) = [av_h1 | av_h2]
         out = jax.lax.dot_general(
             acc_ref[...].astype(x.dtype), wo_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=_F32, precision=hi,
@@ -341,18 +353,20 @@ def _attention_core(
                 [s_all[i * tp : (i + 1) * tp, i * tp : (i + 1) * tp] for i in range(nb)],
                 axis=0,
             )  # (NB·TP, TP)
-            scores = (pos_all + diag) * scale
+            scores = pos_all + diag  # scale pre-folded into q/u
             scores = jnp.where(kv_mask, _NEG_INF, scores)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
-            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (NB·TP, 1)
             probs = jnp.where(
-                offdiag, jnp.zeros((), x.dtype), jnp.concatenate([attn] * nb, axis=1)
-            )  # (NB·TP, NB·TP) block-diagonal
+                offdiag,
+                jnp.zeros((), x.dtype),
+                jnp.concatenate([e.astype(x.dtype)] * nb, axis=1),
+            )  # (NB·TP, NB·TP) block-diagonal, unnormalized
             acc_ref[:, sl] = jax.lax.dot_general(
                 probs, v_full[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=_F32, precision=hi,
-            )
+            ) * recip  # post-AV normalize (see hp path note)
             continue
 
         for i in range(nb):  # per-item score/softmax/AV (static unroll)
@@ -364,23 +378,23 @@ def _attention_core(
                     qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
                     precision=hi,
                 )  # (TP, TP), hd-deep
-                scores = (pos_all[rows] + content) * scale
+                scores = pos_all[rows] + content  # scale pre-folded into q/u
             else:
                 lhs = jnp.concatenate([tva, tvb, qu], axis=1)
                 rhs = jnp.concatenate([cossin_x, k], axis=1)
                 scores = jax.lax.dot_general(
                     lhs, rhs, (((1,), (1,)), ((), ())),
                     preferred_element_type=_F32, precision=hi,
-                ) * scale
+                )  # scale pre-folded into q/u (the tva/tvb rotation inputs)
             scores = jnp.where(col >= kv_lens[i], _NEG_INF, scores)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
-            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+            recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (TP, 1)
 
             acc_ref[rows, sl] = jax.lax.dot_general(
-                attn, v, (((1,), (0,)), ((), ())), preferred_element_type=_F32,
-                precision=hi,
-            )  # (TP, hd) — concat_h(av_h) assembled in scratch
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32, precision=hi,
+            ) * recip  # (TP, hd) post-AV normalize — see hp path note
 
     out = jax.lax.dot_general(
         acc_ref[...].astype(x.dtype), wo_ref[...], (((1,), (1,)), ((), ())),

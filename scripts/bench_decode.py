@@ -28,6 +28,11 @@ def main() -> int:
     ap.add_argument("--impls", default="step,lookahead:4,lookahead:8,lookahead:16")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed runs")
+    ap.add_argument("--quantize", default=None,
+                    choices=["bfloat16", "int8", "int4"],
+                    help="decoder weight dtype: bfloat16 cast, or int8/int4 "
+                         "weight-only quantization (activations bf16) — the "
+                         "weight-streaming A/B for TUNING.md / VERDICT r3 #5")
     args = ap.parse_args()
 
     import numpy as np
@@ -77,6 +82,17 @@ def main() -> int:
         else:
             hi = mid
     print(f"# blank bias {mid:.2f}: mean emissions {n:.1f}/{t} frames", file=sys.stderr)
+
+    if args.quantize:
+        from parakeet_tpu.params import cast_params
+
+        params = cast_params(params, jnp.bfloat16)
+        enc = enc.astype(jnp.bfloat16)
+        if args.quantize in ("int8", "int4"):
+            from parakeet_tpu.quantize import quantize_params
+
+            params = quantize_params(params, mode=args.quantize)
+        print(f"# decoder weights: {args.quantize}", file=sys.stderr)
 
     static = dict(kw)
     static.pop("pred_hidden")
