@@ -116,6 +116,7 @@ def test_argparser_defaults():
     assert args.model == "sortformer-117m" and args.sort_weight == 0.5
 
 
+@pytest.mark.slow
 def test_diar_cli_end_to_end(tmp_path, capsys):
     m = write_diar_corpus(tmp_path)
     ck = tmp_path / "ck"

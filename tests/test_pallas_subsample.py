@@ -47,6 +47,7 @@ def test_fused_subsample_silu():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_subsample_bf16_close():
     p, x = _setup(t=95)
     xb = x.astype(jnp.bfloat16)

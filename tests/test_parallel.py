@@ -17,6 +17,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_data_parallel_inference_matches_single_device():
     import jax
 
@@ -50,6 +51,7 @@ def test_data_parallel_inference_matches_single_device():
         assert r.token_ids == g.token_ids
 
 
+@pytest.mark.slow
 def test_tensor_parallel_inference_matches_single_device():
     """TP=2 over a dp2×tp2 mesh must be token-identical to single-device for
     both CTC and TDT (VERDICT r1 weak #4: tp path was only train-dryrun'd)."""
@@ -168,6 +170,7 @@ def test_seq_mesh_shape_and_sharding():
         make_mesh(6, model_parallel=2, seq_parallel=2)
 
 
+@pytest.mark.slow
 def test_seq_parallel_inference_matches_single_device():
     """dp2×sp2×tp2 inference (activations sharded over time, XLA-inserted
     halo/gather collectives) must be token-identical to single-device for
@@ -230,6 +233,7 @@ def test_seq_parallel_rejects_pallas_kernels():
         E.set_fused_attention(False)
 
 
+@pytest.mark.slow
 def test_seq_parallel_train_step_matches_dp():
     """Hybrid train loss on a dp2×sp2×tp2 mesh == dp4×tp2 loss on the same
     batch (sequence sharding must not change the objective)."""

@@ -101,6 +101,7 @@ def test_pipeline_encode_ragged_lengths(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pp_loss_and_grads_match_dense(setup):
     """Loss AND gradients of the pipelined hybrid objective equal the dense
     ones. (Post-optimizer params are deliberately not compared: params with
@@ -150,6 +151,7 @@ def test_pp_loss_and_grads_match_dense(setup):
         )
 
 
+@pytest.mark.slow
 def test_pp_trainer_step(setup):
     cfg, params, batch = setup
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -173,6 +175,7 @@ def test_pp_trainer_step(setup):
     assert moved > 0.0
 
 
+@pytest.mark.slow
 def test_pp_second_step_runs(setup):
     """The jitted step is reusable (donated buffers threaded correctly)."""
     cfg, params, batch = setup
@@ -268,6 +271,7 @@ def test_parallel_package_does_not_eagerly_import_optax():
     subprocess.run([sys.executable, "-c", code], check=True, timeout=240)
 
 
+@pytest.mark.slow
 def test_pp_trainer_clip_norm(setup):
     """clip_norm reaches the GPipe optimizer (was silently dropped once):
     a near-zero clip moves params strictly less than the unclipped step."""

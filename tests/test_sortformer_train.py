@@ -119,6 +119,7 @@ def test_padded_frames_do_not_affect_loss(sf_setup):
     assert abs(base - got) < 1e-6
 
 
+@pytest.mark.slow
 def test_sortformer_train_step_reduces_loss(sf_setup):
     cfg, params, batch = sf_setup
     opt = optax.adam(3e-3)
@@ -134,6 +135,7 @@ def test_sortformer_train_step_reduces_loss(sf_setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_sortformer_remat_and_accum_match(sf_setup):
     cfg, params, batch = sf_setup
     ref_l, ref_g = jax.value_and_grad(sortformer_loss_fn)(params, cfg, batch)

@@ -533,6 +533,7 @@ def test_streaming_batch_int16_wire():
         StreamingBatchTranscriber(1, None, None, cfg, wire_dtype="int16")
 
 
+@pytest.mark.slow
 def test_streaming_quantized_weights_match_dequantized():
     """Streaming facades accept weight-only quantization (TUNING.md: the
     decode loop is weight-streaming-bound, so int8/int4 buys throughput

@@ -37,6 +37,7 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
 
+@pytest.mark.slow
 def test_sharded_trainer_8_devices():
     import jax
 
@@ -82,6 +83,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert set(loaded) == set(P.tdt_ctc_spec(cfg))
 
 
+@pytest.mark.slow
 def test_tdt_train_step_reduces_loss():
     """Fine-tune the flagship TDT stack end-to-end: lattice loss through
     encoder + prediction LSTM + dual-head joint."""
@@ -127,6 +129,7 @@ def test_rnnt_train_step_reduces_loss():
     assert losses[-1] < losses[0], f"RNNT loss did not decrease: {losses}"
 
 
+@pytest.mark.slow
 def test_sharded_tdt_trainer_8_devices():
     import jax
 
@@ -142,6 +145,7 @@ def test_sharded_tdt_trainer_8_devices():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_hybrid_train_step_reduces_loss():
     import optax as _optax
 
@@ -161,6 +165,7 @@ def test_hybrid_train_step_reduces_loss():
     assert losses[-1] < losses[0], f"hybrid loss did not decrease: {losses}"
 
 
+@pytest.mark.slow
 def test_tdt600m_schema_trains():
     """The 600m presets key their joint 'joint_' (params.tdt_spec), not
     'tdt_joint_'; the trainer must resolve the prefix from the weight
@@ -202,6 +207,7 @@ def test_rnnt600m_schema_trains():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_remat_and_accum_match_plain_grads():
     """remat (per-block jax.checkpoint) and accum_steps (chunked lax.scan
     grad accumulation) are pure memory levers — loss and gradients must
@@ -240,6 +246,7 @@ def test_remat_and_accum_match_plain_grads():
         )
 
 
+@pytest.mark.slow
 def test_accum_steps_trainer_runs_and_matches():
     """make_sharded_trainer(accum_steps=2, remat=True) on the 8-device mesh:
     step runs, loss equals the plain trainer's first-step loss."""
@@ -323,6 +330,7 @@ def test_lr_schedules():
         make_lr_schedule(1e-3, schedule="linear")
 
 
+@pytest.mark.slow
 def test_bf16_training_step():
     """compute_dtype='bfloat16': model runs bf16, master params stay f32,
     loss tracks the f32 loss and decreases."""
@@ -360,6 +368,7 @@ def test_bf16_training_step():
     assert np.isfinite(float(l1)) and float(l2) < float(l1)
 
 
+@pytest.mark.slow
 def test_clip_norm_trainer():
     """clip_norm bounds the update magnitude and the step still runs."""
     import jax.numpy as jnp

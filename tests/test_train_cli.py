@@ -40,6 +40,7 @@ def test_loss_head_validation(tmp_path):
               "--loss", "hybrid", "--steps", "1"])
 
 
+@pytest.mark.slow
 def test_tiny_end_to_end(tmp_path):
     m, v = write_corpus(tmp_path)
     ck = tmp_path / "ck"
@@ -73,6 +74,7 @@ def test_tiny_end_to_end(tmp_path):
     assert "encoder_.layers_.0.ffn1_.fc1_.weight" in loaded
 
 
+@pytest.mark.slow
 def test_export_without_checkpoint_dir(tmp_path):
     """--export with no --checkpoint-dir must write the trained weights
     (review finding: save_safetensors args were swapped, crashing after
@@ -102,6 +104,7 @@ def test_loader_rejects_dataset_smaller_than_batch(tmp_path):
               "--frame-multiple", "32", "--label-multiple", "8"])
 
 
+@pytest.mark.slow
 def test_resume_actually_resumes(tmp_path, capsys):
     """--resume must load the single-file checkpoint (r3 review: the gate
     checked the legacy filename and silently restarted from step 0)."""
@@ -117,6 +120,7 @@ def test_resume_actually_resumes(tmp_path, capsys):
     assert "# resumed at step 2" in err, err
 
 
+@pytest.mark.slow
 def test_model_parallel_export_unpads_vocab(tmp_path):
     """mp=2 training pads an odd fitted vocab; --export must slice back to
     the reference schema so strict inference loading works."""
@@ -146,6 +150,7 @@ def test_model_parallel_export_unpads_vocab(tmp_path):
     P.load_params(_spec_for(cfg, kind), str(out), strict=True)
 
 
+@pytest.mark.slow
 def test_pipeline_parallel_end_to_end(tmp_path, capsys):
     """--pipeline-parallel 2: GPipe trainer runs, checkpoints stay
     reference-schema-flat (pp {layers, rest} state merged on save), resume

@@ -175,6 +175,7 @@ def _finite_diff_check(loss_of, x0: np.ndarray, n_coords: int, seed: int, tol=2e
         assert abs(num - ana) < tol * max(1.0, abs(num)), (idx, num, ana)
 
 
+@pytest.mark.slow
 def test_rnnt_loss_gradients():
     rng = np.random.RandomState(11)
     b, t, u, v, blank = 2, 4, 2, 4, 3
@@ -186,6 +187,7 @@ def test_rnnt_loss_gradients():
     )
 
 
+@pytest.mark.slow
 def test_tdt_loss_gradients():
     rng = np.random.RandomState(12)
     b, t, u, v, durations, blank = 1, 4, 2, 4, (0, 1, 2), 3
