@@ -209,6 +209,10 @@ def main() -> int:
                          "pipeline (bit-identical; see _decode_loop)")
     ap.add_argument("--e2e-int8-decoder", action="store_true",
                     help="alias for --e2e-quantize-decoder int8")
+    ap.add_argument("--e2e-int8-compute", action="store_true",
+                    help="W8A8 int8 dots for the quantized decoder weights "
+                         "(ops.layers.set_int8_compute; implies "
+                         "--e2e-quantize-decoder int8; NOT bit-parity)")
     ap.add_argument("--e2e-quantize-decoder", default=None,
                     choices=["int8", "int4"],
                     help="quantize the prediction/joint weights for the "
@@ -219,8 +223,12 @@ def main() -> int:
                     help="seconds to wait for device enumeration before "
                          "declaring the accelerator unreachable (exit 2)")
     args = ap.parse_args()
-    if args.e2e_int8_decoder and args.e2e_quantize_decoder is None:
+    if (args.e2e_int8_decoder or args.e2e_int8_compute) and args.e2e_quantize_decoder is None:
         args.e2e_quantize_decoder = "int8"
+    if args.e2e_int8_compute:
+        from parakeet_tpu.ops.layers import set_int8_compute
+
+        set_int8_compute(True)
 
     import numpy as np
     import jax

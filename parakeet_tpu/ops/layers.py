@@ -44,6 +44,17 @@ def set_bf16_matmul_output(enabled: bool) -> None:
     _BF16_OUTPUT = bool(enabled)
 
 
+# When True, int8-weight linears run as W8A8 s8×s8→s32 dots (dynamic
+# per-row activation absmax scales) instead of weight-only dequantize.
+# Streams int8 weight bytes even inside while_loops; ~0.5% logit error.
+_INT8_COMPUTE = False
+
+
+def set_int8_compute(enabled: bool) -> None:
+    global _INT8_COMPUTE
+    _INT8_COMPUTE = bool(enabled)
+
+
 def matmul_precision(dtype) -> lax.Precision:
     return lax.Precision.HIGHEST if dtype == _F32 else _BF16_PRECISION
 
@@ -58,21 +69,28 @@ def anchor_quantized_weights(params: Params, anchor: jnp.ndarray) -> Params:
     the entire bandwidth win quantization was bought for (this is why the
     r3 int8-decoder e2e measurement read "within noise"; TUNING.md).
 
-    Passing each integer leaf through an `optimization_barrier` together
+    Passing each int8 leaf through an `optimization_barrier` together
     with a loop-carried array makes the barrier non-hoistable, so the
-    dequantize stays in the body and fuses into the consuming dot's weight
-    read: the HBM stream is int8/int4 bytes. The barrier itself is an
-    aliasing no-op and the arithmetic is unchanged — results stay
-    bit-identical to the unanchored path.
+    dequantize stays in the body. The barrier is an aliasing no-op and the
+    arithmetic is unchanged — results stay bit-identical to the unanchored
+    path.
 
-    Returns `params` unchanged when no integer leaves exist (the normal
+    Measured (r4, B=192 isolated decode): int8 anchored 18.45 ms vs 19.37
+    bf16 — real but below the byte-ratio prediction, because XLA emits the
+    in-loop convert as its own fusion (a materialize + reread) rather than
+    folding it into the dot's weight stream; `set_int8_compute` (W8A8) is
+    the path that truly streams int8 bytes. int4 leaves are deliberately
+    NOT anchored: the per-iteration nibble unpack measured 2× SLOWER
+    (37 ms) than letting LICM hoist it once.
+
+    Returns `params` unchanged when no int8 leaves exist (the normal
     f32/bf16 decode path pays nothing).
     """
     data = params.data
     keys = [
         k
         for k, v in data.items()
-        if hasattr(v, "dtype") and v.dtype in (jnp.int8, jnp.uint8)
+        if hasattr(v, "dtype") and v.dtype == jnp.int8
     ]
     if not keys:
         return params
@@ -103,11 +121,29 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         from parakeet_tpu.quantize import SCALE_SUFFIX
 
         scale = p["weight" + SCALE_SUFFIX]
-        y = jax.lax.dot_general(
-            x, w.astype(x.dtype), (((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=_F32, precision=matmul_precision(x.dtype),
-        )
-        y = y * scale.astype(_F32)
+        if _INT8_COMPUTE:
+            # W8A8: the weight operand of the dot IS the stored s8 tensor,
+            # so the loop streams int8 bytes — the weight-only path below
+            # cannot deliver that inside a while_loop (XLA materializes the
+            # dequantize as its own fusion even when anchored against LICM;
+            # TUNING.md r4). Activations quantize per call with a dynamic
+            # per-row absmax scale. NOT bit-parity with the float path
+            # (~0.5% logit error) — opt-in via set_int8_compute.
+            xf = x.astype(_F32)
+            ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            sx = jnp.maximum(ax, 1e-30) / 127.0
+            xq = jnp.round(xf / sx).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, w, (((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(_F32)
+            y = y * sx * scale.astype(_F32)
+        else:
+            y = jax.lax.dot_general(
+                x, w.astype(x.dtype), (((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=_F32, precision=matmul_precision(x.dtype),
+            )
+            y = y * scale.astype(_F32)
         b = p.get("bias")
         if b is not None:
             y = y + b.astype(_F32)
@@ -248,4 +284,4 @@ def glu(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return a * jax.nn.sigmoid(b)
 
 
-__all__ = ["matmul_precision", "set_bf16_precision", "set_conv_accum_f32", "get_conv_accum_f32", "conv_pref", "linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]
+__all__ = ["matmul_precision", "set_bf16_precision", "set_int8_compute", "anchor_quantized_weights", "set_conv_accum_f32", "get_conv_accum_f32", "conv_pref", "linear", "embedding", "layer_norm", "batch_norm_1d", "conv1d", "conv2d", "conv2d_nhwc", "glu"]

@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed runs")
     ap.add_argument("--quantize", default=None,
-                    choices=["bfloat16", "int8", "int4"],
+                    choices=["bfloat16", "int8", "int4", "w8a8"],
                     help="decoder weight dtype: bfloat16 cast, or int8/int4 "
                          "weight-only quantization (activations bf16) — the "
                          "weight-streaming A/B for TUNING.md / VERDICT r3 #5")
@@ -88,10 +88,15 @@ def main() -> int:
 
         params = cast_params(params, jnp.bfloat16)
         enc = enc.astype(jnp.bfloat16)
-        if args.quantize in ("int8", "int4"):
+        if args.quantize in ("int8", "int4", "w8a8"):
             from parakeet_tpu.quantize import quantize_params
 
-            params = quantize_params(params, mode=args.quantize)
+            params = quantize_params(
+                params, mode="int8" if args.quantize == "w8a8" else args.quantize)
+            if args.quantize == "w8a8":
+                from parakeet_tpu.ops.layers import set_int8_compute
+
+                set_int8_compute(True)
         print(f"# decoder weights: {args.quantize}", file=sys.stderr)
 
     static = dict(kw)

@@ -431,3 +431,29 @@ def test_greedy_decode_quantized_matches_dequantized(mode, impl):
     for gseq, wseq in zip(got.timestamped, want.timestamped):
         assert [(g.token_id, g.start_frame, g.end_frame) for g in gseq] == [
             (w.token_id, w.start_frame, w.end_frame) for w in wseq]
+
+
+def test_int8_compute_w8a8_close_and_restores():
+    """set_int8_compute: W8A8 dot streams s8 weights (decode-loop bandwidth
+    path, TUNING.md r4); ~1% logit error vs float, toggle is process-global
+    and must restore."""
+    from parakeet_tpu.ops.layers import set_int8_compute
+
+    rng = np.random.RandomState(2)
+    w = rng.randn(48, 64).astype(np.float32) * 0.4
+    b = rng.randn(48).astype(np.float32) * 0.1
+    x = rng.randn(6, 64).astype(np.float32)
+    q, s = quantize_tensor(w)
+    pp = Params({"m.weight": jnp.asarray(q), "m.weight" + SCALE_SUFFIX: jnp.asarray(s),
+                 "m.bias": jnp.asarray(b)})
+    ref = x @ w.T + b
+    set_int8_compute(True)
+    try:
+        got = np.asarray(linear(pp.sub("m"), jnp.asarray(x)))
+    finally:
+        set_int8_compute(False)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 0.03
+    # restored: weight-only path again (different rounding, tighter error)
+    wo = np.asarray(linear(pp.sub("m"), jnp.asarray(x)))
+    assert np.abs(wo - ref).max() / scale < 0.02
