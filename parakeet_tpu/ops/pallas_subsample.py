@@ -142,9 +142,11 @@ def _subsample_kernel(
             fq = (df + 1) % 2
             wv = wd_ref[dt * 3 + df].astype(_F32)  # (C,)
             if df == 0:
-                # j = f4 - 1: output column 0 reads the zero pad
+                # j = f4 - 1: output column 0 reads the zero pad. jnp.pad
+                # (a sublane-dim concat), NOT .at[].add — Mosaic has no
+                # scatter-add lowering.
                 term = y5[tk0:tk0 + t4_tile, tp, fq, : f4 - 1] * wv
-                acc = acc.at[:, 1:].add(term)
+                acc = acc + jnp.pad(term, ((0, 0), (1, 0), (0, 0)))
             else:
                 acc = acc + y5[tk0:tk0 + t4_tile, tp, fq] * wv
 
