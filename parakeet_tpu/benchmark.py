@@ -97,6 +97,8 @@ def main(argv=None) -> int:
                              "blockhp", "block2hp", "block4hp", "block8hp"],
                     help="fused Pallas attention kernel (TUNING.md)")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
+    ap.add_argument("--fused-subsample", action="store_true",
+                    help="fused conv1+dw1+conv2 subsampling kernel")
     ap.add_argument("--fused-ffn", action="store_true")
     args = ap.parse_args(argv)
 
@@ -111,6 +113,8 @@ def main(argv=None) -> int:
         _enc.set_fused_attention(args.fused_attention)
     if args.conv_layout:
         _enc.set_conv_layout(args.conv_layout)
+    if args.fused_subsample:
+        _enc.set_fused_subsample(True)
     if args.fused_ffn:
         _enc.set_fused_ffn(True)
 

@@ -2,7 +2,7 @@
 
 Usage: python scripts/analyze_trace.py /tmp/prof_dir [--top 40] [--group]
 
-Reads the trace-viewer JSON (plugins/profile/*/\*.trace.json.gz) that
+Reads the trace-viewer JSON (plugins/profile/<ts>/*.trace.json.gz) that
 jax.profiler.trace writes (works through the axon relay — TUNING.md r3)
 and prints device-track op self-times, optionally grouped by a coarse
 name bucket (fusion kinds, pallas kernels, convs, dots).
