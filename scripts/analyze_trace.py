@@ -39,6 +39,51 @@ def _bucket(name: str) -> str:
     return "other"
 
 
+def _xplane_report(path: str, args) -> int:
+    """Per-op device self-time from the xplane protobuf — the full data
+    (this relay's trace.json.gz render DROPS the main module's device
+    line; only the xplane has it — r4 finding)."""
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception as e:  # no TF in some envs — fall back to trace.json
+        print(f"xplane proto unavailable ({e}); use the trace.json path",
+              file=sys.stderr)
+        return 2
+
+    sp = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        sp.ParseFromString(f.read())
+    print(f"# {path}")
+    for plane in sp.planes:
+        if "device" not in plane.name.lower() or not plane.lines:
+            continue
+        ev_names = dict(plane.event_metadata)
+        for line in plane.lines:
+            if line.name not in ("XLA Ops", "XLA Modules"):
+                continue
+            tot = collections.Counter()
+            cnt = collections.Counter()
+            for e in line.events:
+                nm = ev_names[e.metadata_id].name
+                if args.like and not re.search(args.like, nm):
+                    continue
+                tot[nm] += e.duration_ps / 1e9
+                cnt[nm] += 1
+            total = sum(tot.values())
+            print(f"\n## {plane.name} / {line.name}: {total:.2f} ms, "
+                  f"{len(line.events)} events")
+            if args.group and line.name == "XLA Ops":
+                groups = collections.Counter()
+                for name, ms in tot.items():
+                    groups[_bucket(name)] += ms
+                for b, ms in groups.most_common():
+                    print(f"{ms:10.2f} ms  {100 * ms / max(total, 1e-9):5.1f}%  {b}")
+                print()
+            for name, ms in tot.most_common(args.top):
+                print(f"{ms:10.2f} ms  x{cnt[name]:<5d} {name[:110]}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
@@ -47,12 +92,19 @@ def main() -> int:
     ap.add_argument("--like", default=None, help="only ops whose name matches")
     args = ap.parse_args()
 
+    xplanes = sorted(
+        glob.glob(os.path.join(args.trace_dir, "**", "*.xplane.pb"),
+                  recursive=True)
+    )
+    if xplanes:
+        return _xplane_report(xplanes[-1], args)
     files = sorted(
         glob.glob(os.path.join(args.trace_dir, "**", "*.trace.json.gz"),
                   recursive=True)
     )
     if not files:
-        print(f"no *.trace.json.gz under {args.trace_dir}", file=sys.stderr)
+        print(f"no *.xplane.pb or *.trace.json.gz under {args.trace_dir}",
+              file=sys.stderr)
         return 2
     path = files[-1]
     with gzip.open(path, "rt") as f:
