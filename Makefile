@@ -1,6 +1,6 @@
 # Convenience targets (reference has an equivalent Makefile wrapper).
 
-.PHONY: install test bench native capi clean format format-check
+.PHONY: install test test-nightly bench native capi clean format format-check acceptance
 
 # Format gate (reference CI enforces clang-format; Makefile:48-52 there).
 format:
@@ -15,8 +15,20 @@ install:
 test:
 	python -m pytest tests/ -q
 
+# Full profile incl. @pytest.mark.slow training/parallelism tests (~35 min)
+test-nightly:
+	python -m pytest tests/ -q -m "slow or not slow"
+
 bench:
 	python bench.py
+
+# Real-weight acceptance-gate rehearsal: fabricate a pseudo-real checkpoint,
+# convert -> load -> transcribe -> stage dumps vs torch oracle -> WER gate.
+# Passes today with the fabricated checkpoint; passes unchanged the day real
+# weights land (point --weights/--vocab/--clip at them). Mirrors reference
+# tests/test_all.cpp:878-937 + scripts/compare_encoder.py.
+acceptance:
+	python scripts/acceptance.py
 
 native:
 	mkdir -p build && cd build && cmake ../csrc -G Ninja && ninja

@@ -352,10 +352,17 @@ def main() -> int:
             "110m": 370.0, "tdt-600m": 10.0 / 0.520,
             "rnnt-600m": 10.0 / 1.468, "sortformer": 10.0 / 0.479,
         }
+        # measured-best batch at 10 s per model (scripts/bench_sweep.py);
+        # above 10 s, scale batch down to hold tokens ≈ best10×10s so the
+        # 60 s points fit HBM (attention scores grow with T²)
+        best10 = {"110m": args.batch, "tdt-600m": 16,
+                  "rnnt-600m": 16, "sortformer": 16}
         matrix = []
         for model in ("110m", "tdt-600m", "rnnt-600m", "sortformer"):
-            mb = args.batch if model == "110m" else 16  # measured-best batches
             for sec in [int(d) for d in args.durations.split(",")]:
+                mb = best10[model]
+                if sec > 10:
+                    mb = max(8, (mb * 10 // sec) // 8 * 8)
                 dt = bench_encoder(model, sec, mb, args.dtype, args.iters)
                 rtfx = mb * sec / dt
                 row = {
