@@ -30,7 +30,15 @@ def _fused(p, x, activation="relu", t4_tile=4):
     )
 
 
-@pytest.mark.parametrize("t", [77, 101, 32, 63])
+# The kernel is default-OFF (measured negative, TUNING.md r4) — one ragged-T
+# canary stays in the default profile; the full shape matrix runs nightly.
+@pytest.mark.parametrize(
+    "t",
+    [pytest.param(77, marks=pytest.mark.slow),
+     pytest.param(101, marks=pytest.mark.slow),
+     pytest.param(32, marks=pytest.mark.slow),
+     63],
+)
 def test_fused_subsample_matches_xla_block1(t):
     """after_block1 parity across T shapes (odd/even, tile-exact, ragged)."""
     p, x = _setup(t=t)
@@ -40,6 +48,7 @@ def test_fused_subsample_matches_xla_block1(t):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_subsample_silu():
     p, x = _setup(mel=128, t=65, seed=9)
     want = np.asarray(E.conv_subsampling_stages(p, x, activation="silu")["after_block1"])
