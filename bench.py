@@ -204,6 +204,9 @@ def main() -> int:
                     help="artifact path for the --all-models matrix")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed runs")
+    ap.add_argument("--stft-mode", default=None, choices=["conv", "gemm"],
+                    help="offline STFT lowering for the e2e frontend "
+                         "(audio.frontend.set_stft_mode)")
     ap.add_argument("--e2e-unroll", type=int, default=1,
                     help="decode while_loop steps per iteration in the e2e "
                          "pipeline (bit-identical; see _decode_loop)")
@@ -229,6 +232,10 @@ def main() -> int:
         from parakeet_tpu.ops.layers import set_int8_compute
 
         set_int8_compute(True)
+    if args.stft_mode:
+        from parakeet_tpu.audio.frontend import set_stft_mode
+
+        set_stft_mode(args.stft_mode)
 
     import numpy as np
     import jax

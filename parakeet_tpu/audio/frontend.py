@@ -138,6 +138,68 @@ def _stft_power_conv(
     return re * re + im * im
 
 
+_STFT_MODE = "conv"
+
+
+def set_stft_mode(mode: str) -> None:
+    """Select the offline STFT lowering: "conv" (one strided windowed-DFT
+    convolution) or "gemm" (hop-block GEMM decomposition, see
+    _stft_power_gemm). Math is identical to f32 rounding; "gemm" exists
+    because XLA's strided-conv lowering measured ~4× its GEMM FLOP floor
+    at B=192 (TUNING.md r4). Clears the offline jit caches so the toggle
+    takes effect mid-process (tests, benchmarks)."""
+    global _STFT_MODE
+    if mode not in ("conv", "gemm"):
+        raise ValueError(f"stft mode must be 'conv' or 'gemm', got {mode!r}")
+    _STFT_MODE = mode
+    for fn in (_preprocess_jit, _preprocess_batch_jit):
+        fn.clear_cache()
+
+
+def _stft_power_gemm(
+    padded: jnp.ndarray,  # (B, L) preemphasized + padded waveforms
+    cfg: AudioConfig,
+    window: np.ndarray,  # (K,) analysis window (numpy, f32)
+    lpad: int,  # window's offset within the n_fft analysis frame
+    n_frames: int,
+) -> jnp.ndarray:
+    """Windowed power spectrum as ceil(K/hop) hop-block GEMMs (B, T, F).
+
+    Same math as _stft_power_conv with the window at offset lpad of the
+    n_fft frame — minus the conv lowering. Frame t's nonzero taps are
+    padded[t·hop+lpad : t·hop+lpad+K]; after dropping the first lpad
+    samples every frame starts on a hop boundary, so reshaping to hop
+    blocks turns the windowed DFT into sum_j blocks[:, t+j] @ W_j with
+    W_j = (window·DFT)[j·hop:(j+1)·hop] — nblk plain MXU GEMMs over
+    contiguous slices, no im2col, no strided-conv lowering, and the
+    n_fft−K zero taps cost nothing beyond hop round-up."""
+    k = int(window.shape[0])
+    hop, f = cfg.hop_length, cfg.n_fft // 2 + 1
+    nblk = -(-k // hop)
+    cos_m, sin_m = _dft_power_mats(cfg.n_fft)
+    wmat = np.concatenate(
+        [cos_m[lpad : lpad + k], sin_m[lpad : lpad + k]], axis=1
+    ) * window[:, None].astype(np.float32)  # (K, 2F)
+    wfull = np.zeros((nblk * hop, 2 * f), np.float32)
+    wfull[:k] = wmat
+    wj = jnp.asarray(wfull.reshape(nblk, hop, 2 * f))
+    y = padded[:, lpad:]
+    need = (n_frames - 1 + nblk) * hop
+    y = jnp.pad(y, ((0, 0), (0, max(0, need - y.shape[1]))))[:, :need]
+    blocks = y.reshape(y.shape[0], n_frames - 1 + nblk, hop)
+    spec = None
+    for j in range(nblk):
+        term = jax.lax.dot_general(
+            blocks[:, j : j + n_frames],
+            wj[j],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, T, 2F)
+        spec = term if spec is None else spec + term
+    re, im = spec[..., :f], spec[..., f:]
+    return re * re + im * im
+
+
 def _stft_power(
     x: jnp.ndarray, cfg: AudioConfig, *, center: bool, n_frames: int
 ) -> jnp.ndarray:
@@ -150,7 +212,8 @@ def _stft_power(
     arithmetic (audio.cpp:222-235); pad placement only shifts phase, power
     is unaffected.
     """
-    window = jnp.asarray(_hann_symmetric(cfg.win_length))
+    win_np = _hann_symmetric(cfg.win_length)
+    window = jnp.asarray(win_np)
     if center:
         pad = cfg.n_fft // 2
         x = jnp.pad(x, (pad, pad), mode="reflect")
@@ -159,7 +222,10 @@ def _stft_power(
     else:
         # zero-padding the windowed frame to n_fft ≡ truncating the DFT
         # matrix rows to win_length — the conv kernel is just the window
+        lpad = 0
         kernel_w = window
+    if _STFT_MODE == "gemm":
+        return _stft_power_gemm(x[None].astype(jnp.float32), cfg, win_np, lpad, n_frames)[0]
     # defensive tail pad: the old gather clamped out-of-range indices;
     # VALID conv instead needs (n_frames-1)*hop + K samples present
     need = (n_frames - 1) * cfg.hop_length + kernel_w.shape[0]
@@ -211,13 +277,18 @@ def _preprocess_batch_jit(
     cfg: AudioConfig,
     t_max: int,
 ) -> jnp.ndarray:
-    window = jnp.asarray(_hann_symmetric(cfg.win_length))
+    win_np = _hann_symmetric(cfg.win_length)
     lpad = (cfg.n_fft - cfg.win_length) // 2
-    win_full = jnp.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
-    # frame→window→rFFT as ONE strided windowed-DFT conv (see
-    # _stft_power_conv — XLA's TPU rfft + framing gathers cost ~11 ms of
-    # the B=128 e2e pipeline; this is one ~1 ms MXU op)
-    power = _stft_power_conv(padded, cfg, win_full)  # (B, T, F)
+    # frame→window→rFFT as strided windowed-DFT conv or hop-block GEMMs
+    # (XLA's TPU rfft + framing gathers cost ~11 ms of the B=128 e2e
+    # pipeline; the conv is one MXU op; gemm avoids the conv lowering)
+    if _STFT_MODE == "gemm":
+        power = _stft_power_gemm(padded, cfg, win_np, lpad, t_max)
+    else:
+        win_full = jnp.pad(
+            jnp.asarray(win_np), (lpad, cfg.n_fft - cfg.win_length - lpad)
+        )
+        power = _stft_power_conv(padded, cfg, win_full)  # (B, T, F)
     fb = jnp.asarray(_fb_for(cfg))
     log_mel = jnp.log(jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST) + LOG_GUARD)
     if cfg.normalize:

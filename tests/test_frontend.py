@@ -258,3 +258,71 @@ def test_batched_frontend_unnormalized():
         solo = np.asarray(preprocess_audio(w, cfg))[0]
         np.testing.assert_allclose(
             np.asarray(batched)[i, : n_frames[i]], solo, rtol=1e-4, atol=1e-5)
+
+
+class TestGemmStft:
+    """Hop-block GEMM STFT (frontend._stft_power_gemm): exact-math
+    equivalence with the strided-conv lowering (same windowed DFT, only
+    the summation grouping differs) across offsets, raggedness, and both
+    frontend entry points. The gemm mode exists because XLA's strided-conv
+    lowering measured ~4x its GEMM FLOP floor on TPU (TUNING.md r4)."""
+
+    def _restore(self):
+        from parakeet_tpu.audio.frontend import set_stft_mode
+
+        set_stft_mode("conv")
+
+    @pytest.mark.parametrize("n", [16000, 16001, 8081, 4000])
+    def test_matches_conv_power(self, n):
+        import jax.numpy as jnp
+
+        from parakeet_tpu.audio import frontend as F
+
+        cfg = AudioConfig()
+        rng = np.random.RandomState(n)
+        nf = n // cfg.hop_length + 1
+        need = (nf - 1) * cfg.hop_length + cfg.n_fft
+        x = (0.3 * rng.randn(2, need)).astype(np.float32)
+        win = F._hann_symmetric(cfg.win_length)
+        lpad = (cfg.n_fft - cfg.win_length) // 2
+        wfull = jnp.pad(
+            jnp.asarray(win), (lpad, cfg.n_fft - cfg.win_length - lpad)
+        )
+        a = np.asarray(F._stft_power_conv(jnp.asarray(x), cfg, wfull))[:, :nf]
+        b = np.asarray(F._stft_power_gemm(jnp.asarray(x), cfg, win, lpad, nf))
+        assert b.shape == (2, nf, cfg.n_fft // 2 + 1)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+    def test_mode_toggle_single_clip(self):
+        from parakeet_tpu.audio.frontend import set_stft_mode
+
+        x = np.random.RandomState(3).randn(12345).astype(np.float32) * 0.2
+        try:
+            set_stft_mode("gemm")
+            g = np.asarray(preprocess_audio(x))
+        finally:
+            self._restore()
+        c = np.asarray(preprocess_audio(x))
+        np.testing.assert_allclose(g, c, rtol=1e-3, atol=2e-4)
+
+    def test_mode_toggle_batch_ragged(self):
+        from parakeet_tpu.audio.frontend import preprocess_audio_batch, set_stft_mode
+
+        rng = np.random.RandomState(11)
+        waves = [
+            (0.2 * rng.randn(n)).astype(np.float32) for n in (16000, 9000, 24001)
+        ]
+        try:
+            set_stft_mode("gemm")
+            g, nf_g = preprocess_audio_batch(waves)
+        finally:
+            self._restore()
+        c, nf_c = preprocess_audio_batch(waves)
+        assert nf_g == nf_c
+        np.testing.assert_allclose(np.asarray(g), np.asarray(c), rtol=1e-3, atol=2e-4)
+
+    def test_rejects_unknown_mode(self):
+        from parakeet_tpu.audio.frontend import set_stft_mode
+
+        with pytest.raises(ValueError):
+            set_stft_mode("fft")
