@@ -140,10 +140,13 @@ class _TranscriberBase:
         Activations stay compute_dtype; Pallas kernels auto-fall back to
         the XLA path for quantized weights.
 
-        kernels: opt into the fused Pallas encoder kernels (True =
-        "block4hp", the measured-best TPU config, +32% encoder throughput
-        over the XLA path; see TUNING.md — the hp head-pair packing
-        degrades to per-head automatically where it wouldn't pay).
+        kernels: opt into the fused Pallas encoder kernels (True = the
+        measured-best TPU config for this model's scale: "block4hp" at
+        d_model<1024, plain "block" at d_model>=1024 where the 4-item
+        batch packing's VMEM footprint triggers the NB downgrade chain
+        and costs ~12% — TUNING.md r4 "600m-scale batch knees"; the hp
+        head-pair packing degrades to per-head automatically where it
+        wouldn't pay). Pass an explicit mode string to override.
         NOTE: sets process-global encoder state (models.encoder.
         set_fused_attention) — it affects every model in this process; pass
         kernels=False to restore the XLA path globally, or None (default)
@@ -173,7 +176,13 @@ class _TranscriberBase:
         if kernels is not None:
             from parakeet_tpu.models.encoder import set_fused_attention
 
-            set_fused_attention("block4hp" if kernels is True else kernels)
+            if kernels is True:
+                # Measured-best mode by scale (TUNING.md r4): block4hp at
+                # d=512-class models; plain block at d>=1024 (batch packing
+                # loses to VMEM pressure there, −12% measured at 600m).
+                kernels = ("block" if config.encoder.hidden_size >= 1024
+                           else "block4hp")
+            set_fused_attention(kernels)
         spec = self._spec()
         if params is not None:
             self.params = dict(params)

@@ -363,3 +363,34 @@ def test_block_nb_downgrade_on_vmem_guard():
         assert E._attn_block_fusable(a5, x5, 4)
     finally:
         E.set_fused_attention(False)
+
+
+def test_transcriber_kernels_true_resolves_by_scale():
+    """kernels=True picks the measured-best mode for the model's width:
+    block4hp at d_model<1024, plain block at d_model>=1024 (TUNING.md r4 —
+    batch packing loses to VMEM pressure at 1024)."""
+    from parakeet_tpu import config as CC
+    from parakeet_tpu.models import encoder as EE
+    from parakeet_tpu.transcribe import Transcriber
+
+    def cfg(width):
+        return CC.TDTCTCConfig(
+            encoder=CC.EncoderConfig(mel_bins=80, subsampling_channels=8,
+                                     hidden_size=width, num_layers=1,
+                                     num_heads=2, ffn_intermediate=32),
+            prediction=CC.PredictionConfig(vocab_size=9, pred_hidden=8,
+                                           num_lstm_layers=1),
+            joint=CC.JointConfig(encoder_hidden=width, pred_hidden=8,
+                                 joint_hidden=8, vocab_size=9),
+            ctc_vocab_size=9,
+        )
+
+    try:
+        Transcriber(None, None, cfg(16), seed=0, kernels=True)
+        assert EE.get_fused_attention() == "block4hp"
+        Transcriber(None, None, cfg(1024), seed=0, kernels=True)
+        assert EE.get_fused_attention() == "block"
+        Transcriber(None, None, cfg(1024), seed=0, kernels="block4")
+        assert EE.get_fused_attention() == "block4"  # explicit overrides
+    finally:
+        EE.set_fused_attention(False)
