@@ -355,25 +355,36 @@ def main() -> int:
         # the same grid); TUNING.md's hand-run numbers, driver-reproducible
         from parakeet_tpu.benchmark import bench_encoder
 
+        from parakeet_tpu.models.encoder import set_fused_attention
+
         ref_rtfx_10s = {  # reference best published (M3 GPU, README.md:453-456)
             "110m": 370.0, "tdt-600m": 10.0 / 0.520,
             "rnnt-600m": 10.0 / 1.468, "sortformer": 10.0 / 0.479,
         }
-        # measured-best batch at 10 s per model (scripts/bench_sweep.py);
-        # above 10 s, scale batch down to hold tokens ≈ best10×10s so the
-        # 60 s points fit HBM (attention scores grow with T²)
-        best10 = {"110m": args.batch, "tdt-600m": 16,
-                  "rnnt-600m": 16, "sortformer": 16}
+        # measured-best (batch, fused_mode) at 10 s per model (r4 knee
+        # sweeps, scripts/bench_sweep.py + TUNING.md "600m-scale batch
+        # knees"): d=512 models want block4hp (4 items/program,
+        # head-pair-packed); d=1024 flips to plain block — the 4×
+        # per-item VMEM footprint triggers the NB downgrade chain.
+        # Above 10 s, scale batch down to hold tokens ≈ best10×10s so
+        # the 60 s points fit HBM (attention scores grow with T²).
+        best10 = {"110m": (args.batch, "block4hp"),
+                  "tdt-600m": (128, "block"),
+                  "rnnt-600m": (64, "block"),
+                  "sortformer": (192, "block4hp")}
         matrix = []
         for model in ("110m", "tdt-600m", "rnnt-600m", "sortformer"):
+            mb0, mode = best10[model]
+            set_fused_attention(None if args.no_fused else mode)
             for sec in [int(d) for d in args.durations.split(",")]:
-                mb = best10[model]
+                mb = mb0
                 if sec > 10:
                     mb = max(8, (mb * 10 // sec) // 8 * 8)
                 dt = bench_encoder(model, sec, mb, args.dtype, args.iters)
                 rtfx = mb * sec / dt
                 row = {
                     "model": model, "seconds": sec, "batch": mb,
+                    "fused_mode": None if args.no_fused else mode,
                     "ms_per_forward": round(dt * 1e3, 2),
                     "rtfx_per_chip": round(rtfx, 1),
                     "vs_reference_best": (
@@ -382,9 +393,9 @@ def main() -> int:
                 }
                 matrix.append(row)
                 print(f"# all-models: {json.dumps(row)}", file=sys.stderr)
+        set_fused_attention(None if args.no_fused else args.fused_mode)
         with open(args.models_out, "w") as f:
-            json.dump({"dtype": args.dtype, "fused_mode": None if args.no_fused
-                       else args.fused_mode, "rows": matrix}, f, indent=1)
+            json.dump({"dtype": args.dtype, "rows": matrix}, f, indent=1)
         print(f"# all-models matrix → {args.models_out}", file=sys.stderr)
 
     print(json.dumps(e2e if (args.e2e_json and e2e) else headline))

@@ -15,9 +15,10 @@ reference, whose output is deterministic (test_all.cpp:739-753).
 
 Design: the mel filterbank and window are host-built f64 constants; the
 per-utterance transform is a single jitted function (one fused XLA program:
-pad→windowed-DFT-conv→matmul→log→normalize; see _stft_power_conv for why
-the FFT is replaced by one strided MXU convolution). Batched use goes
-through preprocess_audio_batch.
+pad→windowed-DFT-GEMM→matmul→log→normalize; see _stft_power_gemm for the
+hop-block GEMM lowering of the windowed DFT — the default — and
+_stft_power_conv for the strided-conv alternative and why the FFT is not
+used at all). Batched use goes through preprocess_audio_batch.
 """
 
 from __future__ import annotations
@@ -138,16 +139,17 @@ def _stft_power_conv(
     return re * re + im * im
 
 
-_STFT_MODE = "conv"
+_STFT_MODE = "gemm"
 
 
 def set_stft_mode(mode: str) -> None:
-    """Select the offline STFT lowering: "conv" (one strided windowed-DFT
-    convolution) or "gemm" (hop-block GEMM decomposition, see
-    _stft_power_gemm). Math is identical to f32 rounding; "gemm" exists
-    because XLA's strided-conv lowering measured ~4× its GEMM FLOP floor
-    at B=192 (TUNING.md r4). Clears the offline jit caches so the toggle
-    takes effect mid-process (tests, benchmarks)."""
+    """Select the offline STFT lowering: "gemm" (hop-block GEMM
+    decomposition, the default — see _stft_power_gemm) or "conv" (one
+    strided windowed-DFT convolution). Math is identical to f32 rounding;
+    "gemm" is the default because XLA's strided-conv lowering measured
+    ~2.5× the GEMM decomposition at B=192 (12.6 ms vs ~5 ms, e2e 26.1k →
+    28.2k RTFx; TUNING.md r4). Clears the offline jit caches so the
+    toggle takes effect mid-process (tests, benchmarks)."""
     global _STFT_MODE
     if mode not in ("conv", "gemm"):
         raise ValueError(f"stft mode must be 'conv' or 'gemm', got {mode!r}")
@@ -177,12 +179,21 @@ def _stft_power_gemm(
     hop, f = cfg.hop_length, cfg.n_fft // 2 + 1
     nblk = -(-k // hop)
     cos_m, sin_m = _dft_power_mats(cfg.n_fft)
+    # sin columns k=0 and k=n_fft/2 are sin(0·n)=0 and sin(π·n)≈0 (≤1e-13
+    # f64 residue, squared ≤1e-21 in power — below f32 ulp of any mel sum):
+    # drop them when n_fft is even, so the GEMM's N dim is exactly n_fft
+    # (512 → full 128-lane tiles) instead of 2F=n_fft+2 (→ 25% lane-pad
+    # waste at n_fft=512). Bin 0's im is bit-exactly zero; bin F-1's is the
+    # only (immeasurable) deviation vs _stft_power_conv.
+    trim = cfg.n_fft % 2 == 0
+    sin_cols = sin_m[:, 1 : f - 1] if trim else sin_m
+    nim = sin_cols.shape[1]
     wmat = np.concatenate(
-        [cos_m[lpad : lpad + k], sin_m[lpad : lpad + k]], axis=1
-    ) * window[:, None].astype(np.float32)  # (K, 2F)
-    wfull = np.zeros((nblk * hop, 2 * f), np.float32)
+        [cos_m[lpad : lpad + k], sin_cols[lpad : lpad + k]], axis=1
+    ) * window[:, None].astype(np.float32)  # (K, F + nim)
+    wfull = np.zeros((nblk * hop, f + nim), np.float32)
     wfull[:k] = wmat
-    wj = jnp.asarray(wfull.reshape(nblk, hop, 2 * f))
+    wj = jnp.asarray(wfull.reshape(nblk, hop, f + nim))
     y = padded[:, lpad:]
     need = (n_frames - 1 + nblk) * hop
     y = jnp.pad(y, ((0, 0), (0, max(0, need - y.shape[1]))))[:, :need]
@@ -194,10 +205,16 @@ def _stft_power_gemm(
             wj[j],
             dimension_numbers=(((2,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-        )  # (B, T, 2F)
+        )  # (B, T, F + nim)
         spec = term if spec is None else spec + term
     re, im = spec[..., :f], spec[..., f:]
-    return re * re + im * im
+    p = re * re
+    if trim:
+        return jnp.concatenate(
+            [p[..., :1], p[..., 1 : f - 1] + im * im, p[..., f - 1 :]],
+            axis=-1,
+        )
+    return p + im * im
 
 
 def _stft_power(

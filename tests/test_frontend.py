@@ -270,7 +270,7 @@ class TestGemmStft:
     def _restore(self):
         from parakeet_tpu.audio.frontend import set_stft_mode
 
-        set_stft_mode("conv")
+        set_stft_mode("gemm")  # the library default (TUNING.md r4)
 
     @pytest.mark.parametrize("n", [16000, 16001, 8081, 4000])
     def test_matches_conv_power(self, n):
@@ -297,12 +297,12 @@ class TestGemmStft:
         from parakeet_tpu.audio.frontend import set_stft_mode
 
         x = np.random.RandomState(3).randn(12345).astype(np.float32) * 0.2
+        g = np.asarray(preprocess_audio(x))  # default mode = gemm
         try:
-            set_stft_mode("gemm")
-            g = np.asarray(preprocess_audio(x))
+            set_stft_mode("conv")
+            c = np.asarray(preprocess_audio(x))
         finally:
             self._restore()
-        c = np.asarray(preprocess_audio(x))
         np.testing.assert_allclose(g, c, rtol=1e-3, atol=2e-4)
 
     def test_mode_toggle_batch_ragged(self):
@@ -312,12 +312,12 @@ class TestGemmStft:
         waves = [
             (0.2 * rng.randn(n)).astype(np.float32) for n in (16000, 9000, 24001)
         ]
+        g, nf_g = preprocess_audio_batch(waves)  # default mode = gemm
         try:
-            set_stft_mode("gemm")
-            g, nf_g = preprocess_audio_batch(waves)
+            set_stft_mode("conv")
+            c, nf_c = preprocess_audio_batch(waves)
         finally:
             self._restore()
-        c, nf_c = preprocess_audio_batch(waves)
         assert nf_g == nf_c
         np.testing.assert_allclose(np.asarray(g), np.asarray(c), rtol=1e-3, atol=2e-4)
 
