@@ -369,7 +369,7 @@ def main() -> int:
         # Above 10 s, scale batch down to hold tokens ≈ best10×10s so
         # the 60 s points fit HBM (attention scores grow with T²).
         best10 = {"110m": (args.batch, "block4hp"),
-                  "tdt-600m": (128, "block"),
+                  "tdt-600m": (96, "block"),
                   "rnnt-600m": (64, "block"),
                   "sortformer": (192, "block4hp")}
         matrix = []
