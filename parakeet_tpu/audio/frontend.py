@@ -169,15 +169,15 @@ def _stft_power_gemm(
 
     Same math as _stft_power_conv with the window at offset lpad of the
     n_fft frame — minus the conv lowering. Frame t's nonzero taps are
-    padded[t·hop+lpad : t·hop+lpad+K]; after dropping the first lpad
-    samples every frame starts on a hop boundary, so reshaping to hop
-    blocks turns the windowed DFT into sum_j blocks[:, t+j] @ W_j with
-    W_j = (window·DFT)[j·hop:(j+1)·hop] — nblk plain MXU GEMMs over
-    contiguous slices, no im2col, no strided-conv lowering, and the
-    n_fft−K zero taps cost nothing beyond hop round-up."""
+    padded[t·hop+lpad : t·hop+lpad+K]; every frame starts on a hop
+    boundary of the padded buffer, so reshaping to hop blocks turns the
+    windowed DFT into sum_j blocks[:, t+j] @ W_j with W_j the j-th hop
+    slice of the (zero-row-extended, lpad-shifted) window·DFT matrix —
+    nblk plain MXU GEMMs over contiguous slices, no im2col, no
+    strided-conv lowering, and the n_fft−K zero taps cost nothing beyond
+    hop round-up."""
     k = int(window.shape[0])
     hop, f = cfg.hop_length, cfg.n_fft // 2 + 1
-    nblk = -(-k // hop)
     cos_m, sin_m = _dft_power_mats(cfg.n_fft)
     # sin columns k=0 and k=n_fft/2 are sin(0·n)=0 and sin(π·n)≈0 (≤1e-13
     # f64 residue, squared ≤1e-21 in power — below f32 ulp of any mel sum):
@@ -191,10 +191,17 @@ def _stft_power_gemm(
     wmat = np.concatenate(
         [cos_m[lpad : lpad + k], sin_cols[lpad : lpad + k]], axis=1
     ) * window[:, None].astype(np.float32)  # (K, F + nim)
+    # Fold lpad into the weight rows (zeros above) instead of slicing the
+    # waveform: frame t's taps are padded[t·hop : t·hop + lpad + K] against
+    # rows [0, lpad+K) of the padded weights — bit-identical (f32 x+0·w
+    # adds nothing) and keeps the GEMM input a reshape of the contiguous
+    # padded buffer, not of a lane-shifted slice (which XLA materializes
+    # as a relayout copy, ~0.5 ms at B=192).
+    nblk = -(-(lpad + k) // hop)
     wfull = np.zeros((nblk * hop, f + nim), np.float32)
-    wfull[:k] = wmat
+    wfull[lpad : lpad + k] = wmat
     wj = jnp.asarray(wfull.reshape(nblk, hop, f + nim))
-    y = padded[:, lpad:]
+    y = padded
     need = (n_frames - 1 + nblk) * hop
     y = jnp.pad(y, ((0, 0), (0, max(0, need - y.shape[1]))))[:, :need]
     blocks = y.reshape(y.shape[0], n_frames - 1 + nblk, hop)
