@@ -25,6 +25,13 @@ import sys
 import tempfile
 from pathlib import Path
 
+# run straight from a source checkout (no pip install): examples/ is
+# sys.path[0] when invoked as `python examples/finetune.py`
+try:
+    import parakeet_tpu  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def make_toy_corpus(root: Path, n: int = 8):
     """Tiny deterministic corpus: random audio, two-word transcripts."""

@@ -12,6 +12,12 @@ server (parakeet_tpu/serve_http.py; also installed as `parakeet-serve`).
 """
 
 import sys
+from pathlib import Path
+
+try:
+    import parakeet_tpu  # noqa: F401
+except ModuleNotFoundError:  # source checkout: examples/ is sys.path[0]
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from parakeet_tpu.serve_http import main
 

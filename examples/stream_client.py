@@ -20,6 +20,13 @@ import time
 
 import numpy as np
 
+try:
+    import parakeet_tpu  # noqa: F401
+except ModuleNotFoundError:  # source checkout: examples/ is sys.path[0]
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from parakeet_tpu.audio.io import read_audio
 from parakeet_tpu.decode.timestamp import FRAME_DURATION_S
 

@@ -269,10 +269,16 @@ def make_lr_schedule(
             return optax.linear_schedule(0.0, learning_rate, warmup_steps)
         return learning_rate
     if schedule == "cosine":
-        if not decay_steps:
-            raise ValueError("cosine schedule needs decay_steps (total steps)")
+        if not decay_steps or decay_steps < 2:
+            raise ValueError(
+                "cosine schedule needs decay_steps >= 2 (total steps; optax "
+                f"requires warmup < total), got {decay_steps!r}"
+            )
+        # optax requires warmup < total; clamp so short smoke runs with a
+        # fixed warmup (e.g. --steps 2 --warmup-steps 2) stay valid
+        warm = max(1, min(warmup_steps, decay_steps - 1))
         return optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, max(warmup_steps, 1), decay_steps
+            0.0, learning_rate, warm, decay_steps
         )
     if schedule == "noam":
         warm = max(warmup_steps, 1)

@@ -18,6 +18,15 @@ import argparse
 import sys
 import time
 
+try:
+    import parakeet_tpu  # noqa: F401
+except ModuleNotFoundError:  # source checkout: scripts/ is sys.path[0]
+    import pathlib as _pl
+    import sys as _sys
+
+    _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()

@@ -7,7 +7,13 @@
 """
 
 import argparse
+import pathlib
 import sys
+
+try:
+    import parakeet_tpu  # noqa: F401
+except ModuleNotFoundError:  # source checkout: scripts/ is sys.path[0]
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:

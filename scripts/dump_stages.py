@@ -38,6 +38,15 @@ from pathlib import Path
 
 import numpy as np
 
+try:
+    import parakeet_tpu  # noqa: F401
+except ModuleNotFoundError:  # source checkout: scripts/ is sys.path[0]
+    import pathlib as _pl
+    import sys as _sys
+
+    _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
+
 # our stage name → (reference dump basenames tried in order)
 REF_STAGE_FILES = {
     "features": ("debug_features_cpp.bin", "debug_features_py.npy"),

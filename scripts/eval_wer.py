@@ -15,6 +15,15 @@ import sys
 import time
 from pathlib import Path
 
+try:
+    import parakeet_tpu  # noqa: F401
+except ModuleNotFoundError:  # source checkout: scripts/ is sys.path[0]
+    import pathlib as _pl
+    import sys as _sys
+
+    _sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
+
 
 def load_manifest(path: str) -> list[tuple[str, str]]:
     items = []

@@ -1,0 +1,65 @@
+"""Smoke tests for examples/ — examples rot unless executed.
+
+Fast (default profile): each example runs from a NEUTRAL cwd with --help,
+proving the source-checkout sys.path fallback works (invoking
+`python examples/foo.py` puts examples/ at sys.path[0], so without the
+fallback an uninstalled tree can't import parakeet_tpu).
+
+Slow (nightly): examples/finetune.py end to end on the synthetic toy
+corpus — manifest → sharded CPU training → safetensors export →
+Transcriber → WER (the walkthrough the README points new users at).
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+EXAMPLES = sorted((REPO / "examples").glob("*.py"))
+SCRIPTS = sorted(p for p in (REPO / "scripts").glob("*.py") if p.name != "lint.py")
+
+
+@pytest.mark.parametrize("script", EXAMPLES, ids=lambda p: p.name)
+def test_example_help_from_neutral_cwd(script, tmp_path):
+    proc = subprocess.run(
+        [sys.executable, str(script), "--help"],
+        cwd=tmp_path,  # neither repo root nor examples/: imports must self-serve
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "usage" in proc.stdout.lower()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("script", SCRIPTS, ids=lambda p: p.name)
+def test_script_help_from_neutral_cwd(script, tmp_path):
+    """scripts/ must be runnable from a source checkout without pip install
+    (each carries the same sys.path fallback as examples/). Nightly: ~11
+    interpreter+jax starts."""
+    proc = subprocess.run(
+        [sys.executable, str(script), "--help"],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "usage" in proc.stdout.lower()
+
+
+@pytest.mark.slow
+def test_finetune_example_end_to_end(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "finetune.py"), "--steps", "2"],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # the walkthrough prints a final train-set WER line
+    assert "wer" in proc.stdout.lower(), proc.stdout[-2000:]

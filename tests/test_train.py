@@ -320,6 +320,13 @@ def test_lr_schedules():
     assert float(cos(100)) == pytest.approx(0.0, abs=1e-9)
     with pytest.raises(ValueError, match="decay_steps"):
         make_lr_schedule(1e-3, schedule="cosine")
+    # warmup >= total steps: clamped to total-1 (short smoke runs),
+    # not optax's opaque "positive decay_steps" error
+    tiny = make_lr_schedule(1e-3, schedule="cosine", warmup_steps=2, decay_steps=2)
+    assert float(tiny(1)) == pytest.approx(1e-3)
+    assert float(tiny(2)) == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_lr_schedule(1e-3, schedule="cosine", warmup_steps=2, decay_steps=1)
 
     noam = make_lr_schedule(1e-3, schedule="noam", warmup_steps=100)
     # peak at warmup, rises before, decays as 1/sqrt after
