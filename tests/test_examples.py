@@ -52,6 +52,23 @@ def test_script_help_from_neutral_cwd(script, tmp_path):
 
 
 @pytest.mark.slow
+def test_acceptance_rehearsal(tmp_path):
+    """`make acceptance` must pass TODAY (the real-weight gate rehearsal,
+    VERDICT r3 #6): fabricate checkpoint → convert → transcribe both heads
+    → stage dumps vs torch oracle → WER gate. Pins the one-command gate so
+    it can't rot before real weights land."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "acceptance.py")],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "PASS" in proc.stdout
+
+
+@pytest.mark.slow
 def test_finetune_example_end_to_end(tmp_path):
     proc = subprocess.run(
         [sys.executable, str(REPO / "examples" / "finetune.py"), "--steps", "2"],
