@@ -275,8 +275,21 @@ def make_lr_schedule(
                 f"requires warmup < total), got {decay_steps!r}"
             )
         # optax requires warmup < total; clamp so short smoke runs with a
-        # fixed warmup (e.g. --steps 2 --warmup-steps 2) stay valid
+        # fixed warmup (e.g. --steps 2 --warmup-steps 2) stay valid — but
+        # a real run configured with warmup >= total steps is almost
+        # certainly a mistake (it silently becomes all-warmup/no-decay),
+        # so make the clamp loud instead of silent.
         warm = max(1, min(warmup_steps, decay_steps - 1))
+        if warmup_steps >= decay_steps:
+            import warnings
+
+            warnings.warn(
+                f"cosine schedule: warmup_steps={warmup_steps} >= "
+                f"decay_steps={decay_steps}; clamping warmup to {warm}. "
+                "If this is not a smoke run, fix the schedule "
+                "(warmup should be a small fraction of total steps).",
+                stacklevel=2,
+            )
         return optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warm, decay_steps
         )

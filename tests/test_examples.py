@@ -10,6 +10,7 @@ corpus — manifest → sharded CPU training → safetensors export →
 Transcriber → WER (the walkthrough the README points new users at).
 """
 
+import os
 import pathlib
 import subprocess
 import sys
@@ -20,12 +21,51 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 EXAMPLES = sorted((REPO / "examples").glob("*.py"))
 SCRIPTS = sorted(p for p in (REPO / "scripts").glob("*.py") if p.name != "lint.py")
 
+# In this environment parakeet_tpu is pip-installed (editable), so a plain
+# subprocess would import it via the site-packages meta_path finder and the
+# source-checkout sys.path fallback would never execute. Scrub the finder
+# with a sitecustomize so the try-import genuinely fails and the fallback
+# branch is the code under test.
+_SITECUSTOMIZE = (
+    # the editable finder is appended to meta_path as a CLASS, so its
+    # provenance lives on f.__module__ (type(f) would just say 'builtins')
+    "import sys\n"
+    "sys.meta_path = [f for f in sys.meta_path\n"
+    "                 if 'parakeet_tpu' not in str(getattr(f, '__module__', ''))]\n"
+)
+
+
+def _scrubbed_env(tmp_path):
+    (tmp_path / "sitecustomize.py").write_text(_SITECUSTOMIZE)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(tmp_path)  # replaces, not prepends: no repo leak
+    return env
+
+
+def test_scrub_actually_blocks_installed_package(tmp_path):
+    """Canary: with the scrubbed env, a bare import must FAIL — otherwise
+    the fallback tests below pass without exercising the fallback."""
+    proc = subprocess.run(
+        [sys.executable, "-c", "import parakeet_tpu"],
+        cwd=tmp_path,
+        env=_scrubbed_env(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0, (
+        "installed parakeet_tpu still importable under the scrubbed env; "
+        "the fallback tests are vacuous"
+    )
+    assert "ModuleNotFoundError" in proc.stderr
+
 
 @pytest.mark.parametrize("script", EXAMPLES, ids=lambda p: p.name)
 def test_example_help_from_neutral_cwd(script, tmp_path):
     proc = subprocess.run(
         [sys.executable, str(script), "--help"],
         cwd=tmp_path,  # neither repo root nor examples/: imports must self-serve
+        env=_scrubbed_env(tmp_path),
         capture_output=True,
         text=True,
         timeout=120,
@@ -43,6 +83,7 @@ def test_script_help_from_neutral_cwd(script, tmp_path):
     proc = subprocess.run(
         [sys.executable, str(script), "--help"],
         cwd=tmp_path,
+        env=_scrubbed_env(tmp_path),
         capture_output=True,
         text=True,
         timeout=120,
