@@ -219,6 +219,7 @@ class StreamingBatchTranscriber:
         mel_frames_per_step: int = 16,  # multiple of 8 (subsampling stride)
         seed: int = 0,
         quantize: str | None = None,  # "int8"/"int4" weight-only (see _StreamingBase)
+        mesh=None,  # jax.sharding.Mesh with a 'data' axis — shard the cohort
     ):
         """frontend="per_push": each push() runs the slot's mel frontend
         (reference StreamingAudioPreprocessor semantics — the mel grid
@@ -240,7 +241,18 @@ class StreamingBatchTranscriber:
         dominant batch-scaling cost on tunnel-attached TPUs), converted to
         float on device exactly like the int16 read path (x/32768).
         Numerics identical for clients that feed int16 PCM (what
-        /stream receives); float inputs are quantized to int16 on push."""
+        /stream receives); float inputs are quantized to int16 on push.
+
+        mesh: optional jax.sharding.Mesh — the serving cohort (streaming
+        caches, decode state, and each step's input batch) shards over the
+        mesh's 'data' axis and params replicate, so one lockstep step
+        drives batch/dp slots per device with XLA running the per-device
+        slices in parallel (no cross-device collectives: every slot's
+        state is self-contained, so dp sharding is embarrassingly
+        parallel). Tokens are bit-identical to the single-device run
+        (pinned by test + the driver dryrun leg). batch must divide by
+        mesh.shape['data']. TP ('model' axis > 1) composes via the same
+        param rules the offline Transcriber uses."""
         from parakeet_tpu.models.streaming_encoder import (
             init_encoder_cache,
             streaming_encoder_chunk,
@@ -272,6 +284,32 @@ class StreamingBatchTranscriber:
                           params=params, seed=seed, quantize=quantize)
         self.config = proto.config  # resolved preset when config was None
         self.params = proto.params
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            from parakeet_tpu.parallel.mesh import shard_params
+
+            dp = dict(mesh.shape).get("data", 1)
+            if batch % dp:
+                raise ValueError(
+                    f"batch {batch} must divide by the mesh's data axis ({dp})"
+                )
+            self.params = shard_params(self.params, mesh)
+            # vocab padding may have grown the logit dim; blank stays at
+            # vocab_size-1 and padded lanes carry -inf bias (mesh.py), so
+            # decode semantics are unchanged.
+            self._shardings = {
+                # batch dim per state leaf (init_encoder_cache layout)
+                "conv": NamedSharding(mesh, PS(None, "data", None, None)),
+                "kv": NamedSharding(mesh, PS(None, "data", None, None, None)),
+                "valid": NamedSharding(mesh, PS("data")),
+                "last_token": NamedSharding(mesh, PS("data")),
+                "lstm": NamedSharding(mesh, PS(None, None, "data", None)),
+                "raw": NamedSharding(mesh, PS("data", None)),
+                "prev": NamedSharding(mesh, PS("data")),
+                "mel": NamedSharding(mesh, PS("data", None, None)),
+            }
         self.tokenizer = proto.tokenizer
         self._blank_id = proto._blank_id
         self._audio_cfg = proto._audio_cfg
@@ -350,6 +388,16 @@ class StreamingBatchTranscriber:
         self._lstm = prediction_zero_state(
             cfg.prediction.num_lstm_layers, self.batch, cfg.prediction.pred_hidden
         )
+        if self._mesh is not None:
+            sh = self._shardings
+            self._cache = {
+                "conv": jax.device_put(self._cache["conv"], sh["conv"]),
+                "key": jax.device_put(self._cache["key"], sh["kv"]),
+                "value": jax.device_put(self._cache["value"], sh["kv"]),
+                "valid": jax.device_put(self._cache["valid"], sh["valid"]),
+            }
+            self._last_token = jax.device_put(self._last_token, sh["last_token"])
+            self._lstm = jax.device_put(self._lstm, sh["lstm"])
         self._tokens: list[list[int]] = [[] for _ in range(self.batch)]
         self._timestamped: list[list[TimestampedToken]] = [[] for _ in range(self.batch)]
         self._frame_offset = [0] * self.batch
@@ -488,13 +536,20 @@ class StreamingBatchTranscriber:
             }
 
         if self._frontend == "fused":
+            raw_j, prev_j = jnp.asarray(raw), jnp.asarray(prev)
+            if self._mesh is not None:
+                raw_j = jax.device_put(raw_j, self._shardings["raw"])
+                prev_j = jax.device_put(prev_j, self._shardings["prev"])
             packed, new_last, new_lstm, new_cache = self._step_fused_audio(
-                self.params, jnp.asarray(raw), jnp.asarray(prev),
+                self.params, raw_j, prev_j,
                 self._cache, self._last_token, self._lstm,
             )
         else:
+            mel_j = jnp.asarray(mel)
+            if self._mesh is not None:
+                mel_j = jax.device_put(mel_j, self._shardings["mel"])
             packed, new_last, new_lstm, new_cache = self._step_fused(
-                self.params, jnp.asarray(mel), self._cache, self._last_token, self._lstm
+                self.params, mel_j, self._cache, self._last_token, self._lstm
             )
 
         # ONE host fetch for the whole step's decode output (see __init__).

@@ -174,3 +174,44 @@ def test_streaming_service_fused_int16_production_config(cfg):
         assert s.tokens() == ref_tokens
         assert final == ""  # random weights: tokenizer not loaded
         assert svc.free_slots == 2
+
+
+def test_streaming_batch_dp_sharded_matches_single_device(cfg):
+    """mesh= shards the serving cohort over the 'data' axis (VERDICT r4 #8:
+    the one subsystem without multi-device evidence). Tokens from a dp8
+    fused-frontend run must be bit-identical to the unsharded run on the
+    same audio, including a held slot and a deactivated slot."""
+    import jax
+
+    from parakeet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(41)
+    batch = 8
+    clips = [(rng.randn(12800) * 0.1).astype(np.float32) for _ in range(batch)]
+
+    def run(mesh):
+        bt = StreamingBatchTranscriber(batch, None, None, cfg, seed=31,
+                                       mel_frames_per_step=MEL_STEP,
+                                       frontend="fused", mesh=mesh)
+        bt.deactivate_slot(5)
+        for i, clip in enumerate(clips):
+            bt.push(i, clip)
+        steps = 0
+        while bt.ready_any():
+            # hold slot 2 on the first step (state restore must shard too);
+            # afterwards hold whatever lags (slot 2 runs one chunk behind)
+            hold = {2} if steps == 0 else set(bt.lagging_slots())
+            toks = bt.step(hold=hold)
+            assert len(toks) == batch
+            steps += 1
+        assert steps > 1
+        return [list(t) for t in bt._tokens]
+
+    mesh = make_mesh(8)
+    assert dict(mesh.shape)["data"] == 8
+    ref = run(None)
+    with mesh:
+        got = run(mesh)
+    assert got == ref
+    assert got[5] == []  # deactivated slot stayed silent
+    assert any(got[i] for i in range(batch) if i != 5)
