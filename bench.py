@@ -34,19 +34,23 @@ import sys
 import time
 
 
-def run_e2e(args) -> dict:
-    """End-to-end audio→tokens RTFx: raw waveforms through preemphasis +
-    batched mel frontend + encoder + the full jitted TDT decode loop, as one
-    chained on-device program (same honest methodology as the headline:
-    block_until_ready lies on this relay, so K data-dependent pipeline
-    iterations are chained in one jit and a single scalar leaves the
-    device). The audio batch is uploaded once — a production host feeds its
-    local TPU, so the dev tunnel's ~20 MB/s upload bandwidth is excluded
-    (measured: it alone turns 64×10 s into ~3.8 s/call; see TUNING.md).
+class _NS:
+    """Plain attribute namespace for the e2e pipeline setup."""
 
-    Random weights emit a symbol on nearly every frame (nothing like
-    speech), so the blank logit is biased to a speech-like ~35 tokens per
-    10 s clip before timing (same approach as scripts/bench_decode.py)."""
+
+def _e2e_setup(args, batch: int, secs: int, dtype: str | None = None,
+               blank_bias: float | None = None, quantize: bool = True) -> "_NS":
+    """Build the audio→tokens pipeline shared by run_e2e and run_parity:
+    params (blank-biased to speech-like emission density), a synthetic
+    waveform batch, and pipeline(p, audio, with_enc=False) running
+    preemphasis + batched mel frontend + encoder + the full jitted TDT
+    decode loop. Random weights emit a symbol on nearly every frame
+    (nothing like speech), so the blank logit is biased to ~3.5 tokens/s
+    first (same approach as scripts/bench_decode.py).
+
+    dtype overrides args.dtype; blank_bias skips the on-device bias search
+    (run_parity reuses one search across its dtype variants); quantize=False
+    ignores --e2e-quantize-decoder (parity gates the bit-parity path)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -61,17 +65,18 @@ def run_e2e(args) -> dict:
 
     cfg = C.make_110m_config()
     acfg = AudioConfig(n_mels=cfg.encoder.mel_bins)
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype_name = dtype or args.dtype
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params = P.init_params(P.tdt_ctc_spec(cfg), seed=0)
-    if args.dtype != "float32":
+    if dtype_name != "float32":
         params = cast_params(params, dtype)
-    if args.e2e_quantize_decoder:
+    if args.e2e_quantize_decoder and quantize:
         from parakeet_tpu.quantize import quantize_params
 
         params = quantize_params(params, mode=args.e2e_quantize_decoder,
                                  include=r"^(prediction_|tdt_joint_)")
 
-    b, n = args.batch, args.secs * 16000
+    b, n = batch, secs * 16000
     rng = np.random.RandomState(0)
     waves = jnp.asarray((0.1 * rng.randn(b, n)).astype(np.float32))
     n_frames = n // acfg.hop_length + 1
@@ -88,7 +93,7 @@ def run_e2e(args) -> dict:
         boost_score=0.0, clamp_end=True, unroll=args.e2e_unroll,
     )
 
-    def pipeline(p, audio):
+    def pipeline(p, audio, with_enc=False):
         pre = jnp.concatenate([audio[:, :1], audio[:, 1:] - 0.97 * audio[:, :-1]], axis=1)
         padded = jnp.pad(pre, ((0, 0), (acfg.n_fft // 2, acfg.n_fft // 2)), mode="reflect")
         need = (n_frames - 1) * acfg.hop_length + acfg.n_fft
@@ -99,21 +104,53 @@ def run_e2e(args) -> dict:
             cfg.prediction.num_lstm_layers, b, cfg.prediction.pred_hidden
         )
         outs = TR._decode_loop(p, enc, enc_len, init_tok, init_lstm, None, None, **decode_kw)
-        return outs
+        return (outs, enc) if with_enc else outs
 
     # bias the blank logit for speech-like emission density (~3.5 tok/s)
-    count_tokens = jax.jit(lambda p, a: jnp.mean(pipeline(p, a)[4].astype(jnp.float32)))
     key = "tdt_joint_.label_proj_.bias"
     bias0 = np.asarray(params[key], np.float32)
-    lo, hi = 0.0, 30.0
-    for _ in range(10):
-        mid = (lo + hi) / 2
+    store = dtype if dtype_name != "float32" else jnp.float32
+    if blank_bias is not None:
+        mid = blank_bias
         b2 = bias0.copy()
         b2[blank] += mid
-        params[key] = jnp.asarray(b2).astype(dtype if args.dtype != "float32" else jnp.float32)
-        cnt = float(count_tokens(params, waves))
-        lo, hi = (mid, hi) if cnt > 3.5 * args.secs else (lo, mid)
-    print(f"# e2e blank bias {mid:.2f}: ~{cnt:.0f} tokens/clip", file=sys.stderr)
+        params[key] = jnp.asarray(b2).astype(store)
+        print(f"# e2e blank bias {mid:.2f} (reused; batch {b})", file=sys.stderr)
+    else:
+        count_tokens = jax.jit(
+            lambda p, a: jnp.mean(pipeline(p, a)[4].astype(jnp.float32))
+        )
+        lo, hi = 0.0, 30.0
+        for _ in range(10):
+            mid = (lo + hi) / 2
+            b2 = bias0.copy()
+            b2[blank] += mid
+            params[key] = jnp.asarray(b2).astype(store)
+            cnt = float(count_tokens(params, waves))
+            lo, hi = (mid, hi) if cnt > 3.5 * secs else (lo, mid)
+        print(f"# e2e blank bias {mid:.2f}: ~{cnt:.0f} tokens/clip (batch {b})",
+              file=sys.stderr)
+
+    ns = _NS()
+    ns.params, ns.waves, ns.pipeline = params, waves, pipeline
+    ns.cfg, ns.batch, ns.secs, ns.blank_bias = cfg, b, secs, mid
+    return ns
+
+
+def run_e2e(args) -> dict:
+    """End-to-end audio→tokens RTFx: raw waveforms through preemphasis +
+    batched mel frontend + encoder + the full jitted TDT decode loop, as one
+    chained on-device program (same honest methodology as the headline:
+    block_until_ready lies on this relay, so K data-dependent pipeline
+    iterations are chained in one jit and a single scalar leaves the
+    device). The audio batch is uploaded once — a production host feeds its
+    local TPU, so the dev tunnel's ~20 MB/s upload bandwidth is excluded
+    (measured: it alone turns 64×10 s into ~3.8 s/call; see TUNING.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    st = _e2e_setup(args, args.batch, args.secs)
+    params, waves, pipeline, b = st.params, st.waves, st.pipeline, st.batch
 
     k = args.iters
 
@@ -149,6 +186,147 @@ def run_e2e(args) -> dict:
     }
 
 
+def run_parity(args) -> bool:
+    """ON-DEVICE kernel-vs-XLA token parity gate (VERDICT r4 #1).
+
+    Every headline number and Transcriber(kernels=True) run Mosaic-compiled
+    Pallas kernels whose parity tests execute in CPU interpret mode only —
+    this closes the gap with three legs on the real TPU:
+
+    1. f32 HARD GATE — full audio→tokens pipeline in float32, fused kernels
+       vs the pure-XLA path, and gemm- vs conv-STFT: tokens must be
+       IDENTICAL (both paths run f32 with HIGHEST precision; a Mosaic
+       codegen divergence shows up as a gross mismatch here).
+    2. bf16 BOUNDED GATE — the production config (bf16 kernels vs bf16
+       XLA): encoder-output max delta must stay under 10% of the output
+       scale. Token-exactness is NOT a valid invariant between two
+       different-but-correct bf16 compilations: a measured control (f32
+       STFT-lowering swap = ~1e-5 input noise) produces the same-order
+       encoder delta (4.7e-2 vs 7.8e-2 on scale 3.45) and the same token
+       flips through 17 bf16 layers on random weights, so exact-token
+       gating at bf16 would reject provably-correct programs. Token
+       agreement is still measured and logged.
+    3. Serving leg — the fused serving step (StreamingBatchTranscriber
+       frontend='fused': device mel + streaming encoder + decode in ONE
+       program) vs the per-push path on device: tokens must be identical
+       (same dtype, same math, the documented equal-grid cadence).
+
+    Returns True on full parity; prints `# parity` lines either way and the
+    caller exits non-zero on any gate failure (fail loudly)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from parakeet_tpu.audio import frontend as F
+    from parakeet_tpu.models import encoder as E
+
+    fused_mode = None if args.no_fused else args.fused_mode
+    stft0 = F._STFT_MODE  # reflects --stft-mode when given
+    stft_alt = "conv" if stft0 == "gemm" else "gemm"
+    # the gate validates the BIT-PARITY path; bf16 score storage is a
+    # documented non-bit-parity operating point (like W8A8), so pin f32
+    # for the parity legs and restore after
+    score0 = E.get_score_storage()
+    E.set_score_storage("f32")
+
+    st32 = _e2e_setup(args, args.parity_batch, args.secs, dtype="float32",
+                      quantize=False)
+    st16 = _e2e_setup(args, args.parity_batch, args.secs, dtype="bfloat16",
+                      blank_bias=st32.blank_bias, quantize=False)
+
+    def run_variant(st, mode, stft):
+        E.set_fused_attention(mode)
+        F.set_stft_mode(stft)
+        outs, enc = jax.jit(
+            lambda p, a: st.pipeline(p, a, with_enc=True)
+        )(st.params, st.waves)
+        toks = np.asarray(outs[0])
+        n = np.asarray(outs[4])
+        return toks, n, np.asarray(enc.astype(jnp.float32))
+
+    def compare(a, b):
+        """(#clips mismatching, #tokens mismatching, total tokens)."""
+        (ta, na, _), (tb, nb, _) = a, b
+        bad_clips = bad_toks = 0
+        for i in range(ta.shape[0]):
+            hi = max(int(na[i]), int(nb[i]))
+            da = int(np.sum(ta[i, :hi] != tb[i, :hi])) + abs(int(na[i]) - int(nb[i]))
+            if da:
+                bad_clips += 1
+                bad_toks += da
+        return bad_clips, bad_toks, int(na.sum())
+
+    def report(name, base, other, hard_tokens, delta_bound=None):
+        bad_clips, bad_toks, total = compare(base, other)
+        enc_delta = float(np.max(np.abs(base[2] - other[2])))
+        enc_scale = float(np.max(np.abs(base[2])))
+        rel = enc_delta / max(enc_scale, 1e-9)
+        leg_ok = True
+        if hard_tokens and bad_clips:
+            leg_ok = False
+        if delta_bound is not None and rel > delta_bound:
+            leg_ok = False
+        print(f"# parity[{name}]: {'OK' if leg_ok else 'FAIL'} — "
+              f"{bad_clips}/{base[0].shape[0]} clips / {bad_toks}/{total} "
+              f"tokens diverge, max enc delta {enc_delta:.3e} "
+              f"({100 * rel:.2f}% of scale"
+              + (f", bound {100 * delta_bound:.0f}%" if delta_bound else "")
+              + ")", file=sys.stderr)
+        return leg_ok
+
+    ok = True
+    try:
+        # 1. f32 hard gates
+        base32 = run_variant(st32, fused_mode, stft0)
+        if fused_mode is not None:
+            xla32 = run_variant(st32, None, stft0)
+            ok &= report("f32 kernels-vs-xla", base32, xla32, hard_tokens=True)
+        conv32 = run_variant(st32, fused_mode, stft_alt)
+        ok &= report(f"f32 {stft0}-vs-{stft_alt}-stft", base32, conv32,
+                     hard_tokens=True)
+        # 2. bf16 bounded gate (the production config)
+        if fused_mode is not None and args.dtype == "bfloat16":
+            base16 = run_variant(st16, fused_mode, stft0)
+            xla16 = run_variant(st16, None, stft0)
+            ok &= report("bf16 kernels-vs-xla", base16, xla16,
+                         hard_tokens=False, delta_bound=0.10)
+    finally:
+        E.set_fused_attention(fused_mode)
+        F.set_stft_mode(stft0)
+        E.set_score_storage(score0)
+
+    # 3. Serving-step leg: fused frontend (ONE co-traced program: device mel
+    # + streaming encoder + decode) vs per_push fed exactly step-sized
+    # chunks (the documented equal-grid cadence) — on the real TPU.
+    from parakeet_tpu.streaming import StreamingBatchTranscriber
+
+    def serve_tokens(frontend):
+        bt = StreamingBatchTranscriber(2, None, None, None, model="eou",
+                                       seed=0, frontend=frontend)
+        cs = bt._chunk_samples
+        rng = np.random.RandomState(1)
+        audio = (0.1 * rng.randn(2, 3 * cs)).astype(np.float32)
+        for i in range(2):
+            for s in range(0, 3 * cs, cs):  # step-sized pushes: equal mel grid
+                bt.push(i, audio[i, s : s + cs])
+        while bt.ready():
+            bt.step()
+        return [list(t) for t in bt._tokens]
+
+    fused_toks = serve_tokens("fused")
+    pp_toks = serve_tokens("per_push")
+    serve_ok = fused_toks == pp_toks
+    n_serve = sum(len(t) for t in pp_toks)
+    print(f"# parity[serving fused-vs-per_push]: "
+          f"{'OK' if serve_ok else 'DIVERGED'} ({n_serve} tokens)",
+          file=sys.stderr)
+    if not serve_ok or n_serve == 0:
+        ok = False
+
+    print(f"# parity: {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+    return ok
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     # default batch: 192 — the split-score kernel moved the knee (r3 sweep,
@@ -177,6 +355,12 @@ def main() -> int:
                          "the 'hp' suffix packs head pairs into the per-item "
                          "content/AV matmuls (full 128-lane MXU tiles at hd=64)")
     ap.add_argument("--conv-layout", default=None, choices=["nhc", "nch", "pallas"])
+    ap.add_argument("--score-storage", default=None, choices=["f32", "bf16"],
+                    help="fused-attention score-tensor storage "
+                         "(encoder.set_score_storage): 'bf16' halves the "
+                         "(TP,TP)/(TP,2TP) score/softmax VMEM traffic — "
+                         "~1e-3 score noise, NOT bit-parity (the VERDICT "
+                         "r4 #2 control experiment / operating point)")
     ap.add_argument("--fused-ffn", action="store_true",
                     help="fused Pallas macaron-FFN kernel (encoder.set_fused_ffn)")
     ap.add_argument("--fused-subsample", action="store_true",
@@ -186,6 +370,14 @@ def main() -> int:
                     help="fused conv+ffn2+final-norm kernel (encoder.set_fused_block2)")
     ap.add_argument("--no-e2e", action="store_true",
                     help="skip the end-to-end audio→text measurement")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the on-device kernel-vs-XLA token parity "
+                         "gate (run_parity — ON by default so every driver "
+                         "bench session validates the Mosaic fast path on "
+                         "the hardware it ships on)")
+    ap.add_argument("--parity-batch", type=int, default=8,
+                    help="batch size for the parity legs (small: these "
+                         "validate correctness, not throughput)")
     ap.add_argument("--compiler-options", default=None,
                     help="comma-separated k=v XLA/libtpu options forwarded to "
                          "the headline jit (e.g. xla_tpu_scoped_vmem_limit_kib=65536); "
@@ -204,7 +396,7 @@ def main() -> int:
                     help="artifact path for the --all-models matrix")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed runs")
-    ap.add_argument("--stft-mode", default=None, choices=["conv", "gemm"],
+    ap.add_argument("--stft-mode", default=None, choices=["conv", "gemm", "gemm1"],
                     help="offline STFT lowering for the e2e frontend "
                          "(audio.frontend.set_stft_mode)")
     ap.add_argument("--e2e-unroll", type=int, default=1,
@@ -273,6 +465,10 @@ def main() -> int:
         from parakeet_tpu.models.encoder import set_fused_attention
 
         set_fused_attention(args.fused_mode)
+    if args.score_storage:
+        from parakeet_tpu.models.encoder import set_score_storage
+
+        set_score_storage(args.score_storage)
     if args.conv_layout:
         from parakeet_tpu.models.encoder import set_conv_layout
 
@@ -350,6 +546,10 @@ def main() -> int:
         # metric rides on stderr so both appear in the captured tail.
         print(f"# e2e: {json.dumps(e2e)}", file=sys.stderr)
 
+    parity_ok = True
+    if not args.no_parity:
+        parity_ok = run_parity(args)
+
     if args.all_models:
         # full model x duration matrix (reference bench.cpp:165-313 registers
         # the same grid); TUNING.md's hand-run numbers, driver-reproducible
@@ -402,6 +602,13 @@ def main() -> int:
     if e2e:
         print(f"# encoder-only: {json.dumps(headline)}" if args.e2e_json
               else f"# (see stderr for e2e metric)", file=sys.stderr)
+    if not parity_ok:
+        # fail LOUDLY (VERDICT r4 #1): a fast-but-wrong Mosaic path must
+        # never report a green headline. The JSON above still records the
+        # numbers; the exit code flags the divergence.
+        print("bench: ON-DEVICE PARITY FAILURE — see `# parity` lines",
+              file=sys.stderr)
+        return 3
     return 0
 
 
