@@ -98,6 +98,25 @@ def get_fused_attention() -> str | bool:
     return _FUSED_ATTENTION
 
 
+# Score-tensor storage for the fused attention kernels: "f32" (default,
+# matches the XLA path bit-for-bit through the softmax) or "bf16" (the
+# VERDICT r4 #2 operating point: the (TP,TP)/(TP,2TP) score and softmax
+# intermediates stay bfloat16 between MXU and VPU stages — ~1e-3 relative
+# score noise, NOT bit-parity; see ops/pallas_attention._attention_core).
+_SCORE_STORAGE = "f32"
+
+
+def set_score_storage(mode: str) -> None:
+    global _SCORE_STORAGE
+    if mode not in ("f32", "bf16"):
+        raise ValueError(f"score storage must be 'f32' or 'bf16', got {mode!r}")
+    _SCORE_STORAGE = mode
+
+
+def get_score_storage() -> str:
+    return _SCORE_STORAGE
+
+
 def fused_kernels_active() -> bool:
     """True when ANY process-global fused-Pallas mode is on (attention,
     ffn, block2, conv layout). Callers that trace model code inside
@@ -541,6 +560,7 @@ def _block_attention_or_none(
         batch_block=nb_fit,
         blockdiag=_attn_blockdiag(),
         headpair=_attn_headpair(),
+        score_bf16=(_SCORE_STORAGE == "bf16"),
         **kw,
     )
 

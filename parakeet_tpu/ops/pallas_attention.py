@@ -165,8 +165,17 @@ def _attention_core(
     heads: int,
     blockdiag: bool = False,
     headpair: bool = False,
+    score_bf16: bool = False,
 ):
     """Shared attention body for the fused kernels; returns (NB·TP, D) f32.
+
+    score_bf16: store the (TP, TP)/(TP, 2TP) score and softmax
+    intermediates in bfloat16 between the MXU and VPU stages (matmul
+    accumulation stays f32 inside the MXU; only the materialized tensors
+    halve). This is the VERDICT r4 #2 control experiment for the
+    "remaining 2×-FLOP gap is f32 score-tensor VMEM round trips" theory —
+    it halves exactly that traffic and nothing else. NOT bit-parity with
+    the f32 path (~1e-3 relative score noise, like W8A8); default off.
 
     Structured as FEW, LARGE MXU ops (small matmuls stall the systolic
     array on pipeline fill): q/k/v are ONE (NB·TP,D)@(D,3D) matmul; per
@@ -184,6 +193,7 @@ def _attention_core(
     nb = len(kv_lens)
     tp = nbtp // nb
     hi = kernel_precision(x.dtype)
+    sdt = jnp.bfloat16 if score_bf16 else _F32  # score-tensor storage dtype
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     sin_t = sin_ref[...].astype(_F32)
@@ -259,7 +269,7 @@ def _attention_core(
                 tvs.append(jnp.concatenate([tva, tvb], axis=1))
             pos_pair = jax.lax.dot_general(
                 jnp.concatenate(tvs, axis=0), cossin_x, (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32, precision=hi,
+                preferred_element_type=sdt, precision=hi,
             )  # (2·NB·TP, TP): head1 rows then head2 rows
             for i in range(nb):
                 rows = slice(i * tp, (i + 1) * tp)
@@ -268,7 +278,7 @@ def _attention_core(
                 kv_pack = jnp.concatenate([k_p * mask_lo, k_p * mask_hi], axis=0)
                 cpair = jax.lax.dot_general(
                     qu_p, kv_pack, (((1,), (1,)), ((), ())),
-                    preferred_element_type=_F32, precision=hi,
+                    preferred_element_type=sdt, precision=hi,
                 )  # (TP, 2TP) = [S_h1 | S_h2]
                 attns, recips = [], []
                 for hh in range(2):
@@ -335,7 +345,7 @@ def _attention_core(
         if nb > 1:
             pos_all = jax.lax.dot_general(
                 jnp.concatenate([tva, tvb], axis=1), cossin_x,
-                (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi,
+                (((1,), (1,)), ((), ())), preferred_element_type=sdt, precision=hi,
             )  # (NB·TP, TP)
 
         if blockdiag:
@@ -347,7 +357,7 @@ def _attention_core(
             # AV contraction over all NB items' keys is EXACT.
             s_all = jax.lax.dot_general(
                 qu_full[:, sl], k_full[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32, precision=hi,
+                preferred_element_type=sdt, precision=hi,
             )  # (NB·TP, NB·TP), hd-deep
             diag = jnp.concatenate(
                 [s_all[i * tp : (i + 1) * tp, i * tp : (i + 1) * tp] for i in range(nb)],
@@ -375,7 +385,7 @@ def _attention_core(
 
             if nb > 1:
                 content = jax.lax.dot_general(
-                    qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
+                    qu, k, (((1,), (1,)), ((), ())), preferred_element_type=sdt,
                     precision=hi,
                 )  # (TP, TP), hd-deep
                 scores = pos_all[rows] + content  # scale pre-folded into q/u
@@ -384,7 +394,7 @@ def _attention_core(
                 rhs = jnp.concatenate([cossin_x, k], axis=1)
                 scores = jax.lax.dot_general(
                     lhs, rhs, (((1,), (1,)), ((), ())),
-                    preferred_element_type=_F32, precision=hi,
+                    preferred_element_type=sdt, precision=hi,
                 )  # scale pre-folded into q/u (the tva/tvb rotation inputs)
             scores = jnp.where(col >= kv_lens[i], _NEG_INF, scores)
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -418,6 +428,7 @@ def _attn_block_kernel(
     eps: float | None,       # not None → pre-LN + residual fused in-kernel
     blockdiag: bool = False,
     headpair: bool = False,
+    score_bf16: bool = False,
 ):
     if eps is not None:
         nw_ref, nbias_ref, out_ref, acc_ref = rest
@@ -439,7 +450,7 @@ def _attn_block_kernel(
         attn_in, kv_lens, wqkv_ref, bqkv_ref,
         u_ref, v_ref, wpos_ref, sin_ref, cos_ref, wo_ref, bo_ref, acc_ref,
         scale=scale, t_real=t_real, heads=heads, blockdiag=blockdiag,
-        headpair=headpair,
+        headpair=headpair, score_bf16=score_bf16,
     )
     if eps is not None:
         att = x.astype(_F32) + att  # residual rides in-kernel
@@ -505,6 +516,7 @@ def fused_rel_attention_block(
     batch_block: int = 1,
     blockdiag: bool = False,
     headpair: bool = False,
+    score_bf16: bool = False,
     norm_w: jnp.ndarray | None = None,
     norm_b: jnp.ndarray | None = None,
     eps: float = 1e-5,
@@ -582,6 +594,7 @@ def fused_rel_attention_block(
         eps=(eps if norm_w is not None else None),
         blockdiag=(blockdiag and nb > 1),
         headpair=headpair,
+        score_bf16=score_bf16,
     )
 
     u2, v2 = bias_u.reshape(1, d), bias_v.reshape(1, d)

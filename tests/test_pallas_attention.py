@@ -394,3 +394,54 @@ def test_transcriber_kernels_true_resolves_by_scale():
         assert EE.get_fused_attention() == "block4"  # explicit overrides
     finally:
         EE.set_fused_attention(False)
+
+
+def test_score_bf16_storage_close_and_f32_default_unchanged(monkeypatch):
+    """set_score_storage('bf16') (the VERDICT r4 #2 operating point) keeps
+    results within bf16 score noise of the XLA path across the hp and
+    plain-block variants, and 'f32' (the default) stays bit-identical to
+    the pre-flag kernel output."""
+    _interp_block(monkeypatch)
+    cfg = C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=32,
+                          num_layers=2, num_heads=4, ffn_intermediate=64)
+    params = P.init_params(P.encoder_spec(cfg, "encoder_"), seed=23)
+    root = Params(params).sub("encoder_")
+    mel = np.zeros((2, 80, 80), np.float32)
+    mel[0, :64] = np.random.RandomState(7).randn(64, 80)
+    mel[1, :80] = np.random.RandomState(8).randn(80, 80)
+    lengths = jnp.asarray([64, 80])
+
+    ref = np.asarray(E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths))
+    for mode in ("block2hp", "block2", "block"):
+        E.set_fused_attention(mode)
+        try:
+            f32_out = np.asarray(
+                E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths)
+            )
+            E.set_score_storage("bf16")
+            assert E.get_score_storage() == "bf16"
+            bf16_out = np.asarray(
+                E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths)
+            )
+            E.set_score_storage("f32")
+            again = np.asarray(
+                E.fastconformer_encode(root, cfg, jnp.asarray(mel), lengths)
+            )
+        finally:
+            E.set_fused_attention(False)
+            E.set_score_storage("f32")
+        np.testing.assert_array_equal(again, f32_out)  # f32 mode untouched
+        for i, n in enumerate([64, 80]):
+            tv = E.subsample_length(n)
+            # bf16 scores: ~4e-3 relative softmax noise propagated through
+            # two conformer layers — loose but must stay clearly bounded
+            np.testing.assert_allclose(
+                bf16_out[i, :tv], f32_out[i, :tv], rtol=5e-2, atol=5e-2,
+                err_msg=f"mode={mode} item={i}",
+            )
+        assert not np.array_equal(bf16_out, f32_out), (
+            "bf16 score storage produced bit-identical output — the flag "
+            "is not reaching the kernel"
+        )
+    with pytest.raises(ValueError, match="score storage"):
+        E.set_score_storage("int8")
