@@ -143,16 +143,19 @@ _STFT_MODE = "gemm"
 
 
 def set_stft_mode(mode: str) -> None:
-    """Select the offline STFT lowering: "gemm" (hop-block GEMM
-    decomposition, the default — see _stft_power_gemm) or "conv" (one
-    strided windowed-DFT convolution). Math is identical to f32 rounding;
-    "gemm" is the default because XLA's strided-conv lowering measured
-    ~2.5× the GEMM decomposition at B=192 (12.6 ms vs ~5 ms, e2e 26.1k →
-    28.2k RTFx; TUNING.md r4). Clears the offline jit caches so the
-    toggle takes effect mid-process (tests, benchmarks)."""
+    """Select the offline STFT lowering: "gemm" (nblk hop-block GEMMs —
+    see _stft_power_gemm), "gemm1" (the hop blocks concatenated into ONE
+    deep-K GEMM: K = nblk·hop ≈ 480 → 4 full 128-deep MXU K-tiles instead
+    of 3 shallow K=160 passes, and one output write instead of three
+    partial-sum round trips; costs one materialized (B, T, nblk·hop)
+    input copy), or "conv" (one strided windowed-DFT convolution). Math
+    is identical to f32 rounding; "gemm" measured ~2.5× faster than conv
+    at B=192 (TUNING.md r4); gemm-vs-gemm1 is the VERDICT r4 #5
+    measurement. Clears the offline jit caches so the toggle takes effect
+    mid-process (tests, benchmarks)."""
     global _STFT_MODE
-    if mode not in ("conv", "gemm"):
-        raise ValueError(f"stft mode must be 'conv' or 'gemm', got {mode!r}")
+    if mode not in ("conv", "gemm", "gemm1"):
+        raise ValueError(f"stft mode must be 'conv', 'gemm' or 'gemm1', got {mode!r}")
     _STFT_MODE = mode
     for fn in (_preprocess_jit, _preprocess_batch_jit):
         fn.clear_cache()
@@ -205,15 +208,33 @@ def _stft_power_gemm(
     need = (n_frames - 1 + nblk) * hop
     y = jnp.pad(y, ((0, 0), (0, max(0, need - y.shape[1]))))[:, :need]
     blocks = y.reshape(y.shape[0], n_frames - 1 + nblk, hop)
-    spec = None
-    for j in range(nblk):
-        term = jax.lax.dot_general(
-            blocks[:, j : j + n_frames],
-            wj[j],
+    if _STFT_MODE == "gemm1":
+        # ONE deep-K GEMM: frame t's taps y[t·hop+r] for r ∈ [0, nblk·hop)
+        # are blocks[:, t+j, r−j·hop], i.e. the nblk hop views concatenated
+        # along the tap axis, against wfull's rows in the same order. Same
+        # FLOPs, 4 full K-tiles instead of 3×(160→256-padded) shallow
+        # passes, one output write instead of nblk partial-sum round trips;
+        # pays one (B, T, nblk·hop) materialized input copy. f32
+        # accumulation order differs from the summed 3-GEMM form (~1e-7).
+        stack = jnp.concatenate(
+            [blocks[:, j : j + n_frames] for j in range(nblk)], axis=2
+        )  # (B, T, nblk·hop)
+        spec = jax.lax.dot_general(
+            stack,
+            jnp.asarray(wfull),
             dimension_numbers=(((2,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
         )  # (B, T, F + nim)
-        spec = term if spec is None else spec + term
+    else:
+        spec = None
+        for j in range(nblk):
+            term = jax.lax.dot_general(
+                blocks[:, j : j + n_frames],
+                wj[j],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (B, T, F + nim)
+            spec = term if spec is None else spec + term
     re, im = spec[..., :f], spec[..., f:]
     p = re * re
     if trim:
@@ -248,7 +269,7 @@ def _stft_power(
         # matrix rows to win_length — the conv kernel is just the window
         lpad = 0
         kernel_w = window
-    if _STFT_MODE == "gemm":
+    if _STFT_MODE in ("gemm", "gemm1"):
         return _stft_power_gemm(x[None].astype(jnp.float32), cfg, win_np, lpad, n_frames)[0]
     # defensive tail pad: the old gather clamped out-of-range indices;
     # VALID conv instead needs (n_frames-1)*hop + K samples present
@@ -306,7 +327,7 @@ def _preprocess_batch_jit(
     # frame→window→rFFT as strided windowed-DFT conv or hop-block GEMMs
     # (XLA's TPU rfft + framing gathers cost ~11 ms of the B=128 e2e
     # pipeline; the conv is one MXU op; gemm avoids the conv lowering)
-    if _STFT_MODE == "gemm":
+    if _STFT_MODE in ("gemm", "gemm1"):
         power = _stft_power_gemm(padded, cfg, win_np, lpad, t_max)
     else:
         win_full = jnp.pad(

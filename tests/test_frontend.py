@@ -326,3 +326,47 @@ class TestGemmStft:
 
         with pytest.raises(ValueError):
             set_stft_mode("fft")
+
+
+class TestGemm1Stft:
+    """Merged single-GEMM STFT lowering ("gemm1", VERDICT r4 #5): the nblk
+    hop-block GEMMs concatenated into one deep-K GEMM. Same windowed-DFT
+    math as "gemm" — only the f32 accumulation grouping differs."""
+
+    def test_gemm1_matches_gemm(self):
+        import jax.numpy as jnp
+
+        from parakeet_tpu.audio import frontend as F
+
+        cfg = AudioConfig()
+        rng = np.random.RandomState(77)
+        nf = 16000 // cfg.hop_length + 1
+        need = (nf - 1) * cfg.hop_length + cfg.n_fft
+        x = (0.3 * rng.randn(2, need)).astype(np.float32)
+        win = F._hann_symmetric(cfg.win_length)
+        lpad = (cfg.n_fft - cfg.win_length) // 2
+        a = np.asarray(F._stft_power_gemm(jnp.asarray(x), cfg, win, lpad, nf))
+        try:
+            F.set_stft_mode("gemm1")
+            b = np.asarray(F._stft_power_gemm(jnp.asarray(x), cfg, win, lpad, nf))
+        finally:
+            F.set_stft_mode("gemm")
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_gemm1_full_frontend_toggle(self):
+        from parakeet_tpu.audio.frontend import set_stft_mode
+
+        x = np.random.RandomState(5).randn(12345).astype(np.float32) * 0.2
+        g = np.asarray(preprocess_audio(x))
+        try:
+            set_stft_mode("gemm1")
+            m = np.asarray(preprocess_audio(x))
+        finally:
+            set_stft_mode("gemm")
+        np.testing.assert_allclose(g, m, rtol=1e-3, atol=2e-4)
+
+    def test_bad_mode_rejected(self):
+        from parakeet_tpu.audio.frontend import set_stft_mode
+
+        with pytest.raises(ValueError, match="stft mode"):
+            set_stft_mode("fft")
