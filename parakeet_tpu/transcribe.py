@@ -17,7 +17,7 @@ TPU-native extensions over the reference:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from pathlib import Path
 
 import numpy as np
@@ -124,6 +124,10 @@ class _TranscriberBase:
         mesh=None,
         kernels: str | bool | None = None,
         quantize: str | None = None,
+        long_audio: str = "window",
+        long_threshold_s: float = 40.0,
+        long_window_s: float = 10.0,
+        long_overlap_s: float = 2.0,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — batched
         inference shards the batch over it (data parallelism; weights are
@@ -153,10 +157,35 @@ class _TranscriberBase:
         to leave the current global setting untouched. The XLA path is the
         bit-stable reference-parity path; the kernels match it to ~1e-3
         (tolerance-tested), which can flip near-tie argmax decisions on
-        pathological inputs."""
+        pathological inputs.
+
+        long_audio: "window" (default) auto-routes offline clips longer
+        than `long_threshold_s` through overlapping-window decode
+        (transcribe_long_batch with `long_window_s`/`long_overlap_s`
+        windows, windows batched ACROSS clips) — dense attention cost
+        grows with T² and the measured encoder throughput collapses past
+        the ~10 s batch knee (60 s dense = 46% of the 10 s operating
+        point, TUNING.md), so windowing is the throughput-correct default
+        for long audio. "dense" opts out (one dense decode regardless of
+        length — the r4 behavior). Routing applies to greedy decodes only;
+        beam/LM calls always run dense. Windowed results always carry
+        timestamps (the merge needs them)."""
         self.config = config
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        if long_audio not in ("window", "dense"):
+            raise ValueError(
+                f"long_audio must be 'window' or 'dense', got {long_audio!r}"
+            )
+        if not 0 <= long_overlap_s < long_window_s:
+            raise ValueError(
+                f"long_overlap_s ({long_overlap_s}) must be >= 0 and < "
+                f"long_window_s ({long_window_s})"
+            )
+        self.long_audio = long_audio
+        self.long_threshold_s = long_threshold_s
+        self.long_window_s = long_window_s
+        self.long_overlap_s = long_overlap_s
         # Validate the kernels × mesh combination BEFORE touching the
         # process-global kernel mode, against the EFFECTIVE mode (kernels
         # is None = keep whatever global is already set): Pallas kernels
@@ -279,7 +308,46 @@ class _TranscriberBase:
         """Batched inference. `pad_to_multiple` (mel frames) buckets the
         padded length so arbitrary-length workloads reuse a bounded set of
         compiled programs (e.g. 200 ≙ 2 s granularity); None = exact length
-        (one compile per distinct max length)."""
+        (one compile per distinct max length).
+
+        Clips longer than `long_threshold_s` are auto-routed through
+        overlapping-window decode when the facade was built with
+        long_audio="window" (the default — see __init__); short clips in
+        the same batch still decode densely together, and result order is
+        preserved."""
+        opts = opts or TranscribeOptions()
+        if (self.long_audio == "window" and sources
+                and opts.beam_size == 0 and opts.lm is None):
+            sr = self._audio_cfg.sample_rate
+            thr = int(self.long_threshold_s * sr)
+            waves = [self._to_samples(s) for s in sources]
+            long_ix = {i for i, w in enumerate(waves) if len(w) > thr}
+            if long_ix:
+                results: list = [None] * len(waves)
+                short_ix = [i for i in range(len(waves)) if i not in long_ix]
+                if short_ix:
+                    for i, r in zip(short_ix, self._transcribe_batch_dense(
+                            [waves[i] for i in short_ix], opts,
+                            pad_to_multiple=pad_to_multiple)):
+                        results[i] = r
+                order = sorted(long_ix)
+                for i, r in zip(order, self.transcribe_long_batch(
+                        [waves[i] for i in order], opts.decoder, opts=opts)):
+                    results[i] = r
+                return results
+            sources = waves  # already loaded; fall through to dense
+        return self._transcribe_batch_dense(
+            sources, opts, pad_to_multiple=pad_to_multiple
+        )
+
+    def _transcribe_batch_dense(
+        self,
+        sources: list,
+        opts: TranscribeOptions | None = None,
+        *,
+        pad_to_multiple: int | None = None,
+    ) -> list[TranscribeResult]:
+        """One dense decode regardless of clip length (no window routing)."""
         prepared = self.prepare_batch(sources, opts, pad_to_multiple=pad_to_multiple)
         return self.decode_prepared(prepared)
 
@@ -588,39 +656,60 @@ class _TranscriberBase:
                 timestamp_mode=timestamp_mode,
             )
 
-        # A trailing sliver window is redundant ONLY when the previous
-        # window already reaches the end of the audio (its keep_hi is then
-        # unbounded); otherwise the sliver must run or its words would be
-        # owned by no window.
-        starts = []
-        for s0 in range(0, len(samples), hop):
-            if (len(samples) - s0 < sr // 4 and starts
-                    and starts[-1] + win >= len(samples)):
-                break
-            starts.append(s0)
-            if s0 + win >= len(samples):
-                break
-
-        # ownership is WORD-level: a window owns every word whose start falls
-        # in its exclusive half of the overlap, and contributes that word's
-        # tokens wholesale — a word straddling the seam can't be split across
-        # two windows' (possibly disagreeing) decodes. Without a tokenizer,
-        # every token is its own "word" (token-level ownership). Word
-        # boundary rule shared with group_timestamps (group_token_words).
-        pieces = self.tokenizer.pieces if self.tokenizer.loaded else None
+        starts = self._long_window_starts(len(samples), win, hop)
         opts = TranscribeOptions(decoder, True, list(boost_phrases or []), boost_score)
         windows = [samples[s0 : s0 + win] for s0 in starts]
         if on_progress is None:
             # ONE batched device call for all windows (they pad to a uniform
-            # length inside transcribe_batch) instead of a dispatch per window
-            results = self.transcribe_batch(windows, opts)
+            # length inside the dense path) instead of a dispatch per window
+            results = self._transcribe_batch_dense(windows, opts)
         else:
             results = []
             step = max(1, int(progress_batch))
             for lo in range(0, len(windows), step):
-                results.extend(self.transcribe_batch(windows[lo : lo + step], opts))
+                results.extend(
+                    self._transcribe_batch_dense(windows[lo : lo + step], opts)
+                )
                 on_progress("window", min(lo + step, len(windows)), len(windows))
+        return self._merge_long_results(
+            len(samples), starts, results, win, window_s, overlap_s, timestamp_mode
+        )
 
+    def _long_window_starts(self, n_samples: int, win: int, hop: int) -> list[int]:
+        """Window start offsets. A trailing sliver window is redundant ONLY
+        when the previous window already reaches the end of the audio (its
+        keep_hi is then unbounded); otherwise the sliver must run or its
+        words would be owned by no window."""
+        sr = self._audio_cfg.sample_rate
+        starts = []
+        for s0 in range(0, n_samples, hop):
+            if (n_samples - s0 < sr // 4 and starts
+                    and starts[-1] + win >= n_samples):
+                break
+            starts.append(s0)
+            if s0 + win >= n_samples:
+                break
+        return starts
+
+    def _merge_long_results(
+        self,
+        n_samples: int,
+        starts: list[int],
+        results: list[TranscribeResult],
+        win: int,
+        window_s: float,
+        overlap_s: float,
+        timestamp_mode: TimestampMode,
+    ) -> TranscribeResult:
+        """Overlap-merge of per-window decodes. Ownership is WORD-level: a
+        window owns every word whose start falls in its exclusive half of
+        the overlap, and contributes that word's tokens wholesale — a word
+        straddling the seam can't be split across two windows' (possibly
+        disagreeing) decodes. Without a tokenizer, every token is its own
+        "word" (token-level ownership). Word boundary rule shared with
+        group_timestamps (group_token_words)."""
+        sr = self._audio_cfg.sample_rate
+        pieces = self.tokenizer.pieces if self.tokenizer.loaded else None
         owned_words: list[list[TimestampedToken]] = []
         for wi, (s0, res) in enumerate(zip(starts, results)):
             offset_s = s0 / sr
@@ -628,7 +717,7 @@ class _TranscriberBase:
             keep_lo = 0.0 if wi == 0 else offset_s + overlap_s / 2.0
             keep_hi = (
                 float("inf")
-                if s0 + win >= len(samples) or wi == len(starts) - 1
+                if s0 + win >= n_samples or wi == len(starts) - 1
                 else offset_s + window_s - overlap_s / 2.0
             )
             frame_off = int(round(offset_s / FRAME_DURATION_S))
@@ -648,6 +737,97 @@ class _TranscriberBase:
         owned_words.sort(key=lambda w: w[0].start_frame)
         merged = [t for w in owned_words for t in w]
         return self._result_from_ts(merged, timestamp_mode)
+
+    def transcribe_long_batch(
+        self,
+        sources: list,
+        decoder: Decoder = Decoder.TDT,
+        *,
+        window_s: float | None = None,
+        overlap_s: float | None = None,
+        boost_phrases: list[str] | None = None,
+        boost_score: float = DEFAULT_BOOST_SCORE,
+        timestamp_mode: TimestampMode = TimestampMode.WORDS,
+        max_batch: int = 192,
+        opts: TranscribeOptions | None = None,
+    ) -> list[TranscribeResult]:
+        """Long-form transcription of MANY clips with the windows batched
+        ACROSS clips — the long-audio THROUGHPUT path (TPU addition; the
+        reference caps offline audio at ~4-5 min and has no long-form
+        story at all, README.md:527).
+
+        Dense attention cost grows with T² and the measured encoder
+        throughput collapses past the ~10 s batch knee (TUNING.md: 60 s
+        dense = 46% of the 10 s operating point). This cuts every clip
+        into `window_s` windows with `overlap_s` overlap (defaults: the
+        facade's long_window_s/long_overlap_s — 10 s/2 s, the measured
+        knee), decodes ALL clips' windows together in `max_batch`-sized
+        device calls (the B=192 knee), and overlap-merges per clip
+        (word-ownership rule of transcribe_long). Emits ("window", done,
+        total) progress on opts.on_progress per sub-batch.
+
+        `opts` (internal routing use): inherit decoder/boost/progress from
+        an existing options object; timestamps are forced on (the merge
+        needs them) and beam/LM are unsupported here (route those dense).
+        """
+        window_s = self.long_window_s if window_s is None else window_s
+        overlap_s = self.long_overlap_s if overlap_s is None else overlap_s
+        if overlap_s < 0 or overlap_s >= window_s:
+            raise ValueError(
+                f"overlap_s ({overlap_s}) must be >= 0 and < window_s ({window_s})"
+            )
+        base = opts or TranscribeOptions(
+            decoder, True, list(boost_phrases or []), boost_score, timestamp_mode
+        )
+        if base.beam_size > 0 or base.lm is not None:
+            raise ValueError(
+                "windowed long-form decode is greedy-only; use beam/LM with "
+                "a dense decode (long_audio='dense' or transcribe_batch)"
+            )
+        timestamp_mode = base.timestamp_mode
+        wopts = replace(base, timestamps=True)
+        sr = self._audio_cfg.sample_rate
+        win = int(window_s * sr)
+        hop = int((window_s - overlap_s) * sr)
+
+        all_windows: list[np.ndarray] = []
+        spans: list[tuple[int, list[int], int]] = []
+        for s in sources:
+            w = self._to_samples(s)
+            if len(w) <= win:
+                starts = [0]
+                wins = [w]
+            else:
+                starts = self._long_window_starts(len(w), win, hop)
+                wins = [w[s0 : s0 + win] for s0 in starts]
+            spans.append((len(all_windows), starts, len(w)))
+            all_windows.extend(wins)
+
+        results: list[TranscribeResult] = []
+        step = max(1, int(max_batch))
+        for lo in range(0, len(all_windows), step):
+            results.extend(
+                self._transcribe_batch_dense(all_windows[lo : lo + step], wopts)
+            )
+            _emit_progress(
+                base, "window", min(lo + step, len(all_windows)), len(all_windows)
+            )
+
+        out: list[TranscribeResult] = []
+        for off, starts, n_samples in spans:
+            rs = results[off : off + len(starts)]
+            if len(starts) == 1:
+                out.append(
+                    self._result_from_ts(rs[0].timestamped_tokens, timestamp_mode)
+                )
+            else:
+                out.append(
+                    self._merge_long_results(
+                        n_samples, starts, rs, win, window_s, overlap_s,
+                        timestamp_mode,
+                    )
+                )
+        return out
 
     def transcribe_vad(
         self,

@@ -101,7 +101,9 @@ def test_word_straddling_ownership_boundary(tmp_path):
         return [TranscribeResult(timestamped_tokens=per_window[i])
                 for i in range(len(sources))]
 
-    tr.transcribe_batch = fake_batch
+    # transcribe_long decodes windows through the dense path (never the
+    # auto-routing facade — a 60 s window must not re-window itself)
+    tr._transcribe_batch_dense = fake_batch
     audio = np.zeros(3 * 16000, np.float32)
     res = tr.transcribe_long(audio, Decoder.CTC, window_s=2.0, overlap_s=1.0)
 
@@ -235,3 +237,102 @@ def test_transcribe_long_window_progress(tiny):
     total = wins[0][2]
     assert [w[1] for w in wins] == sorted(w[1] for w in wins)
     assert wins[-1] == ("window", total, total)
+
+
+def test_long_batch_matches_per_clip(tiny):
+    """transcribe_long_batch == transcribe_long per clip (same windows, same
+    merge), with ALL clips' windows batched into one dense device call."""
+    rng = np.random.RandomState(11)
+    clips = [
+        (rng.randn(5 * 16000) * 0.1).astype(np.float32),
+        (rng.randn(int(3.5 * 16000)) * 0.1).astype(np.float32),
+        (rng.randn(8000) * 0.1).astype(np.float32),  # shorter than a window
+    ]
+    singles = [
+        tiny.transcribe_long(c, Decoder.CTC, window_s=2.0, overlap_s=1.0)
+        for c in clips
+    ]
+    calls = []
+    real = tiny._transcribe_batch_dense
+
+    def counting(sources, opts=None, **kw):
+        calls.append(len(sources))
+        return real(sources, opts, **kw)
+
+    tiny._transcribe_batch_dense = counting
+    try:
+        batched = tiny.transcribe_long_batch(
+            clips, Decoder.CTC, window_s=2.0, overlap_s=1.0
+        )
+    finally:
+        tiny._transcribe_batch_dense = real
+    assert len(calls) == 1, "windows must batch ACROSS clips into one call"
+    for s, b in zip(singles, batched):
+        assert [(t.token_id, t.start_frame) for t in s.timestamped_tokens] == [
+            (t.token_id, t.start_frame) for t in b.timestamped_tokens
+        ]
+
+
+def test_long_batch_max_batch_subbatches(tiny):
+    rng = np.random.RandomState(12)
+    clips = [(rng.randn(4 * 16000) * 0.1).astype(np.float32) for _ in range(2)]
+    ref = tiny.transcribe_long_batch(clips, Decoder.CTC, window_s=2.0, overlap_s=1.0)
+    sub = tiny.transcribe_long_batch(
+        clips, Decoder.CTC, window_s=2.0, overlap_s=1.0, max_batch=2
+    )
+    assert [r.token_ids for r in ref] == [r.token_ids for r in sub]
+
+
+def test_auto_routing_mixed_batch_and_opt_out():
+    """Facade default long_audio='window': clips past long_threshold_s route
+    through windowed decode, short clips stay dense, order preserved;
+    long_audio='dense' opts out; beam decodes never route."""
+    from parakeet_tpu.transcribe import TranscribeOptions
+
+    cfg = C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                                num_layers=1, num_heads=2, ffn_intermediate=32),
+        prediction=C.PredictionConfig(vocab_size=9, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=9),
+        ctc_vocab_size=9,
+    )
+    tr = Transcriber(None, None, cfg, seed=7, long_threshold_s=2.5,
+                     long_window_s=2.0, long_overlap_s=1.0)
+    rng = np.random.RandomState(13)
+    short = (rng.randn(16000) * 0.1).astype(np.float32)
+    long_clip = (rng.randn(5 * 16000) * 0.1).astype(np.float32)
+
+    routed = tr.transcribe_batch([short, long_clip], TranscribeOptions(Decoder.CTC))
+    direct_long = tr.transcribe_long(long_clip, Decoder.CTC,
+                                     window_s=2.0, overlap_s=1.0)
+    assert routed[1].token_ids == direct_long.token_ids
+    assert routed[1].timestamped_tokens  # windowed results carry timestamps
+
+    dense = Transcriber(None, None, cfg, seed=7, long_audio="dense")
+    dense_res = dense.transcribe_batch([short, long_clip],
+                                       TranscribeOptions(Decoder.CTC))
+    assert routed[0].token_ids == dense_res[0].token_ids  # short clip: same path
+    # the 5 s clip decoded densely vs windowed may differ at seams — the
+    # point here is just that dense mode does NOT window (single dense call)
+    calls = []
+    real = dense._transcribe_batch_dense
+    dense._transcribe_batch_dense = lambda s, o=None, **k: (
+        calls.append(len(s)) or real(s, o, **k)
+    )
+    try:
+        dense.transcribe_batch([long_clip], TranscribeOptions(Decoder.CTC))
+    finally:
+        dense._transcribe_batch_dense = real
+    assert calls == [1]
+
+    # beam decodes bypass routing (windowed path is greedy-only)
+    def boom(*a, **k):
+        raise AssertionError("beam decode must not route through windowing")
+
+    tr.transcribe_long_batch = boom
+    res_beam = tr.transcribe_batch(
+        [long_clip], TranscribeOptions(Decoder.CTC, beam_size=2)
+    )
+    assert res_beam[0].token_ids is not None
+    with pytest.raises(ValueError, match="long_audio"):
+        Transcriber(None, None, cfg, seed=7, long_audio="auto")
