@@ -10,7 +10,13 @@ batch (TPU throughput lever).
 Also measured (stderr `# e2e:` line, or the stdout line with --e2e-json):
 true audio→text RTFx through the Transcriber facade — batched mel frontend
 + encoder + jitted TDT decode + detokenize, wall-clock including every
-host↔device round trip (see run_e2e).
+host↔device round trip (see run_e2e) — plus a STEADY-STATE number
+(cohorts dispatched back-to-back, one fetch; the fleet-operator metric).
+
+Every run also executes the ON-DEVICE PARITY GATE (run_parity): f32
+kernels-vs-XLA and STFT-lowering token identity (hard), bf16 bounded
+encoder-delta, and the fused serving step vs per-push — any failure exits
+3 after the JSON line. --no-parity skips it.
 
 Timing methodology for this environment: the TPU is reached through a
 relay whose `block_until_ready` acks without executing, and every host
@@ -178,12 +184,38 @@ def run_e2e(args) -> dict:
             float(chained(params, waves))
     rtfx = b * args.secs / dt
     print(f"# e2e batch {b}: {dt * 1e3:.2f} ms/pipeline", file=sys.stderr)
-    return {
+
+    out = {
         "metric": f"e2e RTFx per chip (tdt-ctc-110m audio→tokens: frontend+encoder+TDT decode, batch={b}, {args.secs}s clips, {args.dtype})",
         "value": round(rtfx, 1),
         "unit": "x realtime",
         "vs_baseline": round(rtfx / 370.0, 2),  # vs reference best (encoder-only; it publishes nothing faster)
     }
+
+    m = args.sustained_cohorts
+    if m > 1:
+        # STEADY-STATE throughput (VERDICT r4 #6): M cohorts dispatched
+        # back-to-back with NO host fetch between them — each call's input
+        # perturbs on the previous call's still-on-device scalar, so the
+        # relay queues all M·k pipelines and the single final fetch
+        # amortizes the per-call dispatch/fetch gap (~3.4 ms/pipeline in
+        # the single-shot number, TUNING.md) across the whole run. This is
+        # the number a serving fleet sustains; the single-shot value above
+        # charges one round trip per k-pipeline call.
+        acc = chained(params, waves)
+        float(acc)  # sync once so t0 starts with an idle device
+        t0 = time.perf_counter()
+        acc = chained(params, waves)
+        for _ in range(m - 1):
+            acc = chained(params, waves + (acc * 1e-12).astype(waves.dtype))
+        float(acc)
+        dts = (time.perf_counter() - t0) / (m * k)
+        srtfx = b * args.secs / dts
+        print(f"# e2e sustained ({m} cohorts x {k} pipelines, one fetch): "
+              f"{dts * 1e3:.2f} ms/pipeline, RTFx {srtfx:.0f}", file=sys.stderr)
+        out["sustained_rtfx"] = round(srtfx, 1)
+        out["sustained_cohorts"] = m
+    return out
 
 
 def run_parity(args) -> bool:
@@ -370,6 +402,9 @@ def main() -> int:
                     help="fused conv+ffn2+final-norm kernel (encoder.set_fused_block2)")
     ap.add_argument("--no-e2e", action="store_true",
                     help="skip the end-to-end audio→text measurement")
+    ap.add_argument("--sustained-cohorts", type=int, default=6,
+                    help="e2e steady-state leg: cohorts dispatched "
+                         "back-to-back with one final fetch (0/1 disables)")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the on-device kernel-vs-XLA token parity "
                          "gate (run_parity — ON by default so every driver "

@@ -220,6 +220,7 @@ class StreamingBatchTranscriber:
         seed: int = 0,
         quantize: str | None = None,  # "int8"/"int4" weight-only (see _StreamingBase)
         mesh=None,  # jax.sharding.Mesh with a 'data' axis — shard the cohort
+        compute_dtype: str = "float32",  # "bfloat16": MXU-rate encoder chunks
     ):
         """frontend="per_push": each push() runs the slot's mel frontend
         (reference StreamingAudioPreprocessor semantics — the mel grid
@@ -281,7 +282,8 @@ class StreamingBatchTranscriber:
         self._joint_prefix = proto_cls.joint_prefix
 
         proto = proto_cls(weights_path, vocab_path, self.config,
-                          params=params, seed=seed, quantize=quantize)
+                          params=params, seed=seed, quantize=quantize,
+                          compute_dtype=compute_dtype)
         self.config = proto.config  # resolved preset when config was None
         self.params = proto.params
         self._mesh = mesh
