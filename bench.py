@@ -161,12 +161,20 @@ def run_e2e(args) -> dict:
     k = args.iters
 
     @jax.jit
-    def chained(p, audio):
-        acc = jnp.zeros((), jnp.float32)
+    def chained_from(p, audio, acc):
+        # acc rides in as an on-device scalar so back-to-back cohort calls
+        # chain data-dependently WITHOUT any eager host-side ops between
+        # dispatches (an eager perturb between calls costs ~3 relay
+        # round-trips per cohort and was measured SLOWER than single-shot)
         for _ in range(k):
             outs = pipeline(p, audio + (acc * 1e-12).astype(audio.dtype))
             acc = jnp.sum(outs[4]).astype(jnp.float32) + jnp.sum(outs[3])
         return acc
+
+    zero = jnp.zeros((), jnp.float32)
+
+    def chained(p, audio):
+        return chained_from(p, audio, zero)
 
     t0 = time.perf_counter()
     float(chained(params, waves))
@@ -205,9 +213,9 @@ def run_e2e(args) -> dict:
         acc = chained(params, waves)
         float(acc)  # sync once so t0 starts with an idle device
         t0 = time.perf_counter()
-        acc = chained(params, waves)
-        for _ in range(m - 1):
-            acc = chained(params, waves + (acc * 1e-12).astype(waves.dtype))
+        acc = zero
+        for _ in range(m):
+            acc = chained_from(params, waves, acc)
         float(acc)
         dts = (time.perf_counter() - t0) / (m * k)
         srtfx = b * args.secs / dts
@@ -607,19 +615,27 @@ def main() -> int:
                   "tdt-600m": (96, "block"),
                   "rnnt-600m": (64, "block"),
                   "sortformer": (192, "block4hp")}
+        # short-clip knees (VERDICT r4 #7): 1 s / 5 s rows were previously
+        # benched at the 10 s batch, leaving them fixed-overhead-dominated;
+        # measured per-duration knees (r5 sweep, scripts/bench_sweep.py,
+        # TUNING.md "short-clip batch knees"). Durations absent here fall
+        # back to the 10 s knee (scaled down past 10 s to hold tokens).
+        best_short = {}
         matrix = []
         for model in ("110m", "tdt-600m", "rnnt-600m", "sortformer"):
             mb0, mode = best10[model]
-            set_fused_attention(None if args.no_fused else mode)
             for sec in [int(d) for d in args.durations.split(",")]:
-                mb = mb0
-                if sec > 10:
-                    mb = max(8, (mb * 10 // sec) // 8 * 8)
+                mb, mode_s = best_short.get((model, sec), (None, mode))
+                set_fused_attention(None if args.no_fused else mode_s)
+                if mb is None:
+                    mb = mb0
+                    if sec > 10:
+                        mb = max(8, (mb * 10 // sec) // 8 * 8)
                 dt = bench_encoder(model, sec, mb, args.dtype, args.iters)
                 rtfx = mb * sec / dt
                 row = {
                     "model": model, "seconds": sec, "batch": mb,
-                    "fused_mode": None if args.no_fused else mode,
+                    "fused_mode": None if args.no_fused else mode_s,
                     "ms_per_forward": round(dt * 1e3, 2),
                     "rtfx_per_chip": round(rtfx, 1),
                     "vs_reference_best": (
