@@ -267,10 +267,13 @@ def _attention_core(
                 tva = (va * sin_n + vb * cos_n).astype(x.dtype)
                 tvb = (vb * sin_n - va * cos_n).astype(x.dtype)
                 tvs.append(jnp.concatenate([tva, tvb], axis=1))
+            # Mosaic requires 32-bit matmul accumulators: accumulate f32,
+            # cast the RESULT to the storage dtype (sdt) — it is the
+            # materialized (TP, ·TP) tensors that score_bf16 halves
             pos_pair = jax.lax.dot_general(
                 jnp.concatenate(tvs, axis=0), cossin_x, (((1,), (1,)), ((), ())),
-                preferred_element_type=sdt, precision=hi,
-            )  # (2·NB·TP, TP): head1 rows then head2 rows
+                preferred_element_type=_F32, precision=hi,
+            ).astype(sdt)  # (2·NB·TP, TP): head1 rows then head2 rows
             for i in range(nb):
                 rows = slice(i * tp, (i + 1) * tp)
                 qu_p = qu_full[rows, psl]
@@ -278,8 +281,8 @@ def _attention_core(
                 kv_pack = jnp.concatenate([k_p * mask_lo, k_p * mask_hi], axis=0)
                 cpair = jax.lax.dot_general(
                     qu_p, kv_pack, (((1,), (1,)), ((), ())),
-                    preferred_element_type=sdt, precision=hi,
-                )  # (TP, 2TP) = [S_h1 | S_h2]
+                    preferred_element_type=_F32, precision=hi,
+                ).astype(sdt)  # (TP, 2TP) = [S_h1 | S_h2]; f32 acc (Mosaic)
                 attns, recips = [], []
                 for hh in range(2):
                     sc = (
@@ -345,8 +348,8 @@ def _attention_core(
         if nb > 1:
             pos_all = jax.lax.dot_general(
                 jnp.concatenate([tva, tvb], axis=1), cossin_x,
-                (((1,), (1,)), ((), ())), preferred_element_type=sdt, precision=hi,
-            )  # (NB·TP, TP)
+                (((1,), (1,)), ((), ())), preferred_element_type=_F32, precision=hi,
+            ).astype(sdt)  # (NB·TP, TP); f32 acc (Mosaic requires 32-bit)
 
         if blockdiag:
             # block-diagonal variant: ONE cross-item content matmul and ONE
@@ -357,8 +360,8 @@ def _attention_core(
             # AV contraction over all NB items' keys is EXACT.
             s_all = jax.lax.dot_general(
                 qu_full[:, sl], k_full[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=sdt, precision=hi,
-            )  # (NB·TP, NB·TP), hd-deep
+                preferred_element_type=_F32, precision=hi,
+            ).astype(sdt)  # (NB·TP, NB·TP), hd-deep; f32 acc (Mosaic)
             diag = jnp.concatenate(
                 [s_all[i * tp : (i + 1) * tp, i * tp : (i + 1) * tp] for i in range(nb)],
                 axis=0,
@@ -385,17 +388,17 @@ def _attention_core(
 
             if nb > 1:
                 content = jax.lax.dot_general(
-                    qu, k, (((1,), (1,)), ((), ())), preferred_element_type=sdt,
+                    qu, k, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
                     precision=hi,
-                )  # (TP, TP), hd-deep
+                ).astype(sdt)  # (TP, TP), hd-deep; f32 acc (Mosaic)
                 scores = pos_all[rows] + content  # scale pre-folded into q/u
             else:
                 lhs = jnp.concatenate([tva, tvb, qu], axis=1)
                 rhs = jnp.concatenate([cossin_x, k], axis=1)
                 scores = jax.lax.dot_general(
                     lhs, rhs, (((1,), (1,)), ((), ())),
-                    preferred_element_type=sdt, precision=hi,
-                )  # scale pre-folded into q/u (the tva/tvb rotation inputs)
+                    preferred_element_type=_F32, precision=hi,
+                ).astype(sdt)  # scale pre-folded into q/u; f32 acc (Mosaic)
             scores = jnp.where(col >= kv_lens[i], _NEG_INF, scores)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
