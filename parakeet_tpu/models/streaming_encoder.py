@@ -178,7 +178,18 @@ def streaming_encoder_chunk(
     streaming_encoder.cpp:361-368). Returns (enc (B, Tmel/8, d), new cache).
     """
     p = Params(params).sub(prefix)
-    x = conv_subsampling(p.sub("subsampling_"), mel, cfg.subsampling_activation)
+    # run at the ENCODER WEIGHTS' dtype: the mel frontend is always f32
+    # (parity), so a bf16 compute_dtype session would otherwise feed f32
+    # activations into bf16 convs (lax.conv requires matching dtypes).
+    # First floating leaf = the compute dtype even when the encoder is
+    # weight-only-quantized (int8 leaves skip; their scales are float).
+    wdt = next(
+        (v.dtype for kk, v in params.items()
+         if kk.startswith(prefix) and jnp.issubdtype(v.dtype, jnp.floating)),
+        mel.dtype,
+    )
+    x = conv_subsampling(p.sub("subsampling_"), mel.astype(wdt),
+                         cfg.subsampling_activation)
     if cfg.xscaling:
         x = x * math.sqrt(cfg.hidden_size)
 
@@ -224,7 +235,15 @@ class StreamingEncoderSession:
         self.reset()
 
     def reset(self) -> None:
-        self.cache = init_encoder_cache(self.cfg, self.batch)
+        # cache dtype follows the weights so bf16 sessions keep bf16 K/V
+        # (a f32 cache would silently promote every concat back to f32)
+        wdt = next(
+            (v.dtype for kk, v in self.params.items()
+             if kk.startswith(self.prefix)
+             and jnp.issubdtype(v.dtype, jnp.floating)),
+            _F32,
+        )
+        self.cache = init_encoder_cache(self.cfg, self.batch, wdt)
         self._mel_rem = np.zeros((self.batch, 0, self.cfg.mel_bins), np.float32)
         self.frames_seen = 0
 

@@ -591,3 +591,46 @@ def test_streaming_quantized_weights_match_dequantized():
     bt_q.push(0, audio[:3200])
     while bt_q.ready():
         bt_q.step()
+
+
+def test_streaming_batch_transcriber_bf16_compute():
+    """compute_dtype='bfloat16' (the serving bf16 row): the fused step must
+    cast the f32 device mel to the weight dtype (lax.conv rejects mixed
+    dtypes — regression: the r5 latency ladder crashed here), keep the
+    KV/conv caches bf16 (a f32 cache silently promotes every concat back
+    to f32), and still decode. int4 weight-only quantization composes."""
+    from parakeet_tpu.streaming import StreamingBatchTranscriber
+
+    cfg = C.EOUConfig(
+        encoder=tiny_streaming_cfg(att_context_right=0),
+        prediction=C.PredictionConfig(vocab_size=13, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=13),
+        ctc_vocab_size=13,
+    )
+    rng = np.random.RandomState(11)
+    audio = (rng.randn(12800) * 0.1).astype(np.float32)
+
+    for quantize in (None, "int4"):
+        bt = StreamingBatchTranscriber(1, None, None, cfg, seed=31,
+                                       mel_frames_per_step=16,
+                                       frontend="fused",
+                                       compute_dtype="bfloat16",
+                                       quantize=quantize)
+        assert bt._cache["key"].dtype == jnp.bfloat16
+        assert bt._cache["conv"].dtype == jnp.bfloat16
+        for s in range(0, 12800, 3200):
+            bt.push(0, audio[s : s + 3200])
+            while bt.ready():
+                bt.step()
+        assert bt._cache["key"].dtype == jnp.bfloat16  # no silent promotion
+        assert all(0 <= t < 13 for t in bt._tokens[0])
+
+    # per_push arm (host mel -> bf16 encoder) must also run
+    pp = StreamingBatchTranscriber(1, None, None, cfg, seed=31,
+                                   mel_frames_per_step=16,
+                                   compute_dtype="bfloat16")
+    for s in range(0, 6400, 3200):
+        pp.push(0, audio[s : s + 3200])
+        while pp.ready():
+            pp.step()
+    assert pp._cache["key"].dtype == jnp.bfloat16
