@@ -626,9 +626,17 @@ def main() -> int:
         # short-clip knees (VERDICT r4 #7): 1 s / 5 s rows were previously
         # benched at the 10 s batch, leaving them fixed-overhead-dominated;
         # measured per-duration knees (r5 sweep, scripts/bench_sweep.py,
-        # TUNING.md "short-clip batch knees"). Durations absent here fall
-        # back to the 10 s knee (scaled down past 10 s to hold tokens).
-        best_short = {}
+        # TUNING.md "short-clip batch knees"; 110m B=2048 fails compile —
+        # SMEM ceiling). Durations absent here fall back to the 10 s knee
+        # (scaled down past 10 s to hold tokens; 110m/sortformer 5 s
+        # measured flat at the 10 s batch).
+        best_short = {
+            ("110m", 1): (1536, "block4hp"),
+            ("tdt-600m", 1): (384, "block"),
+            ("tdt-600m", 5): (256, "block"),
+            ("rnnt-600m", 1): (256, "block"),
+            ("sortformer", 1): (1024, "block4hp"),
+        }
         matrix = []
         for model in ("110m", "tdt-600m", "rnnt-600m", "sortformer"):
             mb0, mode = best10[model]
