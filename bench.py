@@ -635,7 +635,8 @@ def main() -> int:
             ("tdt-600m", 1): (384, "block"),
             ("tdt-600m", 5): (256, "block"),
             ("rnnt-600m", 1): (256, "block"),
-            ("sortformer", 1): (1024, "block4hp"),
+            ("rnnt-600m", 5): (192, "block"),
+            ("sortformer", 1): (1536, "block4hp"),
         }
         matrix = []
         for model in ("110m", "tdt-600m", "rnnt-600m", "sortformer"):
