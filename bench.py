@@ -271,8 +271,14 @@ def run_parity(args) -> bool:
 
     st32 = _e2e_setup(args, args.parity_batch, args.secs, dtype="float32",
                       quantize=False)
-    st16 = _e2e_setup(args, args.parity_batch, args.secs, dtype="bfloat16",
-                      blank_bias=st32.blank_bias, quantize=False)
+    bf16_leg = fused_mode is not None and args.dtype == "bfloat16"
+    # only the bf16 bounded gate needs the bf16 setup — don't pay the
+    # 110M-param init + dev-tunnel upload when that leg is skipped
+    st16 = (
+        _e2e_setup(args, args.parity_batch, args.secs, dtype="bfloat16",
+                   blank_bias=st32.blank_bias, quantize=False)
+        if bf16_leg else None
+    )
 
     def run_variant(st, mode, stft):
         E.set_fused_attention(mode)
@@ -325,7 +331,7 @@ def run_parity(args) -> bool:
         ok &= report(f"f32 {stft0}-vs-{stft_alt}-stft", base32, conv32,
                      hard_tokens=True)
         # 2. bf16 bounded gate (the production config)
-        if fused_mode is not None and args.dtype == "bfloat16":
+        if bf16_leg:
             base16 = run_variant(st16, fused_mode, stft0)
             xla16 = run_variant(st16, None, stft0)
             ok &= report("bf16 kernels-vs-xla", base16, xla16,
@@ -461,6 +467,18 @@ def main() -> int:
                     help="seconds to wait for device enumeration before "
                          "declaring the accelerator unreachable (exit 2)")
     args = ap.parse_args()
+
+    # Persistent compilation cache: VERIFIED WORKING with the axon remote
+    # backend (r5 — 563 MB of executables cached from one parity run).
+    # Remote compiles cost 3-17 min under relay congestion; a cache hit
+    # loads in seconds. MUST run before ANY parakeet_tpu/jax import below
+    # (jax snapshots the env at import). Opt out by exporting
+    # JAX_COMPILATION_CACHE_DIR="".
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     if (args.e2e_int8_decoder or args.e2e_int8_compute) and args.e2e_quantize_decoder is None:
         args.e2e_quantize_decoder = "int8"
     if args.e2e_int8_compute:
@@ -471,15 +489,6 @@ def main() -> int:
         from parakeet_tpu.audio.frontend import set_stft_mode
 
         set_stft_mode(args.stft_mode)
-
-    # Persistent compilation cache: VERIFIED WORKING with the axon remote
-    # backend (r5 — 563 MB of executables cached from one parity run).
-    # Remote compiles cost 3-17 min under relay congestion; a cache hit
-    # loads in seconds. Opt out by exporting JAX_COMPILATION_CACHE_DIR="".
-    import os
-
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import numpy as np
     import jax

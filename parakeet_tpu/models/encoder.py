@@ -107,6 +107,10 @@ _SCORE_STORAGE = "f32"
 
 
 def set_score_storage(mode: str) -> None:
+    """"bf16" applies to the BLOCK fused-attention kernels; the 'v1' mode
+    rejects it loudly (no silent f32 measurement), and a block mode whose
+    shape guard falls back to v1/XLA runs f32 scores (the documented,
+    more-precise fallback)."""
     global _SCORE_STORAGE
     if mode not in ("f32", "bf16"):
         raise ValueError(f"score storage must be 'f32' or 'bf16', got {mode!r}")
@@ -601,6 +605,17 @@ def rel_position_attention(
         # v1 path; also the fallback when the block kernel's guard rejects.
         # Its own per-(b,h) buffers are ~12·TP² bytes → cap T (beyond that,
         # plain XLA attention handles long clips).
+        if _SCORE_STORAGE == "bf16" and _FUSED_ATTENTION == "v1":
+            # only the block kernels implement bf16 score storage; an
+            # explicit v1 run would silently measure f32 scores while
+            # reporting the bf16 operating point. (When a BLOCK mode falls
+            # back here on a guard-rejected shape, f32 scores are the
+            # documented fallback behavior — more precise, never less.)
+            raise ValueError(
+                "score storage 'bf16' requires a block fused-attention mode; "
+                "'v1' does not implement it — use set_fused_attention('block*') "
+                "or set_score_storage('f32')"
+            )
         from parakeet_tpu.ops.pallas_attention import fused_rel_attention
 
         pos = linear(p.sub("pos_proj_"), pos_emb.astype(x.dtype))  # (2T-1, d)

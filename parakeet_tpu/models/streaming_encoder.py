@@ -48,6 +48,20 @@ _F32 = jnp.float32
 _NEG_INF = -1e9
 
 
+def encoder_compute_dtype(params: dict, prefix: str = "encoder_", default=_F32):
+    """The streaming encoder's compute dtype: the first FLOATING leaf under
+    `prefix`. Weight-only-quantized encoders keep float scales (and the
+    int8/int4 code leaves are skipped), so this returns the dtype the
+    activations should run at. Single source of truth for the mel cast in
+    streaming_encoder_chunk and for cache initialization — a f32 cache
+    around bf16 weights silently promotes every K/V concat back to f32."""
+    return next(
+        (v.dtype for kk, v in params.items()
+         if kk.startswith(prefix) and jnp.issubdtype(v.dtype, jnp.floating)),
+        default,
+    )
+
+
 def init_encoder_cache(cfg: StreamingEncoderConfig, batch: int, dtype=_F32) -> dict:
     """Fixed-shape cache pytree (replaces EncoderCache/BlockCache structs,
     streaming_encoder.hpp:28-43)."""
@@ -180,14 +194,8 @@ def streaming_encoder_chunk(
     p = Params(params).sub(prefix)
     # run at the ENCODER WEIGHTS' dtype: the mel frontend is always f32
     # (parity), so a bf16 compute_dtype session would otherwise feed f32
-    # activations into bf16 convs (lax.conv requires matching dtypes).
-    # First floating leaf = the compute dtype even when the encoder is
-    # weight-only-quantized (int8 leaves skip; their scales are float).
-    wdt = next(
-        (v.dtype for kk, v in params.items()
-         if kk.startswith(prefix) and jnp.issubdtype(v.dtype, jnp.floating)),
-        mel.dtype,
-    )
+    # activations into bf16 convs (lax.conv requires matching dtypes)
+    wdt = encoder_compute_dtype(params, prefix, mel.dtype)
     x = conv_subsampling(p.sub("subsampling_"), mel.astype(wdt),
                          cfg.subsampling_activation)
     if cfg.xscaling:
@@ -236,13 +244,7 @@ class StreamingEncoderSession:
 
     def reset(self) -> None:
         # cache dtype follows the weights so bf16 sessions keep bf16 K/V
-        # (a f32 cache would silently promote every concat back to f32)
-        wdt = next(
-            (v.dtype for kk, v in self.params.items()
-             if kk.startswith(self.prefix)
-             and jnp.issubdtype(v.dtype, jnp.floating)),
-            _F32,
-        )
+        wdt = encoder_compute_dtype(self.params, self.prefix)
         self.cache = init_encoder_cache(self.cfg, self.batch, wdt)
         self._mel_rem = np.zeros((self.batch, 0, self.cfg.mel_bins), np.float32)
         self.frames_seen = 0
@@ -265,6 +267,7 @@ class StreamingEncoderSession:
 
 
 __all__ = [
+    "encoder_compute_dtype",
     "init_encoder_cache",
     "streaming_encoder_chunk",
     "StreamingEncoderSession",

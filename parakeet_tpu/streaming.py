@@ -375,13 +375,11 @@ class StreamingBatchTranscriber:
         cfg = self.config
         # cache follows the compute dtype (bf16 serving keeps bf16 K/V;
         # streaming_encoder_chunk casts the f32 mel to match)
-        wdt = next(
-            (v.dtype for kk, v in self.params.items()
-             if kk.startswith("encoder_")
-             and jnp.issubdtype(v.dtype, jnp.floating)),
-            jnp.float32,
+        from parakeet_tpu.models.streaming_encoder import encoder_compute_dtype
+
+        self._cache = self._init_cache_fn(
+            cfg.encoder, self.batch, encoder_compute_dtype(self.params)
         )
-        self._cache = self._init_cache_fn(cfg.encoder, self.batch, wdt)
         # fused mode never touches per-slot preprocessors (the carry lives
         # in _preemph_prev; mel runs on device) — don't allocate dead state
         self._pre = (

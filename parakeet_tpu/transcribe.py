@@ -650,11 +650,16 @@ class _TranscriberBase:
         win = int(window_s * sr)
         hop = int((window_s - overlap_s) * sr)
         if len(samples) <= win:
-            return self.transcribe(
-                samples, decoder, timestamps=True,
-                boost_phrases=boost_phrases, boost_score=boost_score,
-                timestamp_mode=timestamp_mode,
+            # DENSE, explicitly: self.transcribe() would re-enter the
+            # transcribe_batch auto-windowing and silently override the
+            # caller's window geometry with the facade defaults (a 50 s
+            # clip under window_s=60 must decode densely, not re-window
+            # at 10 s/2 s)
+            opts1 = TranscribeOptions(
+                decoder, True, list(boost_phrases or []), boost_score,
+                timestamp_mode,
             )
+            return self._transcribe_batch_dense([samples], opts1)[0]
 
         starts = self._long_window_starts(len(samples), win, hop)
         opts = TranscribeOptions(decoder, True, list(boost_phrases or []), boost_score)

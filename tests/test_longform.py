@@ -336,3 +336,38 @@ def test_auto_routing_mixed_batch_and_opt_out():
     assert res_beam[0].token_ids is not None
     with pytest.raises(ValueError, match="long_audio"):
         Transcriber(None, None, cfg, seed=7, long_audio="auto")
+
+
+def test_transcribe_long_explicit_window_not_rerouted():
+    """A clip that fits in ONE explicit transcribe_long window must decode
+    DENSELY even when it exceeds the facade's auto-routing threshold —
+    regression: the <=1-window branch used to call self.transcribe(),
+    which re-entered transcribe_batch auto-windowing and silently replaced
+    the caller's 6 s window with the facade's 2 s/1 s geometry."""
+    cfg = C.TDTCTCConfig(
+        encoder=C.EncoderConfig(mel_bins=80, subsampling_channels=8, hidden_size=16,
+                                num_layers=1, num_heads=2, ffn_intermediate=32),
+        prediction=C.PredictionConfig(vocab_size=9, pred_hidden=8, num_lstm_layers=1),
+        joint=C.JointConfig(encoder_hidden=16, pred_hidden=8, joint_hidden=8, vocab_size=9),
+        ctc_vocab_size=9,
+    )
+    tr = Transcriber(None, None, cfg, seed=7, long_threshold_s=2.5,
+                     long_window_s=2.0, long_overlap_s=1.0)
+    audio = (np.random.RandomState(4).randn(4 * 16000) * 0.1).astype(np.float32)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "transcribe_long with a window >= clip must not re-window"
+        )
+
+    orig = tr.transcribe_long_batch
+    tr.transcribe_long_batch = boom
+    try:
+        res = tr.transcribe_long(audio, Decoder.CTC, window_s=6.0, overlap_s=1.0)
+    finally:
+        tr.transcribe_long_batch = orig
+
+    dense = Transcriber(None, None, cfg, seed=7, long_audio="dense")
+    ref = dense.transcribe(audio, Decoder.CTC, timestamps=True)
+    assert res.token_ids == ref.token_ids
+    assert res.timestamped_tokens
