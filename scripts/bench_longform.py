@@ -75,7 +75,12 @@ def bench_device_resident(tr, dur: int, window_s: float, overlap_s: float,
     sr = 16000
     win = int(window_s * sr)
     hop = int((window_s - overlap_s) * sr)
-    starts = _window_starts(dur * sr, win, hop, sr)
+    # clamp the trailing start so every window is FULL length (the facade
+    # instead decodes a short last window through its padded batch path;
+    # here all windows share one static shape — the extra trailing overlap
+    # is handled by the same merge-ownership rule and is charged honestly)
+    starts = [min(s0, max(0, dur * sr - win))
+              for s0 in _window_starts(dur * sr, win, hop, sr)]
     wins_per_clip = len(starts)
     n_clips = max(1, total_windows // wins_per_clip)
     n_wins = n_clips * wins_per_clip
